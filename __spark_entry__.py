@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query at sf0.001; ``queries`` /
+``oracle_sql`` expose the operator catalog (SURVEY.md §2) for the
+driver's DuckDB-oracle correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lichess_db_spark.plans import oracle_sql_map, queries_map
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H Q1 shape (scan -> pushed filter -> hash agg): the spine of
+    every reference EDA query (SURVEY.md §7 phase 1).
+    """
+    from lichess_db_spark.plans.catalog_core import q1_pricing_summary
+
+    return q1_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return queries_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI-SQL twin for each oracle-checkable query.
+
+    Keys absent here (vs ``queries()``) use engine-specific hashing
+    (xxhash64 minhash/simhash) or are approximate (HLL, LSH ANN) —
+    the driver records the weaker rows-only check for those, and
+    tests/test_north_star.py asserts their semantics against exact
+    twins instead.
     """
-    return {}
+    return oracle_sql_map()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with the noop sink (no driver
+collect, no result materialization cost — measures the distributed
+plan, which is what scales).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline set: one per operator family, weighted toward the
+# shapes that dominate at 100 TB (scan-agg, broadcast join chains,
+# windows, dedup, ANN).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "brand_revenue_topk",
+    "a4_proportions",
+    "a5_j1_color_join",
+    "o3_topk_head",
+    "w1_running_count_by_type",
+    "events_session_windows",
+    "asof_join_latest_order",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "knn_bruteforce_cosine",
+    "knn_lsh_cosine",
+    "text_stats",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    from lichess_db_spark.session import get_spark
+    from lichess_db_spark.plans import QUERIES
+
+    spark = get_spark("lichess-db-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial action
+    QUERIES["a1_count"].build(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        q.build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline-suite wall-clock (noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Vector (array<float>) column helpers for similarity search.
+
+Dot products / norms are expressed with ``zip_with`` + ``aggregate``
+— whole-stage-codegen array ops, no UDF, no shuffle. Two accumulation
+modes:
+
+- ``dot(a, b)``: plain double accumulation (fast path).
+- ``dot_exact(a, b)``: each per-element product is rounded to a
+  fixed 1e-12 grid and summed as *bigint*. Integer addition is
+  associative, so the result is bit-identical across engines,
+  partitionings, and summation orders — floating sums are not, and
+  the DuckDB oracle would otherwise disagree in the last ulps. The
+  quantization error (<= 32e-12 for 64 dims) vanishes under the
+  3-decimal score rounding used for ranking.
+
+At 100 TB these run inside codegen on the executors; the only data
+movement is whatever join delivers the (query, candidate) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EXACT_SCALE = 1e12  # 1e-12 resolution; 64 * |x*y| * 1e12 stays far below 2^63
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = _c(a), _c(b)
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_exact(a: Column | str, b: Column | str) -> Column:
+    a, b = _c(a), _c(b)
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(EXACT_SCALE)).cast(
+            "bigint"
+        ),
+    )
+    total = F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return total.cast("double") / F.lit(EXACT_SCALE)
+
+
+def norm_exact(a: Column | str) -> Column:
+    return F.sqrt(dot_exact(a, a))
+
+
+def cosine_exact(a: Column | str, b: Column | str) -> Column:
+    """Deterministic cosine similarity: exact integer sums + IEEE
+    sqrt/divide (both correctly rounded) -> engine-portable."""
+    return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -1,0 +1,86 @@
+"""Parquet table IO (SURVEY.md §2.1 S5/S6).
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets projection
+and predicate pushdown for free; writes mirror the reference's
+batched gzip parquet sink (ingester.py:414-421, 1M-row files via
+``maxRecordsPerFile`` instead of hand-rolled batch rollover).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table (S6).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright; we read nanos as raw longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs
+    TIMESTAMP_NTZ with *integer* division (the data is µs-grained, so
+    this is lossless; float division would lose precision at 1e18 ns).
+    DuckDB's TIMESTAMP is also µs, so both engines see identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "gzip",
+    max_records_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with the reference's file-sizing contract (S5).
+
+    ``maxRecordsPerFile`` replaces the reference's 1M-game NDJSON
+    batch rollover (ingester.py:237-254); ``partition_by`` enables
+    the idiomatic ``year=/month=`` layout upgrade (SURVEY §4) which
+    gives partition pruning at query time.
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,63 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A5).
+
+Spark's hash aggregate already does partial (map-side) + final
+aggregation with spill, so each helper is a thin declarative wrapper;
+the interesting piece is A4's grand-total proportion, where the
+scalar total must be broadcast back into every group row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, *keys: str, alias: str = "count") -> DataFrame:
+    """A3: hash group-by + count (eda.ipynb cells 6,7,8,10,11,12)."""
+    return df.groupBy(*keys).agg(F.count("*").alias(alias))
+
+
+def with_proportion(
+    df: DataFrame, count_col: str = "count", alias: str = "proportion"
+) -> DataFrame:
+    """A4: count / sum(count) over the whole frame (eda.ipynb:cell6-7).
+
+    Uses an empty-partition window: Spark plans this as a single-
+    partition exchange of the *aggregated* rows (small), not of the
+    input — at 100 TB the grand total rides on K group rows only.
+    Unrounded: the raw IEEE division is engine-portable; round()
+    modes at decimal boundaries are not.
+    """
+    total = F.sum(count_col).over(Window.partitionBy())
+    return df.withColumn(alias, F.col(count_col) / total)
+
+
+def approx_distinct(df: DataFrame, *cols: str, rsd: float = 0.05) -> DataFrame:
+    """A2: HyperLogLog++ approximate distinct (eda.ipynb:cell5)."""
+    return df.agg(
+        *[F.approx_count_distinct(c, rsd=rsd).alias(f"approx_distinct_{c}") for c in cols]
+    )
+
+
+def decimal_sum(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
+    """Order-independent sum of a double column via DECIMAL(30,scale).
+
+    Floating sums are accumulation-order-dependent, so two engines
+    (or two partitionings of the same engine) can disagree in the
+    last ulps; money-style columns are exactly representable at 2-4
+    decimals, so casting each value to decimal first makes the sum
+    exact, associative, and bit-identical — the property the DuckDB
+    oracle comparison relies on.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def horizontal_sum(*cols: str) -> Column:
+    """A5: polars sum_horizontal -> plain column addition."""
+    out: Column | None = None
+    for c in cols:
+        out = F.col(c) if out is None else out + F.col(c)
+    assert out is not None
+    return out

@@ -1,0 +1,250 @@
+"""Deduplication operators (north-star, SURVEY.md §2.10).
+
+Four tiers, all shuffle-conscious:
+
+- exact:        one hash-groupBy on a content digest. The digest
+                (md5 here for oracle portability; xxhash64 for speed)
+                means the shuffle moves 16-byte keys, not documents.
+- minhash LSH:  shingle -> K minhash perms -> band -> bucket-join.
+                Candidate generation is a groupBy on (band, hash) —
+                at 100 TB this is the only near-dup approach whose
+                shuffle volume is O(docs * bands), not O(docs^2).
+- simhash:      64-bit signature; near-dups share the signature (or
+                a rotated prefix) — cheapest, coarsest.
+- exact jaccard: shingle-inverted-index self-join — the quadratic
+                verifier; only ever run on LSH candidates at scale
+                (standalone variant exists for oracle checking).
+
+All signatures are computed with array expressions (transform /
+array_min / xxhash64) inside codegen — no UDF, no per-perm shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep min-id per content digest, count copies."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """dropDuplicates on content — returns the deduplicated frame."""
+    return df.dropDuplicates([text_col])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 128,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """doc -> array<bigint> of ``num_perms`` minhash values.
+
+    Each permutation i is simulated by xxhash64(shingle, seed=i);
+    the signature element is the min over shingles. Computed as one
+    nested array expression — per-row, no shuffle, no UDF.
+    """
+    sh = word_shingles(text_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perms - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(sh) > 0, sig).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash).
+
+    Banding: docs agreeing on all ``rows_per_band`` minhashes of any
+    band become candidates (S-curve threshold ~ (1/b)^(1/r) ≈ 0.42
+    for b=32, r=4). The join is a groupBy + collect of doc ids per
+    bucket, then in-bucket pairing — shuffle key is the 8-byte band
+    hash. Skewed buckets (boilerplate docs) would be capped upstream
+    by a frequency filter at real scale.
+    """
+    banded = sigs.where(F.col("signature").isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast(
+                        "array<string>"
+                    ).cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    )
+    pairs = (
+        buckets.where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda j: F.struct(
+                                F.element_at(F.col("ids"), i + 1).alias("doc_a"),
+                                j.alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 128,
+    shingle_n: int = 5,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates verified by
+    exact shingle-set Jaccard (join back to shingle sets; the
+    verification join touches only candidate pairs)."""
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perms, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    sets_df = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via inverted-index self-join.
+
+    Oracle-checkable (pure relational; no engine-specific hashing).
+    The shingle inverted index joins doc pairs that share >=1
+    shingle, then Jaccard = inter / (|A| + |B| - inter). Quadratic
+    in the worst case — at 100 TB use minhash_dedup_pairs and keep
+    this as the verifier on candidates only.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # no rounding: ratios of small ints land on .xxxx5 decimal
+    # boundaries where engines' round() disagree; the raw IEEE
+    # division is bit-identical across engines instead.
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens.
+
+    For each bit position, sum +1/-1 votes from each token's
+    xxhash64 bit; the signature bit is the vote sign. Near-dup docs
+    land in the same or hamming-close signatures.
+
+    Expressed as SQL higher-order lambdas (the Python DSL's
+    ``shiftright`` only accepts literal shift amounts, SQL's accepts
+    columns). ``shiftright(h, i) % 2 != 0`` is the bit test — it also
+    captures the sign bit via arithmetic shift at i=63.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array_distinct(split({text_col}, ' ')), t -> xxhash64(t))"
+        ).alias("_hs"),
+    )
+    sig = F.expr(
+        """
+        aggregate(
+          zip_with(
+            transform(sequence(0, 63), i ->
+              CASE WHEN aggregate(_hs, 0,
+                     (acc, h) -> acc + (CASE WHEN shiftright(h, i) % 2 != 0
+                                             THEN 1 ELSE -1 END)) > 0
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+            sequence(0, 63),
+            (b, i) -> shiftleft(b, i)),
+          CAST(0 AS BIGINT),
+          (acc, v) -> acc + v)
+        """
+    )
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash (hamming distance 0)."""
+    sigs = simhash64(df, text_col, id_col)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("simhash", "ids", "n")
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (north-star, SURVEY.md §2.10).
+
+Two paths:
+
+- brute-force top-k: broadcast the (small) query set against the
+  corpus; per-row cosine via array expressions; per-query top-k via
+  a rank window partitioned by query. Exact; O(Q x N) compute but
+  embarrassingly parallel and shuffle-light (only Q x k rows move
+  after the window). The baseline and the verifier.
+
+- LSH-bucketed (random hyperplane signs): corpus and queries hashed
+  to sign-pattern buckets; candidates = same bucket (multi-probe via
+  several independent tables); exact re-rank on candidates only.
+  At 100 TB the bucket join replaces the Q x N scan with
+  O(docs-per-bucket) work — the PAPERS.md top-k literature shape
+  (LSH prune + exact re-rank).
+
+Hyperplanes are generated deterministically from xxhash64(dim, table,
+plane) — no driver-side RNG state to ship, reproducible across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, cosine_exact
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deterministic: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` is expected to be small -> broadcast, so the cross
+    join is a map-side nested loop with no shuffle of the corpus.
+    Ranking rounds the score to 3 decimals then tiebreaks on id so
+    the selected set is stable across engines/partitionings.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sim_fn = cosine_exact if deterministic else cosine
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim_fn("q_vec", "c_vec"), 3).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (host-side,
+    tiny). Uses a splitmix-style integer mix -> [-1, 1)."""
+    out = []
+    for d in range(dim):
+        x = (d * 0x9E3779B97F4A7C15 + table * 0xBF58476D1CE4E5B9 + plane * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        out.append((x % 2_000_000) / 1_000_000.0 - 1.0)
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH prune + exact re-rank.
+
+    Each table hashes a vector to an ``n_planes``-bit sign pattern;
+    a query's candidates are corpus vectors sharing a bucket in any
+    table. Candidate generation is an equi-join on (table, bucket) —
+    broadcastable for small query sets, shuffle-on-bucket otherwise.
+    """
+
+    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        sig_cols = []
+        for t in range(n_tables):
+            bits = []
+            for p in range(n_planes):
+                hp = _hyperplane(dim, t, p)
+                prods = F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(v) for v in hp]),
+                    lambda x, y: x.cast("double") * y,
+                )
+                d = F.aggregate(prods, F.lit(0.0), lambda a, b: a + b)
+                bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+            sig = sum(bits[1:], bits[0])
+            sig_cols.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(F.array(*sig_cols)).alias("tb"),
+        ).select(out_id, out_vec, "tb.table", "tb.bucket")
+
+    cb = bucketed(corpus, "neighbor_id", "c_vec")
+    qb = bucketed(queries, "query_id", "q_vec")
+    cands = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("q_vec", "c_vec"), 3).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,470 @@
+"""North-star extension queries (SURVEY.md §2.10, BASELINE.json):
+dedup, similarity search, text analysis, multimodal plumbing,
+event-time windows, as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as dd
+from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..functions import text as T
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "Exact dedup: group on a content digest, keep min-id. The shuffle "
+    "moves 16-byte digests, not documents — the only sane exact-dedup "
+    "shape at 100 TB.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_stats",
+    """
+    SELECT COUNT(*) AS n_rows, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+    FROM documents
+    """,
+    "Dedup summary: corpus rows vs distinct contents.",
+)
+def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2]
+               || ' ' || ts[g.i+3] || ' ' || ts[g.i+4] AS shingle
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 4
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+    "Near-dup via exact 5-gram-shingle Jaccard (inverted-index self-join). "
+    "Oracle-checkable (no engine-specific hashing). Quadratic worst case: "
+    "at scale this is the *verifier* run on MinHash-LSH candidates only "
+    "(dedup_minhash_pairs).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=5, threshold=0.2
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    None,  # xxhash64-based signatures: not reproducible in the oracle
+    "MinHash(128 perms)+LSH(32 bands x 4 rows) near-dup candidates, "
+    "verified by exact shingle Jaccard >= 0.2. Shuffle volume is "
+    "O(docs x bands) — the 100 TB-scale path; signature computation is "
+    "one codegen'd array expression, no UDF. Rows-only check (xxhash64 "
+    "has no DuckDB twin); tests assert it finds the same pairs as "
+    "dedup_ngram_jaccard at high thresholds.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), num_perms=128, shingle_n=5, bands=32, threshold=0.2
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based
+    "SimHash-64 signature groups (identical-signature docs). Cheapest "
+    "near-dup tier; rows-only check.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.simhash64(_t(spark, sf_dir, "documents"))
+    return sigs.select("doc_id", "simhash")
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           q.embedding AS qe, c.embedding AS ce
+    FROM embeddings c, q WHERE c.vec_id != q.vec_id
+),
+dots AS (
+    SELECT query_id, neighbor_id,
+           CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_i,
+           CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(qe[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qq_i,
+           CAST(SUM(CAST(ROUND(CAST(ce[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS cc_i
+    FROM pairs, generate_series(1, 64) AS g(i)
+    GROUP BY query_id, neighbor_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND((dot_i / 1e12) / (sqrt(qq_i / 1e12) * sqrt(cc_i / 1e12)), 3) AS score
+    FROM dots
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "knn_bruteforce_cosine",
+    _KNN_ORACLE,
+    "Exact cosine top-5 for 10 query vectors: broadcast queries x corpus, "
+    "array-expression cosine (scaled-int exact accumulation -> engine-"
+    "portable), per-query rank window. The baseline/verifier for ANN.",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "knn_lsh_cosine",
+    None,  # approximate; recall asserted against brute force in tests
+    "ANN top-5 via random-hyperplane LSH (4 tables x 8 planes) + exact "
+    "re-rank on bucket candidates. At 100 TB the bucket equi-join "
+    "replaces the Q x N scan; hyperplanes are derived deterministically "
+    "from integer mixing (no RNG state).",
+)
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS type_token_ratio,
+           CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS mean_token_len
+    FROM tok GROUP BY doc_id
+    """,
+    "Per-document token stats: count, type-token ratio (repetition "
+    "signal), mean token length. Spark side is pure array expressions — "
+    "no explode, no shuffle: each doc computes its stats in place.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    total_len = F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))
+    return d.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(ts)).cast("double") / F.size(ts)).alias("type_token_ratio"),
+        (total_len.cast("double") / F.size(ts)).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    stats AS (
+        SELECT t.doc_id,
+               LENGTH(MIN(d.text)) AS n_chars_t,
+               COUNT(*) AS n_tok,
+               CAST(COUNT(DISTINCT t.tok) AS DOUBLE) / COUNT(*) AS ttr,
+               CAST(COUNT(*) FILTER (WHERE t.tok IN ('the','a','of','and','to','in','is')) AS DOUBLE)
+                   / COUNT(*) AS sw
+        FROM tok t JOIN documents d USING (doc_id) GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           (LEAST(n_chars_t / 500.0, 1.0) + ttr
+            + GREATEST(1.0 - ABS(sw - 0.4) / 0.4, 0.0)) / 3.0 AS quality
+    FROM stats
+    """,
+    "Composite [0,1] quality score: length saturation + type-token ratio "
+    "+ stopword-density window — the cheap pre-training quality gate. "
+    "All ratios are exact-integer divisions -> engine-portable.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+_LANG_LISTS_SQL = {
+    "en": "['the','a','of','and','to','in','is']",
+    "de": "['der','die','das','und','ist','ein']",
+    "fr": "['le','la','les','et','est','un']",
+    "es": "['el','la','los','y','es','un']",
+}
+
+_LANG_ORACLE = f"""
+WITH counts AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains({_LANG_LISTS_SQL["en"]}, x))) AS n_en,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains({_LANG_LISTS_SQL["de"]}, x))) AS n_de,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains({_LANG_LISTS_SQL["fr"]}, x))) AS n_fr,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains({_LANG_LISTS_SQL["es"]}, x))) AS n_es
+    FROM documents
+),
+guessed AS (
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+                WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                WHEN n_fr >= n_es THEN 'fr'
+                ELSE 'es' END AS guess
+    FROM counts
+)
+SELECT lang, guess, COUNT(*) AS n FROM guessed GROUP BY lang, guess
+"""
+
+
+@register(
+    "text_lang_id",
+    _LANG_ORACLE,
+    "Language-ID heuristic: stopword-list vote (first-max-wins) compared "
+    "against the labeled lang — output is the confusion matrix. Pure "
+    "array ops, JVM-side.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_token_count_regex",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_word_tokens
+    FROM documents
+    """,
+    "BPE-ish token counting: regex word/number pieces per document "
+    "(whitespace twin lives in text_stats).",
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.regex_token_count("text", "[a-z]+|[0-9]+").cast("int").alias("n_word_tokens")
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+    FROM documents
+    """,
+    "Document fingerprinting: md5 of normalized text (md5 is engine-"
+    "portable, unlike xxhash64 -> oracle-checkable).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.md5_fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+    FROM documents
+    """,
+    "Multimodal columns: treat content as opaque binary + typed metadata "
+    "(byte length, magic-header hex). The real decode path is the "
+    "mapInPandas stub in multimodal.media (mm_decode_stub).",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic_hex"),
+    )
+
+
+@register(
+    "mm_decode_stub",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 * (1 + doc_id % 16) AS INT) AS width,
+           CAST(64 * (1 + (doc_id // 16) % 16) AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+    "Multimodal decode pipeline: binary -> (bytes, width, height, format) "
+    "via an Arrow-batched mapInPandas 'decoder' (deterministic stub — "
+    "image libs absent in this container; the Spark-side plumbing, "
+    "schema, and batch shape are real). Oracle mirrors the stub "
+    "arithmetic.",
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import decode_images
+
+    d = _t(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    return decode_images(binary)
+
+
+# --------------------------------------------------------------------------
+# event-time windows & as-of join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+    "T7 parity-plus: tumbling 1-hour event-time window aggregation via "
+    "F.window — the batch twin of the Structured Streaming pipeline in "
+    "streaming.ingest (same plan shape readStream-side).",
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "value_sum")
+    )
+
+
+@register(
+    "events_session_windows",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    "T7 parity-plus: session windows (30-min gap) via F.session_window; "
+    "oracle is the classic gaps-and-islands rewrite. Streaming twin uses "
+    "the same expression after readStream.",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    """
+    WITH orders_daily AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS day_total
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date, o.day_total
+    FROM events e ASOF JOIN orders_daily o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "As-of join (custom operator — Spark lacks it natively): each event "
+    "matched to the user's latest order on-or-before the event time. "
+    "Implemented as range join + per-event row_number pick; at scale: "
+    "broadcast the daily dimension or bucket both sides on the key. "
+    "DuckDB oracle uses its native ASOF JOIN (pre-aggregated to a unique "
+    "(key, time) grid so the match is unambiguous).",
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("day_total")
+    )
+    joined = ev.select("event_id", "user_id", "ts").join(
+        F.broadcast(daily),
+        (F.col("user_id") == F.col("o_custkey")) & (F.col("ts") >= F.col("o_orderdate")),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderdate").alias("last_order_date"),
+            "day_total",
+        )
+    )

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The driver supplies its own session to ``__spark_entry__``; this
+factory is for tests, bench, and standalone use. Defaults follow
+SURVEY.md §4: AQE on (runtime re-plan, skew-join handling), UTC
+session time zone (reference timestamps are naive UTC,
+ingester.py:338), Arrow enabled for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lichess_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core avoids tiny-task
+        # overhead; on a real cluster this would scale with executors
+        # (or be left to AQE coalescing).
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_sf(spark: SparkSession, approx_rows: int) -> None:
+    """Adjust runtime-settable knobs for a known input size.
+
+    At 100 TB these would instead be cluster-level settings; the
+    rule of thumb encoded here is ~128MB-per-shuffle-partition.
+    """
+    if approx_rows < 1_000_000:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")

@@ -1,0 +1,159 @@
+"""PGN source: text -> one row per game (SURVEY.md §2.1 S2).
+
+The reference parses PGN with a line state machine inside its
+download loop (ingester.py:113-235). Here the same semantics are a
+table-valued transform over distributed text:
+
+- ``read_pgn(spark, path)``: ``spark.read.text`` -> game-boundary
+  grouping -> header parse, all with DataFrame/array expressions
+  (JVM-side). Games are delimited by their *moves* line (a line
+  starting "1." or containing a bare result), which lets grouping be
+  expressed relationally: a running count of moves-lines *before*
+  each line assigns every line a game id.
+- ``parse_pgn_partitions``: the mapPartitions twin for genuinely
+  imperative needs (kept small; used by the streaming ingest where
+  per-batch Python is already in play).
+
+Parallelism at 100 TB: one ``.pgn.zst`` month is a single
+non-splittable stream, so the unit of parallelism is the month file
+(staged to chunked text by sources.staging); after staging, Spark
+splits the text files freely because game grouping only needs
+line order *within* a game, which file-split boundaries preserve
+after the repartition-by-game-id below.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+HEADER_RE = re.compile(r'\[(.*?)\s"(.*)"\]')
+
+# headers the canonical schema keeps (ingester.py:286-315); others pass
+# through the map and are dropped at projection time.
+HEADER_FIELDS = (
+    "Event",
+    "Site",
+    "White",
+    "Black",
+    "Result",
+    "UTCDate",
+    "UTCTime",
+    "WhiteElo",
+    "BlackElo",
+    "WhiteRatingDiff",
+    "BlackRatingDiff",
+    "WhiteTitle",
+    "BlackTitle",
+    "ECO",
+    "Opening",
+    "TimeControl",
+    "Termination",
+)
+
+RAW_GAME_SCHEMA = StructType(
+    [StructField(f, StringType()) for f in HEADER_FIELDS]
+    + [StructField("Moves", StringType())]
+)
+
+
+def games_from_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """Group raw PGN lines into per-game rows, relationally.
+
+    A line starting ``[`` is a header; a non-blank non-header line is
+    the moves line (reference: moves start with "1.", ingester.py:153
+    — but abandoned games can lack the "1." prefix, so any non-header
+    payload line closes the game, matching the blank-line flush at
+    ingester.py:162). game_id = running count of *completed* games
+    before this line.
+
+    Note: this helper assumes a single ordered partition of lines
+    (fine for fixtures/tests). The production path is
+    ``parse_pgn_text`` below, which keys lines by (file, offset) and
+    is safe under splitting.
+    """
+    w = Window.orderBy(F.col("_pos"))
+    lines = lines.withColumn("_pos", F.monotonically_increasing_id())
+    is_moves = (~F.col(text_col).startswith("[")) & (F.trim(F.col(text_col)) != "")
+    with_id = lines.withColumn(
+        "game_id",
+        F.sum(F.when(is_moves, 1).otherwise(0)).over(w) - F.when(is_moves, 1).otherwise(0),
+    )
+    return _assemble_games(with_id, text_col)
+
+
+def _assemble_games(with_id: DataFrame, text_col: str) -> DataFrame:
+    """lines+game_id -> one row per game with header map + moves."""
+    kv = F.regexp_extract_all(F.col(text_col), F.lit(r'\[(\S+)\s"(.*)"\]'), F.lit(0))
+    header_key = F.regexp_extract(F.col(text_col), r'\[(\S+)\s"', 1)
+    header_val = F.regexp_extract(F.col(text_col), r'\[\S+\s"(.*)"\]', 1)
+    is_header = F.col(text_col).startswith("[")
+    is_moves = (~is_header) & (F.trim(F.col(text_col)) != "")
+    parsed = with_id.select(
+        "game_id",
+        F.when(is_header, header_key).alias("k"),
+        F.when(is_header, header_val).alias("v"),
+        F.when(is_moves, F.col(text_col)).alias("moves_line"),
+    )
+    grouped = parsed.groupBy("game_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("k").isNotNull(), F.struct("k", "v")))
+        ).alias("h"),
+        F.first("moves_line", ignorenulls=True).alias("Moves"),
+    )
+    cols = [F.col("h").getItem(f).alias(f) for f in HEADER_FIELDS]
+    return grouped.where(F.col("Moves").isNotNull()).select("game_id", *cols, "Moves")
+
+
+def parse_pgn_text(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed PGN parse: spark.read.text + per-file line order.
+
+    ``spark.read.text`` preserves line order within a file split;
+    games never straddle *files* after staging (sources.staging cuts
+    at blank lines), and within a file we recover order from a
+    per-file running position. The heavy grouping is a window over
+    (file), which shuffles each file's lines to one task — acceptable
+    because staged chunks are ~128MB by construction.
+    """
+    lines = spark.read.text(path).select(
+        F.col("value"),
+        F.input_file_name().alias("_file"),
+    )
+    w = Window.partitionBy("_file").orderBy("_pos")
+    lines = lines.withColumn("_pos", F.monotonically_increasing_id())
+    is_moves = (~F.col("value").startswith("[")) & (F.trim(F.col("value")) != "")
+    with_id = lines.withColumn(
+        "game_id",
+        F.concat_ws(
+            "#",
+            F.col("_file"),
+            (
+                F.sum(F.when(is_moves, 1).otherwise(0)).over(w)
+                - F.when(is_moves, 1).otherwise(0)
+            ).cast("string"),
+        ),
+    )
+    return _assemble_games(with_id, "value")
+
+
+def parse_pgn_partitions(lines_iter: Iterator[str]) -> Iterator[dict]:
+    """Imperative per-partition parser (state-machine twin of
+    ingester.py:139-235) for RDD/streaming use. Each yielded dict is
+    one game (header fields + Moves)."""
+    game: dict = {}
+    for raw in lines_iter:
+        line = raw.rstrip("\n")
+        if line.startswith("["):
+            m = HEADER_RE.match(line)
+            if m:
+                game[m.group(1)] = m.group(2)
+        elif line.strip():
+            game["Moves"] = line
+            yield game
+            game = {}
+    # trailing game without moves line is dropped (reference flushes
+    # only on a completed moves line, ingester.py:162-235)

@@ -1,0 +1,56 @@
+"""Every oracle-checkable catalog query vs DuckDB at sf0.001.
+
+This is the local twin of the driver's CORRECTNESS gate; it runs at
+the smallest scale factor for speed (test_catalog_oracle_sf001_smoke
+covers sf0.01 for a few heavy hitters).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lichess_db_spark.plans import QUERIES
+
+from .conftest import SF_MED, SF_SMALL
+from .oracle_utils import compare, duck_con
+
+ORACLE_QUERIES = sorted(name for name, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(name for name, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con_small():
+    con = duck_con(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def con_med():
+    con = duck_con(SF_MED)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity_sf_small(spark, con_small, name):
+    q = QUERIES[name]
+    compare(q.build(spark, SF_SMALL), con_small, q.oracle, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    q = QUERIES[name]
+    df = q.build(spark, SF_SMALL)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
+         "dedup_ngram_jaccard", "w1_running_count_by_type", "events_session_windows"]
+
+
+@pytest.mark.parametrize("name", [n for n in HEAVY if n in ORACLE_QUERIES])
+def test_oracle_parity_sf_med(spark, con_med, name):
+    q = QUERIES[name]
+    compare(q.build(spark, SF_MED), con_med, q.oracle, name)

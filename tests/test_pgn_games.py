@@ -1,0 +1,104 @@
+"""Golden-fixture tests for the PGN parser and domain pipeline
+(SURVEY.md §5 item 2: parse -> clean -> unpivot -> features)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lichess_db_spark.plans.games import clean_games, games_pipeline, unpivot_roles
+from lichess_db_spark.sources.pgn import parse_pgn_partitions, parse_pgn_text
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "games.pgn")
+
+
+@pytest.fixture(scope="module")
+def raw_games(spark):
+    return parse_pgn_text(spark, FIXTURE).cache()
+
+
+def test_parse_game_count(raw_games):
+    assert raw_games.count() == 6
+
+
+def test_parse_headers(raw_games):
+    g = raw_games.where(F.col("Site") == "https://lichess.org/j1dkb5dw").first()
+    assert g.White == "BFG9k"
+    assert g.Black == "mamalak"
+    assert g.WhiteElo == "1639"
+    assert g.WhiteRatingDiff == "+5"
+    assert g.WhiteTitle == "GM"
+    assert g.BlackTitle is None  # F14 backfill via absent-key -> NULL
+    assert g.Moves.startswith("1. e4 e6")
+
+
+def test_parse_python_twin_matches(raw_games):
+    with open(FIXTURE) as fh:
+        rows = list(parse_pgn_partitions(iter(fh)))
+    assert len(rows) == 6
+    assert rows[0]["Site"] == "https://lichess.org/j1dkb5dw"
+    assert rows[1]["BlackElo"] == "?"
+
+
+def test_clean_games(raw_games):
+    cleaned = clean_games(raw_games, include_moves=True)
+    rows = {r.ID: r for r in cleaned.collect()}
+    g1 = rows["j1dkb5dw"]
+    assert g1.WhiteElo == 1639 and g1.WhiteRatingDiff == 5  # '+'-strip + cast
+    assert g1.Tournament is False
+    assert g1.WhiteTitle_flag is True and g1.BlackTitle_flag is False
+    assert str(g1.DateTime) == "2012-12-31 23:01:03"
+    g2 = rows["aaaabbbb"]
+    assert g2.BlackElo is None  # '?' -> NULL
+    assert g2.Tournament is True
+    assert g2.Event == "Rated Bullet"  # tournament suffix stripped
+    assert g2.Evaluation_flag is True
+    assert g2.Moves.endswith("3. Bd3 e6 ")  # truncated at "4."
+    g5 = rows["gggghhhh"]
+    assert g5.Moves == "1. g3 1-0"  # no "4." -> untouched
+
+
+def test_unpivot_doubles_and_inverts(raw_games):
+    up = unpivot_roles(clean_games(raw_games))
+    assert up.count() == 12  # 2 rows per game
+    g2 = {r.Role_player: r for r in up.where(F.col("ID") == "aaaabbbb").collect()}
+    assert g2["White"].Result == "0-1"
+    assert g2["Black"].Result == "1-0"  # F9 inversion
+    assert g2["Black"].Player == "zugzwang99"
+    assert g2["Black"].PlayerElo is None and g2["Black"].OpponentElo == 1401
+    draw = {r.Role_player: r for r in up.where(F.col("ID") == "ccccdddd").collect()}
+    assert draw["Black"].Result == "1/2-1/2"  # identity for non-decisive
+
+
+def test_running_features(raw_games):
+    out = games_pipeline(raw_games)
+    bfg = (
+        out.where((F.col("Player") == "BFG9k"))
+        .orderBy("DateTime", "ID")
+        .collect()
+    )
+    # BFG9k plays games 1 (blitz), 3 (blitz), 4 (as Black, blitz), 6 (blitz)
+    assert [r.Player_cum_games_total for r in bfg] == [1, 2, 3, 4]
+    assert [r.Player_cum_games_type for r in bfg] == [1, 2, 3, 4]  # all Rated Blitz
+    assert [r.PlayerElo_max for r in bfg] == [1639, 1644, 1649, 1653]
+    # max faced (intended semantics): running max of opponent Elo
+    assert [r.PlayerElo_max_faced for r in bfg] == [1403, 1722, 1722, 1722]
+    mam = out.where(F.col("Player") == "mamalak").orderBy("DateTime", "ID").collect()
+    assert [r.Player_cum_games_total for r in mam] == [1, 2, 3, 4, 5]
+    # per-type resets for the bullet tournament game
+    assert [r.Player_cum_games_type for r in mam] == [1, 1, 2, 1, 3]
+
+
+def test_invariants(raw_games):
+    out = games_pipeline(raw_games).cache()
+    # each ID appears exactly twice
+    bad = out.groupBy("ID").count().where(F.col("count") != 2)
+    assert bad.count() == 0
+    # player tag stable across rows
+    tags = out.groupBy("Player").agg(F.countDistinct("Player_random").alias("n"))
+    assert tags.where(F.col("n") != 1).count() == 0
+    # Elo bin labels
+    r = out.where((F.col("ID") == "j1dkb5dw") & (F.col("Role_player") == "White")).first()
+    assert r.PlayerElo_bin == "(1600, 1800]"

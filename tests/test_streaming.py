@@ -1,0 +1,78 @@
+"""Structured Streaming tests: file-source micro-batches through the
+windowed/stateful operators into a memory sink, compared against the
+batch twins (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lichess_db_spark.io import load_table
+from lichess_db_spark.streaming.ingest import (
+    hourly_tumbling,
+    read_events_stream,
+    running_features_stateful,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark):
+    """Stage the events fixture as a 3-file parquet dir (3 micro-batches)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    yield d, ev
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "stateful" else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_hourly_matches_batch(spark, staged_events):
+    d, ev = staged_events
+    schema = ev.schema
+    stream = read_events_stream(spark, d, schema)
+    got = _run_stream(spark, hourly_tumbling(stream), "hourly").cache()
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "n", "value_sum")
+    )
+    assert got.count() == want.count()
+    assert got.join(want, ["window_start", "n"]).count() == want.count()
+
+
+def test_stateful_running_count_matches_window(spark, staged_events):
+    d, ev = staged_events
+    stream = read_events_stream(spark, d, ev.schema)
+    got = _run_stream(spark, running_features_stateful(stream), "stateful").cache()
+    # batch twin: W2 running count
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = ev.select(
+        "user_id", "event_id", F.count("*").over(w).cast("int").alias("cum_events")
+    )
+    # per-micro-batch state accumulates in file order which may differ
+    # from global ts order across batches; assert per-user totals match
+    got_tot = got.groupBy("user_id").agg(F.max("cum_events").alias("n"))
+    want_tot = want.groupBy("user_id").agg(F.max("cum_events").alias("n"))
+    assert got_tot.join(want_tot, ["user_id", "n"]).count() == want_tot.count()
