@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
+from ._util import spread
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -57,14 +58,19 @@ def minhash_signatures(
     the signature element is the min over shingles. Computed as one
     nested array expression — per-row, no shuffle, no UDF.
     """
-    sh = word_shingles(text_col, shingle_n)
+    # materialize shingles behind an exchange: without the barrier,
+    # CollapseProject inlines the shingle build into every one of the
+    # num_perms lambdas (measured 128x recompute, ~35ms/doc); the
+    # exchange also spreads this compute-bound stage across cores.
+    shingled = spread(
+        df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    )
+    sh = F.col("_sh")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perms - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, i))
-        ),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
     )
-    return df.select(
+    return shingled.select(
         F.col(id_col),
         F.when(F.size(sh) > 0, sig).alias("signature"),
     )
@@ -215,11 +221,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     columns). ``shiftright(h, i) % 2 != 0`` is the bit test — it also
     captures the sign bit via arithmetic shift at i=63.
     """
-    hashed = df.select(
-        F.col(id_col),
-        F.expr(
-            f"transform(array_distinct(split({text_col}, ' ')), t -> xxhash64(t))"
-        ).alias("_hs"),
+    hashed = spread(
+        df.select(
+            F.col(id_col),
+            F.expr(
+                f"transform(array_distinct(split({text_col}, ' ')), t -> xxhash64(t))"
+            ).alias("_hs"),
+        )
     )
     sig = F.expr(
         """

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, cosine_exact
+from ._util import spread
 
 
 def brute_force_topk(
@@ -45,7 +46,7 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")))
     sim_fn = cosine_exact if deterministic else cosine
     scored = (
         c.crossJoin(q)
@@ -95,28 +96,36 @@ def lsh_bucket_topk(
     broadcastable for small query sets, shuffle-on-bucket otherwise.
     """
 
+    # Build the bucket expressions ONCE as SQL strings: per-element
+    # F.lit() is a py4j round-trip each, and 4x8x64 literals twice
+    # (corpus+queries) measured ~7s of pure plan-construction time.
+    # The literal arrays constant-fold before codegen, so execution
+    # cost is unchanged.
+    def _plane_sql(t: int, p: int) -> str:
+        hp = _hyperplane(dim, t, p)
+        arr = ",".join(f"{v!r}D" for v in hp)
+        return (
+            f"CASE WHEN aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, b) -> a + b) >= 0 "
+            f"THEN {2**p} ELSE 0 END"
+        )
+
+    sig_structs = ", ".join(
+        "struct({t} AS table, ({bits}) AS bucket)".format(
+            t=t, bits=" + ".join(_plane_sql(t, p) for p in range(n_planes))
+        )
+        for t in range(n_tables)
+    )
+    tb_expr = F.explode(F.expr(f"array({sig_structs})")).alias("tb")
+
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        sig_cols = []
-        for t in range(n_tables):
-            bits = []
-            for p in range(n_planes):
-                hp = _hyperplane(dim, t, p)
-                prods = F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(v) for v in hp]),
-                    lambda x, y: x.cast("double") * y,
-                )
-                d = F.aggregate(prods, F.lit(0.0), lambda a, b: a + b)
-                bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-            sig = sum(bits[1:], bits[0])
-            sig_cols.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
-            F.explode(F.array(*sig_cols)).alias("tb"),
+            tb_expr,
         ).select(out_id, out_vec, "tb.table", "tb.bucket")
 
-    cb = bucketed(corpus, "neighbor_id", "c_vec")
+    cb = bucketed(spread(corpus), "neighbor_id", "c_vec")
     qb = bucketed(queries, "query_id", "q_vec")
     cands = (
         cb.join(F.broadcast(qb), ["table", "bucket"])

@@ -24,7 +24,11 @@ from .conftest import SF_SMALL
 def staged_events(spark):
     """Stage the events fixture as a 3-file parquet dir (3 micro-batches)."""
     d = tempfile.mkdtemp(prefix="events_stream_")
-    ev = load_table(spark, SF_SMALL, "events")
+    # watermarks require TIMESTAMP (ltz): with a UTC session the values
+    # are identical to the NTZ fixture column
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     ev.repartition(3).write.mode("overwrite").parquet(d)
     yield d, ev
     shutil.rmtree(d, ignore_errors=True)
@@ -34,7 +38,7 @@ def _run_stream(spark, stream_df, name: str):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if name != "stateful" else "update")
+        .outputMode("complete" if name != "stateful" else "append")
         .trigger(availableNow=True)
         .start()
     )
