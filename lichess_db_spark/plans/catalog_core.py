@@ -756,6 +756,85 @@ def rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_agg_by_group",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    "Parity-plus distinct-aggregation (SURVEY §2.4: reference lacks it): "
+    "per-type distinct users. Spark expands to a two-phase agg "
+    "(partial distinct then final) automatically.",
+)
+def distinct_agg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "pivot_user_type_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+    "Parity-plus pivot: per-user event-type count matrix via "
+    "groupBy().pivot() with explicit values (no extra distinct-scan; "
+    "one shuffle).",
+)
+def pivot_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    # pivot leaves NULL for absent combos; FILTER-count yields 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "sample_stable_fraction",
+    """
+    SELECT user_id, COUNT(*) AS n FROM events
+    WHERE (user_id * 2654435761 % 4294967296) / 4294967296.0 < 0.3
+    GROUP BY user_id
+    """,
+    "Reproducible sampling — the *purpose* of the reference's "
+    "{player}_random tags (readme usage): a deterministic hash tag "
+    "selects a stable ~30% user cohort on every engine and every run.",
+)
+def sample_stable_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(stable_unit_hash("user_id") < 0.3)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    "F13 twin (json handling): extract a field from the props JSON "
+    "column (get_json_object -> JVM-side JSON path).",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@register(
     "rollup_type_day",
     """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n

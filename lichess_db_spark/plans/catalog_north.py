@@ -315,6 +315,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.md5_fingerprint("text").alias("fingerprint"))
 
 
+@register(
+    "text_vocab_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           COUNT(*) AS total_count
+    FROM tok GROUP BY token
+    """,
+    "Vocabulary / inverted-index stats (the IDF building block of a "
+    "training-data pipeline): explode tokens -> per-token document "
+    "frequency and corpus count. One shuffle keyed by token.",
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("total_count"),
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
