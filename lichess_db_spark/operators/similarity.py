@@ -85,8 +85,8 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_tables: int = 4,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_planes: int = 4,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH prune + exact re-rank.
 
@@ -94,6 +94,12 @@ def lsh_bucket_topk(
     a query's candidates are corpus vectors sharing a bucket in any
     table. Candidate generation is an equi-join on (table, bucket) —
     broadcastable for small query sets, shuffle-on-bucket otherwise.
+
+    Tuning: per-table collision probability for angle θ is
+    (1-θ/π)^n_planes, union over n_tables. 8x4 keeps ~90%+ recall at
+    θ<=45° while pruning ~15/16 of the corpus per table; raise
+    n_planes as the corpus grows (planes ~ log(corpus/target
+    candidates)).
     """
 
     # Build the bucket expressions ONCE as SQL strings: per-element

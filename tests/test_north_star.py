@@ -1,0 +1,151 @@
+"""Semantic tests for the non-oracle-checkable north-star operators:
+the driver only rows-checks these, so their correctness gates live
+here (SURVEY.md §5 item 4: property checks where oracles are weak)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lichess_db_spark.io import load_table
+from lichess_db_spark.operators import dedup as dd
+from lichess_db_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from lichess_db_spark.functions.scalar import elo_bin
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_minhash_finds_exact_jaccard_pairs(docs):
+    """LSH candidates verified at >=0.5 must equal the exact-jaccard
+    pairs at >=0.5 minus LSH misses; at this threshold and banding
+    (b=32, r=4 -> s-curve ~0.42) recall should be total on the
+    fixture's near-dup pairs."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert mh == exact  # verification step guarantees precision; banding recall
+    assert len(exact) > 0, "fixture should contain near-dups"
+
+
+def test_minhash_jaccard_estimate_close(docs):
+    """Signature agreement rate estimates Jaccard: for verified pairs,
+    |sig_agree|/128 within 0.25 of exact jaccard."""
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+                    )
+                )
+                / 128.0
+            ).alias("est"),
+        )
+    )
+    bad = est.where(F.abs(F.col("jaccard") - F.col("est")) > 0.25)
+    assert bad.count() == 0
+
+
+def test_simhash_identical_docs_same_signature(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.limit(5).unionByName(dup)
+    sigs = dd.simhash64(both).collect()
+    by_id = {r.doc_id: r.simhash for r in sigs}
+    for i in [r.doc_id for r in sigs if r.doc_id < 100000]:
+        assert by_id[i] == by_id[i + 100000]
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    """Multi-probe LSH top-5 recall vs exact top-5 — random-hyperplane
+    buckets on 64-dim data should recover a solid fraction; assert a
+    conservative floor so regressions surface."""
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in lsh_bucket_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_brute_force_is_cosine_ordered(emb):
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) == 5
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    from lichess_db_spark.multimodal.media import decode_images, frame_sample_stub
+
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    out = decode_images(binary)
+    rows = out.orderBy("doc_id").limit(3).collect()
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_bytes", "width", "height", "format",
+    ]
+    r = rows[0]
+    assert r.n_bytes > 0 and r.width % 64 == 0 and r.format in ("png", "jpeg")
+    frames = frame_sample_stub(binary.limit(2), n_frames=4)
+    assert frames.count() == 8
+
+
+def test_elo_bin_labels(spark):
+    df = spark.createDataFrame(
+        [(None,), (0,), (1,), (200,), (201,), (1639,), (4000,), (4001,)], "elo int"
+    )
+    got = [r[0] for r in df.select(elo_bin("elo")).collect()]
+    assert got == [
+        None, "(-inf, 0]", "(0, 200]", "(0, 200]", "(200, 400]",
+        "(1600, 1800]", "(3800, 4000]", "(4000, inf]",
+    ]
+
+
+def test_staging_chunker(tmp_path):
+    from lichess_db_spark.sources.staging import chunk_pgn_lines
+
+    import os
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "games.pgn")
+    with open(fixture) as fh:
+        lines = fh.readlines()
+    paths = list(chunk_pgn_lines(lines, str(tmp_path), "t", chunk_bytes=500))
+    assert len(paths) > 1  # small budget forces multiple chunks
+    # every chunk ends right after a moves line -> no straddled games
+    total_games = 0
+    for p in paths:
+        content = open(p).read().strip().splitlines()
+        assert content, p
+        last_payload = [l for l in content if l.strip()][-1]
+        assert not last_payload.startswith("["), f"chunk {p} split mid-game"
+        total_games += sum(
+            1 for l in content if l.strip() and not l.startswith("[")
+        )
+    assert total_games == 6
