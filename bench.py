@@ -50,8 +50,11 @@ def main() -> None:
     spark = get_spark("lichess-db-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with a trivial action
-    QUERIES["a1_count"].build(spark, SF_DIR).collect()
+    # warm the JVM + parquet footers with a trivial action per table
+    from lichess_db_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # local fixtures are single small parquet files; the 128MB
+        # default split size would scan them on one core. 1MB splits
+        # keep every core busy at sf<=1. On a real cluster inputs are
+        # many-file and this should be left at default — override via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "65536")
     )
     return builder.getOrCreate()
 
