@@ -835,6 +835,80 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "median_disc_by_type",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+    )
+    SELECT event_type, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS median_value
+    FROM ranked GROUP BY event_type
+    """,
+    "Parity-plus percentile: discrete (lower) median per group. "
+    "Deliberately rank-based rather than percentile()/quantile_cont — "
+    "interpolation formulas differ across engines in the last ulp; the "
+    "picked-element median is exactly portable and needs only one "
+    "window pass.",
+)
+def median_disc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("value"))
+        ).alias("median_value")
+    )
+
+
+@register(
+    "stddev_exact_by_type",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2,
+           sqrt((COUNT(*) * CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE))
+                / (COUNT(*) * (COUNT(*) - 1))) AS stddev_value
+    FROM events GROUP BY event_type
+    """,
+    "Parity-plus variance/stddev via exact decimal moments: built-in "
+    "stddev is a float fold whose result depends on accumulation order; "
+    "sum and sum-of-squares over DECIMAL are exact (2-dec values square "
+    "to exactly 4 decimals), so n*s2 - s1^2 is engine-portable.",
+)
+def stddev_exact_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s1 = F.sum(F.col("value").cast("decimal(30,2)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(30,4)")).cast("double")
+    n = F.count("*")
+    agg = ev.groupBy("event_type").agg(
+        n.alias("n"), s1.alias("s1"), s2.alias("s2")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n") * (F.col("n") - 1))
+        ).alias("stddev_value"),
+    )
+
+
+@register(
     "rollup_type_day",
     """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
