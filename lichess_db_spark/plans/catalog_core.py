@@ -835,6 +835,66 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: the pure pushdown showcase — every predicate "
+    "reaches the parquet scan (range + between + comparison), then a "
+    "single exact-decimal sum. At 100 TB this is row-group-stat "
+    "skipping territory.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q12_conditional_agg",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shape: conditional aggregation (SUM(CASE WHEN)) over a "
+    "fact-fact equi-join with a non-equi residual predicate.",
+)
+def q12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@register(
     "median_disc_by_type",
     """
     WITH ranked AS (

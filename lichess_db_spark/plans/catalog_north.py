@@ -389,6 +389,62 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(binary)
 
 
+@register(
+    "znorm_user_values",
+    """
+    WITH m AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           (e.value - m.s1 / m.n)
+             / sqrt((m.n * m.s2 - m.s1 * m.s1) / (m.n * (m.n - 1))) AS z
+    FROM events e JOIN m USING (user_id)
+    WHERE m.n > 1
+    """,
+    "Per-user z-score normalization via Arrow-batched applyInPandas — "
+    "the documented Pandas-UDF escape hatch (SURVEY §2.10 D1/D3) "
+    "exercised WITH an exact oracle: moments are computed as exact "
+    "integer cents inside the UDF, mirroring the SQL decimal moments, "
+    "so even the Python path is bit-reproducible. One shuffle on the "
+    "group key; batch shape = one user timeline.",
+)
+def znorm_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def znorm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(z=[])
+        cents = (pdf["value"] * 100).round().astype("int64")
+        s1 = float(cents.sum()) / 100.0
+        s2 = float((cents * cents).sum()) / 10000.0
+        mean = s1 / n
+        std = ((n * s2 - s1 * s1) / (n * (n - 1))) ** 0.5
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z": (pdf["value"] - mean) / std,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(znorm, schema=schema)
+
+
 # --------------------------------------------------------------------------
 # event-time windows & as-of join
 # --------------------------------------------------------------------------

@@ -1,0 +1,72 @@
+"""Property-based checks (hypothesis) for scalar building blocks —
+SURVEY.md §5 item 4: oracles are weak here, invariants are strong."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lichess_db_spark.operators.similarity import _hyperplane
+from lichess_db_spark.sources.pgn import parse_pgn_partitions
+from lichess_db_spark.sources.staging import chunk_pgn_lines
+
+
+@given(st.integers(min_value=0, max_value=2**40))
+def test_stable_unit_hash_formula_in_range(uid):
+    # python twin of the SQL formula (catalog w5_stable_unit_tag)
+    tag = (uid * 2654435761 % 2**32) / 2**32
+    assert 0.0 <= tag < 1.0
+
+
+@given(st.integers(0, 10), st.integers(0, 10))
+def test_hyperplanes_deterministic_and_distinct(t, p):
+    a = _hyperplane(8, t, p)
+    b = _hyperplane(8, t, p)
+    assert a == b
+    assert all(-1.0 <= v < 1.0 for v in a)
+    if (t, p) != (t, p + 1):
+        assert a != _hyperplane(8, t, p + 1)
+
+
+@st.composite
+def pgn_games(draw):
+    n = draw(st.integers(1, 6))
+    out = []
+    for i in range(n):
+        headers = {
+            "Event": "Rated Blitz game",
+            "Site": f"https://lichess.org/game{i:04d}",
+            "White": draw(st.sampled_from(["a", "b", "c"])),
+            "Black": draw(st.sampled_from(["x", "y", "z"])),
+            "Result": draw(st.sampled_from(["1-0", "0-1", "1/2-1/2"])),
+        }
+        if draw(st.booleans()):
+            headers["WhiteTitle"] = "GM"
+        lines = [f'[{k} "{v}"]' for k, v in headers.items()]
+        lines += ["", "1. e4 e5 " + headers["Result"], ""]
+        out.append((headers, lines))
+    return out
+
+
+@given(pgn_games())
+@settings(max_examples=30, deadline=None)
+def test_parser_roundtrips_any_game_sequence(games):
+    lines = [line for _, game_lines in games for line in game_lines]
+    parsed = list(parse_pgn_partitions(iter(lines)))
+    assert len(parsed) == len(games)
+    for (headers, _), row in zip(games, parsed):
+        for k, v in headers.items():
+            assert row[k] == v
+
+
+@given(pgn_games(), st.integers(50, 400))
+@settings(max_examples=20, deadline=None)
+def test_chunker_never_splits_games(tmp_path_factory, games, budget):
+    tmp = tmp_path_factory.mktemp("chunks")
+    lines = [line for _, game_lines in games for line in game_lines]
+    paths = list(chunk_pgn_lines(lines, str(tmp), "t", chunk_bytes=budget))
+    reparsed = []
+    for p in sorted(paths):
+        with open(p) as fh:
+            reparsed.extend(parse_pgn_partitions(fh))
+    assert len(reparsed) == len(games)
