@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q12_conditional_agg",
     "brand_revenue_topk",
     "a4_proportions",
     "a5_j1_color_join",
@@ -40,6 +42,9 @@ HEADLINE = [
     "knn_lsh_cosine",
     "text_stats",
     "text_fingerprint",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "znorm_user_values",
 ]
 
 

@@ -390,6 +390,84 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroids",
+    """
+    WITH scaled AS (
+        SELECT label, g.i AS dim,
+               CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT) AS v
+        FROM embeddings, range(1, 65) AS g(i)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(v) AS BIGINT) / 1e12 / COUNT(*) AS centroid
+    FROM scaled GROUP BY label, dim
+    """,
+    "Per-label embedding centroids (the clustering/IVF building block): "
+    "posexplode dims -> exact scaled-int mean per (label, dim). One "
+    "shuffle keyed (label, dim); output long-form (label, dim, value).",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("e").cast("double") * F.lit(1e12)).cast("bigint").alias("v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum("v").cast("bigint") / F.lit(1e12) / F.count("*")).alias("centroid")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    weights AS (
+        SELECT t.doc_id, t.tok AS token,
+               t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) AS weight
+        FROM tok t JOIN df d ON t.tok = d.tok CROSS JOIN n
+    )
+    SELECT doc_id, token, weight, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY weight DESC, token) AS rnk
+        FROM weights
+    ) WHERE rnk <= 3
+    """,
+    "TF-IDF top-3 terms per document. idf is the rational N/df (not "
+    "ln(N/df): transcendental libm results are not bit-portable across "
+    "engines; the ranking is identical). Two shuffles: token df, then "
+    "per-doc rank window.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tok.groupBy("token").agg(F.count("*").alias("df"))
+    weights = tok.join(F.broadcast(df_tbl), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("weight"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("token"))
+    return (
+        weights.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "token", "weight", "rnk")
+    )
+
+
+@register(
     "znorm_user_values",
     """
     WITH m AS (

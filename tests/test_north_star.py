@@ -149,3 +149,20 @@ def test_staging_chunker(tmp_path):
             1 for l in content if l.strip() and not l.startswith("[")
         )
     assert total_games == 6
+
+
+def test_salted_join_matches_plain_join(spark):
+    from lichess_db_spark.operators.skew import salted_join
+
+    ev = load_table(spark, SF_SMALL, "events")
+    big = ev.select("event_id", "user_id", "value")
+    small = (
+        ev.groupBy("user_id").agg(F.count("*").alias("n")).withColumnRenamed("n", "user_n")
+    )
+    plain = big.join(small, "user_id").select("event_id", "user_id", "value", "user_n")
+    salted = salted_join(big, small, "user_id", salt=4).select(
+        "event_id", "user_id", "value", "user_n"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
