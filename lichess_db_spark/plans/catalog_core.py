@@ -505,6 +505,92 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_join_multi_item_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_linenumber >= 5)
+    """,
+    "Parity-plus semi join (EXISTS; SURVEY §2.3 notes the reference has "
+    "none): orders having a 5th line item. left_semi never duplicates "
+    "or widens rows — the probe side streams.",
+)
+def semi_join_multi_item_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") >= 5)
+    return o.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "Parity-plus anti join (NOT EXISTS): customers who never ordered.",
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "having_active_users",
+    """
+    SELECT user_id, COUNT(*) AS n FROM events
+    GROUP BY user_id HAVING COUNT(*) > 80
+    """,
+    "HAVING: post-aggregation filter (planned as Filter over the final "
+    "hash agg — no second shuffle).",
+)
+def having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.count("*").alias("n")).where(F.col("n") > 80)
+
+
+@register(
+    "above_avg_balance",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+                              / COUNT(*) FROM customer)
+    """,
+    "Scalar-subquery shape: customers above the mean balance. The "
+    "scalar is a broadcast of one row; the mean uses exact decimal "
+    "moments so the predicate cut is engine-portable.",
+)
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    mean = c.agg(
+        (decimal_sum("c_acctbal", 2) / F.count("*")).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(mean))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "approx_quantiles_value",
+    None,  # sketch-based; engine-specific like HLL
+    "Approximate quantiles (Greenwald-Khanna sketch) of event values — "
+    "the quantile twin of A2's HLL. Rows-only: sketches differ per "
+    "engine; the exact rank-based twin is median_disc_by_type.",
+)
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.99], 10000).alias("quantiles")
+    )
+
+
+@register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

@@ -18,7 +18,12 @@ from __future__ import annotations
 import glob as _glob
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from .pgn import HEADER_FIELDS, RAW_GAME_SCHEMA, parse_pgn_partitions
@@ -47,10 +52,51 @@ class PgnDataSourceReader(DataSourceReader):
                 yield tuple(game.get(c) for c in cols)
 
 
+class PgnStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin (T1, SURVEY §2.9): each staged chunk file that
+    appears under the glob becomes part of the next micro-batch —
+    the idiomatic replacement for the reference's hand-rolled
+    download-loop stream (ingester.py:109-139). Offsets are the count
+    of files already consumed (files are append-only per staging's
+    naming contract), so restart/replay is exact."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pgn source requires a path")
+
+    def _files(self) -> list[str]:
+        return sorted(_glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        new = files[start["n"]:]
+        return iter(self._rows(new)), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()[start["n"]:end["n"]]
+        return iter(self._rows(files))
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # a materialized list wrapped in iter(): the runtime's prefetch
+        # cache requires an iterator object but copy.copy()s it, which
+        # plain generators don't support (list_iterator does)
+        out = []
+        cols = [*HEADER_FIELDS, "Moves"]
+        for path in files:
+            with open(path, encoding="utf-8") as fh:
+                for game in parse_pgn_partitions(fh):
+                    out.append(tuple(game.get(c) for c in cols))
+        return out
+
+
 class PgnDataSource(DataSource):
     """`format("pgn")`: one row per game, schema = raw header strings
     + Moves (cleaning/typing happens in plans.games, same as every
-    other path)."""
+    other path). Supports both batch `read` and `readStream`."""
 
     @classmethod
     def name(cls) -> str:
@@ -61,6 +107,9 @@ class PgnDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PgnDataSourceReader:
         return PgnDataSourceReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PgnStreamReader:
+        return PgnStreamReader(self.options)
 
 
 def register_pgn_source(spark) -> None:

@@ -29,3 +29,34 @@ def test_pgn_format_matches_relational_parser(spark):
     a = spark.read.format("pgn").load(FIXTURE).select("Site", "White", "Result")
     b = parse_pgn_text(spark, FIXTURE).select("Site", "White", "Result")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_pgn_stream_reads_arriving_files(spark, tmp_path):
+    import shutil
+    import time
+
+    register_pgn_source(spark)
+    d = tmp_path / "stream"
+    d.mkdir()
+    shutil.copy(FIXTURE, d / "chunk_00000.pgn")
+    q = (
+        spark.readStream.format("pgn")
+        .load(str(d / "*.pgn"))
+        .writeStream.format("memory")
+        .queryName("pgn_stream")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("pgn_stream").count() < 6:
+            time.sleep(1)
+        assert spark.table("pgn_stream").count() == 6
+        # a new staged chunk arrives -> next micro-batch picks it up
+        shutil.copy(FIXTURE, d / "chunk_00001.pgn")
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("pgn_stream").count() < 12:
+            time.sleep(1)
+        assert spark.table("pgn_stream").count() == 12
+    finally:
+        q.stop()
