@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_exact
+from ..functions.vectors import cosine, dot, dot_exact, norm_exact
 from ._util import spread
 
 
@@ -43,18 +43,33 @@ def brute_force_topk(
     Ranking rounds the score to 3 decimals then tiebreaks on id so
     the selected set is stable across engines/partitionings.
     """
+    norm_fn = norm_exact if deterministic else (lambda c: F.sqrt(dot(c, c)))
+    dot_fn = dot_exact if deterministic else dot
+    # norms are precomputed per side (not per pair): cosine per pair
+    # then costs one dot instead of three.
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_fn(F.col(vec_col)).alias("q_norm"),
+        )
     )
-    c = spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")))
-    sim_fn = cosine_exact if deterministic else cosine
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_fn(F.col(vec_col)).alias("c_norm"),
+        )
+    )
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(sim_fn("q_vec", "c_vec"), 3).alias("score"),
+            F.round(
+                dot_fn("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 3
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
