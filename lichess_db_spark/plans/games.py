@@ -124,22 +124,29 @@ def unpivot_roles(games: DataFrame, include_moves: bool = False) -> DataFrame:
 def add_features(unpivoted: DataFrame) -> DataFrame:
     """W1-W4 running features + F11 bin, then the reference's global
     sort (O1, ingester.py:404) is left to the caller — sorting is a
-    query-time concern in Spark (writers can bucket instead)."""
+    query-time concern in Spark (writers can bucket instead).
+
+    Opponent-side features (reference emits both sides per row,
+    ingester.py:345-369) are NOT re-windowed: a game's Opponent_* are
+    exactly the mirror row's Player_* (test-pinned invariant), so a
+    self-join on (ID, opposite role) fetches them — one ID shuffle
+    instead of two more window partitionings (4 sort rounds -> 2
+    sorts + 1 hash join).
+    """
     from ..operators.windows import add_running_features
 
     df = add_running_features(unpivoted)
-    # opponent-side mirrors (reference emits both sides per row via its
-    # dict state, ingester.py:345-369)
-    from ..operators.windows import running_count, running_frame, running_max
-
-    w_opp_type = running_frame(["Event", "Opponent"], ["DateTime", "ID"])
-    w_opp_all = running_frame(["Opponent"], ["DateTime", "ID"])
-    df = (
-        df.withColumn("Opponent_cum_games_type", running_count(w_opp_type).cast("int"))
-        .withColumn("Opponent_cum_games_total", running_count(w_opp_all).cast("int"))
-        .withColumn("OpponentElo_max", running_max("OpponentElo", w_opp_type).cast("int"))
-        .withColumn("OpponentElo_max_faced", running_max("PlayerElo", w_opp_type).cast("int"))
+    mirror = df.select(
+        "ID",
+        F.when(F.col("Role_player") == "White", "Black")
+        .otherwise("White")
+        .alias("Role_player"),
+        F.col("Player_cum_games_type").alias("Opponent_cum_games_type"),
+        F.col("Player_cum_games_total").alias("Opponent_cum_games_total"),
+        F.col("PlayerElo_max").alias("OpponentElo_max"),
+        F.col("PlayerElo_max_faced").alias("OpponentElo_max_faced"),
     )
+    df = df.join(mirror, ["ID", "Role_player"])
     return df.withColumn("PlayerElo_bin", elo_bin("PlayerElo"))
 
 

@@ -102,3 +102,41 @@ def test_invariants(raw_games):
     # Elo bin labels
     r = out.where((F.col("ID") == "j1dkb5dw") & (F.col("Role_player") == "White")).first()
     assert r.PlayerElo_bin == "(1600, 1800]"
+
+
+def test_mirrored_feature_consistency(raw_games):
+    """Each game's White row's Opponent_* features must equal the
+    Black row's Player_* features for the same game (and vice versa)
+    — the invariant that catches wrong window partitionings."""
+    out = games_pipeline(raw_games)
+    w = out.where(F.col("Role_player") == "White").select(
+        "ID",
+        F.col("Player_cum_games_total").alias("w_p_tot"),
+        F.col("Opponent_cum_games_total").alias("w_o_tot"),
+        F.col("PlayerElo_max").alias("w_p_max"),
+        F.col("OpponentElo_max").alias("w_o_max"),
+    )
+    b = out.where(F.col("Role_player") == "Black").select(
+        "ID",
+        F.col("Player_cum_games_total").alias("b_p_tot"),
+        F.col("Opponent_cum_games_total").alias("b_o_tot"),
+        F.col("PlayerElo_max").alias("b_p_max"),
+        F.col("OpponentElo_max").alias("b_o_max"),
+    )
+    j = w.join(b, "ID")
+    bad = j.where(
+        (F.col("w_p_tot") != F.col("b_o_tot"))
+        | (F.col("w_o_tot") != F.col("b_p_tot"))
+        | (F.col("w_p_max") != F.col("b_o_max"))
+        | (F.col("w_o_max") != F.col("b_p_max"))
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_facade_api(raw_games):
+    from lichess_db_spark.api import LichessDB
+
+    db = LichessDB(raw_games.sparkSession, games=games_pipeline(raw_games))
+    assert db.total_games().first()["Num games"] == 6
+    assert db.top_players(3).count() == 3
+    assert db.sql("SELECT COUNT(DISTINCT ID) AS n FROM games").first().n == 6
