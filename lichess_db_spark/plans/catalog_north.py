@@ -467,6 +467,100 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_COSINE_ORACLE = """
+WITH pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.embedding AS ea, b.embedding AS eb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT vec_a, vec_b,
+           CAST(SUM(CAST(ROUND(CAST(ea[g.i] AS DOUBLE) * CAST(eb[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS d,
+           CAST(SUM(CAST(ROUND(CAST(ea[g.i] AS DOUBLE) * CAST(ea[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qa,
+           CAST(SUM(CAST(ROUND(CAST(eb[g.i] AS DOUBLE) * CAST(eb[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qb
+    FROM pairs, range(1, 65) AS g(i) GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b,
+       (d / 1e12) / (sqrt(qa / 1e12) * sqrt(qb / 1e12)) AS cosine
+FROM dots
+WHERE (d / 1e12) / (sqrt(qa / 1e12) * sqrt(qb / 1e12)) >= 0.4
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _EMB_COSINE_ORACLE,
+    "Embedding-cosine near-dup (exact all-pairs variant): vector pairs "
+    "with cosine >= 0.4 via upper-triangle nested-loop join + exact "
+    "scaled-int cosine. Quadratic by construction — the oracle-checkable "
+    "verifier; at 100 TB candidates come from the LSH buckets "
+    "(knn_lsh_cosine's bucketing) and only candidates are verified.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_exact, norm_exact
+    from ..operators._util import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = spread(
+        emb.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            norm_exact("embedding").alias("na"),
+        )
+    )
+    b = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            norm_exact("embedding").alias("nb"),
+        )
+    )
+    cos = dot_exact("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
+    "range_join_recent_clicks",
+    """
+    SELECT e.event_id, COUNT(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+      AND c.ts >= e.ts - INTERVAL 5 MINUTE
+      AND c.ts < e.ts
+    GROUP BY e.event_id
+    """,
+    "Range (interval) join: clicks by the same user in the 5 minutes "
+    "before each error. Equi key (user_id) drives the shuffle; the time "
+    "range is a post-join residual. At scale: bucket both sides by "
+    "(user_id, time_bin) so ranges only probe adjacent bins.",
+)
+def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = e.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("c_event_id").alias("n_recent_clicks")
+    )
+
+
 @register(
     "znorm_user_values",
     """
