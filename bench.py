@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "knn_bruteforce_cosine",
     "knn_lsh_cosine",
+    "knn_ivf_cosine",
+    "range_join_recent_clicks",
     "text_stats",
     "text_fingerprint",
     "tfidf_top_terms",

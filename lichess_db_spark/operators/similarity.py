@@ -80,6 +80,78 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer + nprobe search.
+
+    Train ``n_lists`` centroids (Spark ML KMeans, seeded), assign each
+    corpus vector to its nearest centroid (the inverted lists), then
+    for each query probe the ``n_probe`` nearest lists and exact-rank
+    only those candidates. At 100 TB the corpus is written
+    partitioned/bucketed by list id, so a query touches n_probe/n_lists
+    of the data — the classic IVF trade (recall vs fraction scanned).
+    Centroids are a tiny broadcast model; assignment is one pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+    ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(corpus_v)
+    assigned = model.transform(corpus_v).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
+    )
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _centroid_arr(i: int) -> str:
+        return "array(" + ",".join(f"{v!r}D" for v in centroids[i]) + ")"
+
+    # per-query distances to each centroid -> n_probe nearest lists
+    dist_structs = ", ".join(
+        f"struct({i} AS list_id, aggregate(zip_with(q_vec, {_centroid_arr(i)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, b) -> a + b) AS d)"
+        for i in range(len(centroids))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_probed = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.expr(
+                f"slice(array_sort(array({dist_structs}), (l, r) -> CASE WHEN l.d < r.d THEN -1 "
+                f"WHEN l.d > r.d THEN 1 ELSE 0 END), 1, {n_probe})"
+            )
+        ).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.list_id").alias("list_id"))
+
+    cands = assigned.join(F.broadcast(q_probed), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("q_vec", "c_vec"), 3).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (host-side,
     tiny). Uses a splitmix-style integer mix -> [-1, 1)."""

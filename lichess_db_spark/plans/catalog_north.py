@@ -162,6 +162,22 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_cosine",
+    None,  # approximate (k-means assignment); recall tested vs brute force
+    "ANN top-5 via IVF: seeded k-means coarse quantizer (16 lists), "
+    "probe the 4 nearest lists per query, exact re-rank on candidates. "
+    "The partition-the-corpus scale path complementing hyperplane LSH; "
+    "at 100 TB the corpus is bucketed by list id so each query scans "
+    "n_probe/n_lists of the data.",
+)
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
     "knn_lsh_cosine",
     None,  # approximate; recall asserted against brute force in tests
     "ANN top-5 via random-hyperplane LSH (4 tables x 8 planes) + exact "

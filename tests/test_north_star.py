@@ -166,3 +166,15 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    from lichess_db_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
