@@ -57,11 +57,15 @@ def main() -> None:
     spark = get_spark("lichess-db-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with a trivial action per table
+    # warm the JVM + parquet footers with a trivial action per table,
+    # and the Python/Arrow worker pool (first applyInPandas otherwise
+    # pays worker startup inside a measured query)
     from lichess_db_spark.io import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, SF_DIR, t).limit(1).collect()
+    warm = load_table(spark, SF_DIR, "region")
+    warm.mapInPandas(lambda it: it, schema=warm.schema).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -89,6 +89,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 5,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer + nprobe search.
 
@@ -108,7 +109,12 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
     ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(corpus_v)
+    # few iterations suffice for a coarse quantizer: lists need only be
+    # balanced-ish, not converged (recall comes from n_probe, not from
+    # centroid quality)
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        corpus_v
+    )
     assigned = model.transform(corpus_v).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
     )
