@@ -90,6 +90,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_ORACLE = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2]
+           || ' ' || ts[g.i+3] || ' ' || ts[g.i+4] AS shingle
+    FROM toks, range(1, 100001) AS g(i)
+    WHERE g.i <= len(ts) - 4
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+walk AS (
+    SELECT src AS node, src AS label FROM edges
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+"""
+
+
+@register(
+    "dedup_cluster_assignment",
+    _CLUSTER_ORACLE,
+    "Connected-components clustering of near-dup pairs: doc -> "
+    "canonical cluster id (min reachable doc_id). Spark side is "
+    "iterative min-label propagation (one join+groupBy per round, "
+    "O(diameter) rounds); oracle is a recursive CTE over the same "
+    "exact-Jaccard edge set. This is the keep-one-per-cluster decision "
+    "step of a production dedup pipeline.",
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=5, threshold=0.2
+    )
+    return dd.connected_components(pairs)
+
+
 @register(
     "dedup_minhash_pairs",
     None,  # xxhash64-based signatures: not reproducible in the oracle

@@ -178,3 +178,21 @@ def test_ivf_recall_vs_brute_force(emb):
     approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_connected_components_transitivity(spark):
+    """Chained pairs (a-b, b-c) must collapse to one cluster with the
+    min id as canon; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
