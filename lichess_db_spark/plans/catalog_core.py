@@ -1055,6 +1055,46 @@ def stddev_exact_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_explode_props",
+    """
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS BIGINT) AS value_sum,
+           COUNT(*) AS n
+    FROM kv GROUP BY prop_key
+    """,
+    "Map-column functions: props JSON -> map<string,int> -> explode -> "
+    "per-key aggregate (from_json + map explode; the reference has no "
+    "nested columns, SURVEY §1.2 — parity-plus for the fixtures').",
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("prop_key", "v")
+    )
+    return kv.groupBy("prop_key").agg(
+        F.sum(F.col("v").cast("bigint")).alias("value_sum"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "cube_type_day",
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+    FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    "Parity-plus cube: all grouping-set combinations of (type, day).",
+)
+def cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return ev.cube("event_type", "day").agg(F.count("*").alias("n"))
+
+
+@register(
     "rollup_type_day",
     """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n

@@ -122,3 +122,44 @@ def test_window_features_share_one_shuffle_per_partitioning(spark):
     plan = _plan(out, "simple")
     # two partitionings -> exactly two Window nodes, two exchanges
     assert plan.count("Window") == 2, plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling (on in session.py): a hot key whose
+    partition exceeds the (lowered) skew threshold must be split at
+    runtime — OptimizeSkewedJoin marks the join 'skew=true'."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE re-plans with its own threshold; -1 keeps the SMJ so the
+        # skew-split path (not broadcast) is what gets exercised
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 200k rows on one hot key + a sprinkle of others
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 == 0, F.col("id") % 100).otherwise(0).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        small = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = big.join(small, "k")
+        # must execute *this* DataFrame's queryExecution: a .write
+        # spawns a fresh QE and the df's own plan never finalizes
+        assert len(joined.collect()) == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
