@@ -21,6 +21,7 @@ array_min / xxhash64) inside codegen — no UDF, no per-perm shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,30 +47,94 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 _MERSENNE_P = 2**31 - 1
+_perm_cache: dict[int, tuple] = {}
+
+
+def _perm_coeffs(spark, num_perms: int):
+    """Affine-permutation coefficients (a_i, b_i), derived from
+    xxhash64 of the permutation index exactly as the original
+    expression form did (`pmod(xxhash64(i), p-1)+1`,
+    `pmod(xxhash64(i, i), p)` over int32 i) — computed by one tiny
+    Spark job so signatures stay bit-identical across the expression
+    and vectorized implementations, then cached per process."""
+    import numpy as np
+
+    if num_perms not in _perm_cache:
+        rows = (
+            spark.range(num_perms)
+            .select(F.col("id").cast("int").alias("i"))
+            .select(
+                (F.pmod(F.xxhash64("i"), F.lit(_MERSENNE_P - 1)) + 1).alias("a"),
+                F.pmod(F.xxhash64("i", "i"), F.lit(_MERSENNE_P)).alias("b"),
+            )
+            .collect()
+        )
+        _perm_cache[num_perms] = (
+            np.array([r.a for r in rows], dtype=np.int64)[None, :],
+            np.array([r.b for r in rows], dtype=np.int64)[None, :],
+        )
+    return _perm_cache[num_perms]
 
 
 def _minhash_sig(sh: "F.Column", num_perms: int) -> "F.Column":
     """num_perms minhash values from a shingle array column.
 
-    Each shingle is string-hashed ONCE (xxhash64 -> 31-bit base);
-    permutation i is the affine map (a_i*h + b_i) mod p over the
-    Mersenne prime p=2^31-1 (products stay < 2^62: no ANSI bigint
-    overflow). Hashing the string per permutation instead costs
-    num_perms * |shingle| byte-hashing per doc — measured 5x slower.
+    Each shingle is string-hashed ONCE, JVM-side (xxhash64 -> 31-bit
+    base); permutation i is the affine map (a_i*h + b_i) mod p over
+    the Mersenne prime p=2^31-1 (products stay < 2^62: no int64
+    overflow). The 128-perm min-reduction runs as a vectorized Arrow
+    UDF: Spark's higher-order lambdas (transform/array_min) are
+    interpreted per element, and at num_perms * |shingles| evals per
+    doc that interpreter was the pipeline bottleneck (measured 7.4s
+    -> <1s for 5k docs x 54 shingles x 128 perms at sf0.1). numpy
+    does the same affine mins at memory bandwidth.
     """
+    import numpy as np
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    A, B = _perm_coeffs(SparkSession.getActiveSession(), num_perms)
+
+    @pandas_udf("array<bigint>")
+    def _sig_udf(base: pd.Series) -> pd.Series:
+        out = []
+        for h in base:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            arr = np.asarray(h, dtype=np.int64)[:, None]
+            out.append(((arr * A + B) % _MERSENNE_P).min(axis=0))
+        return pd.Series(out, dtype=object)
+
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perms - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                base,
-                lambda h: F.pmod(
-                    (F.pmod(F.xxhash64(i), F.lit(_MERSENNE_P - 1)) + 1) * h
-                    + F.pmod(F.xxhash64(i, i), F.lit(_MERSENNE_P)),
-                    F.lit(_MERSENNE_P),
-                ),
-            )
-        ),
+    return _sig_udf(base)
+
+
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle-array) for every *eligible* doc, spread across cores.
+
+    Eligibility (>= n words) is tested on the raw text — cheap
+    size(split()) that pushes to the scan — NEVER on the shingle array
+    or anything downstream of it: a predicate on a derived column gets
+    pushed below the repartition and re-evaluates the whole derivation
+    pre-exchange (with the minhash UDF that meant computing every
+    signature twice). The id null-filter is applied here so every
+    consumer branch has an identical exchange child and AQE stage
+    reuse can kick in (a join downstream would otherwise push its own
+    isnotnull into only *its* branch, breaking canonical equality).
+    """
+    eligible = df.where(
+        F.col(id_col).isNotNull()
+        & (F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+    )
+    # materialize shingles behind an exchange: without the barrier,
+    # CollapseProject inlines the shingle build into downstream
+    # lambdas/filters; the round-robin exchange also spreads this
+    # compute-bound stage across cores.
+    return spread(
+        eligible.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
     )
 
 
@@ -82,19 +147,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc -> array<bigint> of ``num_perms`` minhash values.
 
-    One nested array expression — per-row, no shuffle, no UDF.
+    Docs with fewer than ``shingle_n`` words have no shingles and can
+    never be near-dup candidates — they are excluded (keeps the
+    signature column non-null everywhere downstream, so the banding
+    stage needs no UDF-referencing filter).
     """
-    # materialize shingles behind an exchange: without the barrier,
-    # CollapseProject inlines the shingle build into every one of the
-    # num_perms lambdas (measured 128x recompute, ~35ms/doc); the
-    # exchange also spreads this compute-bound stage across cores.
-    shingled = spread(
-        df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    )
-    sh = F.col("_sh")
-    return shingled.select(
-        F.col(id_col),
-        F.when(F.size(sh) > 0, _minhash_sig(sh, num_perms)).alias("signature"),
+    return _shingled(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), _minhash_sig(F.col("_sh"), num_perms).alias("signature")
     )
 
 
@@ -114,7 +173,10 @@ def minhash_lsh_candidates(
     hash. Skewed buckets (boilerplate docs) would be capped upstream
     by a frequency filter at real scale.
     """
-    banded = sigs.where(F.col("signature").isNotNull()).select(
+    # sigs carry no nulls (minhash_signatures drops shingle-less docs);
+    # filtering on the signature here would push the predicate below
+    # the exchange and re-run the signature UDF — see _shingled.
+    banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -178,12 +240,9 @@ def minhash_dedup_pairs(
     *same* shingled+exchanged subplan, so Spark's ReuseExchange
     computes shingles once instead of re-scanning the corpus."""
     rows_per_band = num_perms // bands
-    shingled = spread(
-        df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    )
+    shingled = _shingled(df, text_col, id_col, shingle_n)
     sigs = shingled.select(
-        F.col(id_col),
-        F.when(F.size("_sh") > 0, _minhash_sig(F.col("_sh"), num_perms)).alias("signature"),
+        F.col(id_col), _minhash_sig(F.col("_sh"), num_perms).alias("signature")
     )
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     sets_df = shingled.select(F.col(id_col), F.array_distinct("_sh").alias("sh"))

@@ -89,55 +89,79 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    max_iter: int = 5,
+    max_iter: int = 10,
+    sample_cap: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer + nprobe search.
 
-    Train ``n_lists`` centroids (Spark ML KMeans, seeded), assign each
-    corpus vector to its nearest centroid (the inverted lists), then
-    for each query probe the ``n_probe`` nearest lists and exact-rank
-    only those candidates. At 100 TB the corpus is written
-    partitioned/bucketed by list id, so a query touches n_probe/n_lists
-    of the data — the classic IVF trade (recall vs fraction scanned).
-    Centroids are a tiny broadcast model; assignment is one pass.
+    Train ``n_lists`` centroids on a deterministic sample with a
+    driver-side seeded k-means (the quantizer is trained on a sample
+    at any scale — at 100 TB you never k-means the full corpus), then
+    assign each corpus vector to its nearest centroid (the inverted
+    lists) via a constant-folded centroid-distance expression, and for
+    each query probe the ``n_probe`` nearest lists and exact-rank only
+    those candidates. The corpus is written partitioned/bucketed by
+    list id at scale, so a query touches n_probe/n_lists of the data —
+    the classic IVF trade (recall vs fraction scanned). The sample is
+    hash-ordered (xxhash64 of the id), so training is reproducible and
+    needs one TakeOrdered pass, no count, no ML pipeline jobs.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     corpus_v = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
-    ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
-    # few iterations suffice for a coarse quantizer: lists need only be
-    # balanced-ish, not converged (recall comes from n_probe, not from
-    # centroid quality)
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features").fit(
-        corpus_v
     )
-    assigned = model.transform(corpus_v).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("list_id")
+    sample = (
+        corpus_v.select("c_vec", F.xxhash64("neighbor_id").alias("h"))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
     )
-
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    X = np.array([r.c_vec for r in sample], dtype=np.float64)
+    n_lists = min(n_lists, len(X))
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), n_lists, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        for j in range(n_lists):
+            pts = X[lab == j]
+            if len(pts):
+                cents[j] = pts.mean(0)
+    centroids = [list(map(float, c)) for c in cents]
 
     def _centroid_arr(i: int) -> str:
         return "array(" + ",".join(f"{v!r}D" for v in centroids[i]) + ")"
 
-    # per-query distances to each centroid -> n_probe nearest lists
-    dist_structs = ", ".join(
-        f"struct({i} AS list_id, aggregate(zip_with(q_vec, {_centroid_arr(i)}, "
-        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, b) -> a + b) AS d)"
-        for i in range(len(centroids))
+    def _dist_structs(vec: str) -> str:
+        # per-vector distances to each centroid, as sortable structs
+        return ", ".join(
+            f"struct({i} AS list_id, aggregate(zip_with({vec}, {_centroid_arr(i)}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, b) -> a + b) AS d)"
+            for i in range(len(centroids))
+        )
+
+    _cmp = (
+        "(l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1 ELSE 0 END"
     )
+    # corpus assignment = nearest centroid (n_probe=1 of the same expr)
+    assigned = corpus_v.select(
+        "neighbor_id",
+        "c_vec",
+        F.expr(
+            f"array_sort(array({_dist_structs('c_vec')}), {_cmp})[0].list_id"
+        ).alias("list_id"),
+    )
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_probed = q.select(
         "query_id",
         "q_vec",
         F.explode(
             F.expr(
-                f"slice(array_sort(array({dist_structs}), (l, r) -> CASE WHEN l.d < r.d THEN -1 "
-                f"WHEN l.d > r.d THEN 1 ELSE 0 END), 1, {n_probe})"
+                f"slice(array_sort(array({_dist_structs('q_vec')}), {_cmp}), 1, {n_probe})"
             )
         ).alias("probe"),
     ).select("query_id", "q_vec", F.col("probe.list_id").alias("list_id"))

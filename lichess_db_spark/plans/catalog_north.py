@@ -216,7 +216,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_ivf_cosine",
     None,  # approximate (k-means assignment); recall tested vs brute force
-    "ANN top-5 via IVF: seeded k-means coarse quantizer (16 lists), "
+    "ANN top-5 via IVF: sample-trained seeded k-means quantizer (16 lists), "
     "probe the 4 nearest lists per query, exact re-rank on candidates. "
     "The partition-the-corpus scale path complementing hyperplane LSH; "
     "at 100 TB the corpus is bucketed by list id so each query scans "
