@@ -96,3 +96,49 @@ def resize_stub(*_args, **_kwargs):
         "image resize requires PIL/opencv (absent in this container); "
         "the mapInPandas contract matches decode_images"
     )
+
+
+def read_media_dir(
+    spark, path: str, glob: str = "*", recursive: bool = False
+) -> DataFrame:
+    """Directory of media blobs -> (doc_id, data, path, length) via the
+    built-in ``binaryFile`` source — the ingestion edge for image/audio
+    dirs. Filename stem digits become doc_id (typical dataset layout:
+    ``000042.jpg``); non-numeric stems fall back to a stable hash.
+
+    binaryFile gives partition pruning on ``pathGlobFilter`` and a
+    per-file row with modificationTime/length — at 100 TB prefer many
+    medium files over few huge ones (a file is one task's row).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    stem = F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"(\d+)", 1)
+    return raw.select(
+        F.when(stem != "", stem.cast("long"))
+        .otherwise(F.pmod(F.xxhash64("path"), F.lit(2**62)))
+        .alias("doc_id"),
+        F.col("content").alias("data"),
+        "path",
+        "length",
+    )
+
+
+def spread_by_size(df: DataFrame, data_col: str = "data", target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Size-aware repartition for skewed blob columns: range-partition
+    on cumulative-ish size buckets so one task doesn't get all the 4K
+    videos. Approximation: hash-partition with a partition count sized
+    by total bytes / target (a real cluster would use a custom
+    partitioner over a prefix-sum; for DataFrames, count x mean size
+    is the available statistic without an extra pass)."""
+    stats = df.select(
+        F.count("*").alias("n"), F.avg(F.octet_length(F.col(data_col))).alias("mean_b")
+    ).first()
+    if not stats.n:
+        return df
+    total = int(stats.n * (stats.mean_b or 0))
+    parts = max(1, min(10000, total // target_partition_bytes + 1))
+    return df.repartition(int(parts))

@@ -21,11 +21,54 @@ plane) — no driver-side RNG state to ship, reproducible across runs.
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, dot_exact, norm_exact
 from ._util import spread
+
+
+def _np_lit(arr) -> "F.Column":
+    """Constant array -> ONE array<double> literal in ONE py4j call.
+
+    Never build constant vectors as SQL text (``F.expr("array(0.1D,
+    ...)")``): a 64-dim hyperplane set inlined as source is ~400KB of
+    SQL whose cold ANTLR lex costs 10-30s (observed via jstack:
+    LexerATNSimulator dominating a 17s 'query'), and per-element
+    ``F.lit`` costs one py4j round trip per number. A 1-D numpy array
+    crosses py4j once and becomes a Literal directly.
+    """
+    import numpy as np
+
+    return F.lit(np.asarray(arr, dtype=np.float64))
+
+
+def _dot_const(vec: "F.Column", const) -> "F.Column":
+    """dot(vector column, constant vector) — codegen-side, no UDF."""
+    return F.aggregate(
+        F.zip_with(vec, _np_lit(const), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+def _sqdist_const(vec: "F.Column", const) -> "F.Column":
+    """squared L2 distance to a constant vector."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            _np_lit(const),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+def _by_dist(l: "F.Column", r: "F.Column") -> "F.Column":
+    """array_sort comparator over structs carrying a ``d`` field."""
+    return F.when(l["d"] < r["d"], -1).when(l["d"] > r["d"], 1).otherwise(0)
 
 
 def brute_force_topk(
@@ -132,27 +175,26 @@ def ivf_topk(
                 cents[j] = pts.mean(0)
     centroids = [list(map(float, c)) for c in cents]
 
-    def _centroid_arr(i: int) -> str:
-        return "array(" + ",".join(f"{v!r}D" for v in centroids[i]) + ")"
-
-    def _dist_structs(vec: str) -> str:
+    def _dist_structs(vec: "F.Column") -> "F.Column":
         # per-vector distances to each centroid, as sortable structs
-        return ", ".join(
-            f"struct({i} AS list_id, aggregate(zip_with({vec}, {_centroid_arr(i)}, "
-            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, b) -> a + b) AS d)"
-            for i in range(len(centroids))
+        # (DSL + numpy literals, not SQL text — see _np_lit)
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("list_id"),
+                    _sqdist_const(vec, centroids[i]).alias("d"),
+                )
+                for i in range(len(centroids))
+            ]
         )
 
-    _cmp = (
-        "(l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1 ELSE 0 END"
-    )
     # corpus assignment = nearest centroid (n_probe=1 of the same expr)
     assigned = corpus_v.select(
         "neighbor_id",
         "c_vec",
-        F.expr(
-            f"array_sort(array({_dist_structs('c_vec')}), {_cmp})[0].list_id"
-        ).alias("list_id"),
+        F.element_at(F.array_sort(_dist_structs(F.col("c_vec")), _by_dist), 1)[
+            "list_id"
+        ].alias("list_id"),
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -160,9 +202,7 @@ def ivf_topk(
         "query_id",
         "q_vec",
         F.explode(
-            F.expr(
-                f"slice(array_sort(array({_dist_structs('q_vec')}), {_cmp}), 1, {n_probe})"
-            )
+            F.slice(F.array_sort(_dist_structs(F.col("q_vec")), _by_dist), 1, n_probe)
         ).alias("probe"),
     ).select("query_id", "q_vec", F.col("probe.list_id").alias("list_id"))
 
@@ -177,6 +217,182 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_cap: int = 4096,
+    rerank: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN: the memory-bound-corpus path.
+
+    Train ``n_subspaces`` independent codebooks (seeded k-means per
+    dim-slice, driver-side on a hash-ordered sample — same training
+    regime as ``ivf_topk``), encode each corpus vector as M small
+    codes (one byte each at K<=256: a 64-dim float32 vector compresses
+    256B -> 8B, so a 100 TB corpus' index fits in cluster memory), and
+    score queries against codes with asymmetric distance computation:
+    per query, an M x K lookup table of subspace dot products; a
+    candidate's score is the sum of M table lookups — no float vector
+    is ever touched in the scan.
+
+    The quantized scan over-fetches ``k * rerank`` candidates per
+    query, then an exact-cosine rerank over just those candidates
+    picks the final top-k (FAISS's IVFPQ+refine pattern): the wide
+    corpus scan stays code-only, and the float vectors are read for
+    only nq*k*rerank rows via a broadcast semi-join of the candidate
+    ids. Returned scores are therefore EXACT cosines; only the
+    candidate set is approximate — recall asserted vs brute force in
+    tests. ``rerank=1`` degrades to pure-ADC ranking.
+
+    Encode (argmin over K centroids per subspace) and LUT build (M x K
+    dots per query) are vectorized Arrow kernels — as DSL expressions
+    they'd be M*K zip_with/aggregate trees, which measured ~21s of
+    driver-side plan construction (py4j round trips) before a single
+    task ran, same pathology as the minhash signature kernel. ADC
+    scoring stays a codegen zip_with over the two small arrays, and
+    ranking reuses the row_number top-k.
+    """
+    import numpy as np
+
+    # PQ codebooks quantize the RAW vectors; cosine comes from dividing
+    # the quantized dot by the true norms (corpus norm stored beside the
+    # codes — one extra double per row; query norm folded in at scoring).
+    # Normalizing the vectors element-wise instead would re-evaluate the
+    # norm per element under CollapseProject.
+    corpus_v = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    sample = (
+        corpus_v.select("c_vec", F.xxhash64("neighbor_id").alias("h"))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r.c_vec for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    assert dim % n_subspaces == 0, "dim must divide into subspaces"
+    sub = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = []  # per subspace: (K, sub) centroids
+    for m in range(n_subspaces):
+        Xm = X[:, m * sub : (m + 1) * sub]
+        kk = min(n_centroids, len(Xm))
+        cents = Xm[rng.choice(len(Xm), kk, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((Xm[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            lab = d2.argmin(1)
+            for j in range(kk):
+                pts = Xm[lab == j]
+                if len(pts):
+                    cents[j] = pts.mean(0)
+        books.append(cents)
+
+    # encode: per subspace, argmin_k ||slice - centroid_k||^2 — one
+    # Arrow batch at a time, ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 with
+    # the x^2 term dropped (constant per argmin), so it's one matmul
+    # per subspace over the whole batch.
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((len(X), n_subspaces), dtype=np.int32)
+        for m, B in enumerate(books_np):
+            Xm = X[:, m * sub : (m + 1) * sub]
+            scores = Xm @ B.T - 0.5 * (B * B).sum(1)  # argmax == argmin d2
+            out[:, m] = scores.argmax(1)
+        return pd.Series(list(out))
+
+    encoded = corpus_v.select(
+        "neighbor_id",
+        _encode("c_vec").alias("codes"),
+        F.sqrt(dot("c_vec", "c_vec")).alias("c_norm"),
+    )
+
+    # ADC lookup tables: per query, for each subspace an array of
+    # dot(query_slice, centroid_k) — score(doc) = sum_m lut[m][code_m]
+    @pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _luts(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        luts = np.stack(
+            [X[:, m * sub : (m + 1) * sub] @ B.T for m, B in enumerate(books_np)],
+            axis=1,
+        )  # (n, M, K)
+        return pd.Series([[list(r) for r in row] for row in luts])
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).select(
+            "query_id",
+            _luts("q_vec").alias("luts"),
+            F.sqrt(dot("q_vec", "q_vec")).alias("q_norm"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with("luts", "codes", lambda lut, c: F.element_at(lut, c + 1)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    scored = (
+        encoded.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc / (F.col("c_norm") * F.col("q_norm")), 3).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * max(1, rerank))
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+    if rerank <= 1:
+        return cand.where(F.col("rank") <= k)
+
+    # exact rerank: candidates are nq*k*rerank rows -> broadcast them
+    # into the corpus join, so float vectors are read only for hits.
+    q_exact = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_exact(F.col(vec_col)).alias("q_norm"),
+        )
+    )
+    refined = (
+        corpus_v.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(q_exact, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_exact("q_vec", "c_vec")
+                / (F.col("q_norm") * norm_exact(F.col("c_vec"))),
+                3,
+            ).alias("score"),
+        )
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
@@ -219,27 +435,22 @@ def lsh_bucket_topk(
     candidates)).
     """
 
-    # Build the bucket expressions ONCE as SQL strings: per-element
-    # F.lit() is a py4j round-trip each, and 4x8x64 literals twice
-    # (corpus+queries) measured ~7s of pure plan-construction time.
-    # The literal arrays constant-fold before codegen, so execution
-    # cost is unchanged.
-    def _plane_sql(t: int, p: int) -> str:
-        hp = _hyperplane(dim, t, p)
-        arr = ",".join(f"{v!r}D" for v in hp)
-        return (
-            f"CASE WHEN aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, b) -> a + b) >= 0 "
-            f"THEN {2**p} ELSE 0 END"
-        )
+    # Bucket expressions in the DSL with one numpy literal per plane:
+    # SQL text with inlined arrays lexes for 10-30s cold (ANTLR) and
+    # per-element F.lit is a py4j round trip each — see _np_lit. The
+    # literal arrays constant-fold before codegen either way, so
+    # execution cost is unchanged.
+    def _table_struct(t: int) -> "F.Column":
+        bucket = None
+        for p in range(n_planes):
+            d = _dot_const(F.col(vec_col), _hyperplane(dim, t, p))
+            bit = F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
 
-    sig_structs = ", ".join(
-        "struct({t} AS table, ({bits}) AS bucket)".format(
-            t=t, bits=" + ".join(_plane_sql(t, p) for p in range(n_planes))
-        )
-        for t in range(n_tables)
-    )
-    tb_expr = F.explode(F.expr(f"array({sig_structs})")).alias("tb")
+    tb_expr = F.explode(
+        F.array(*[_table_struct(t) for t in range(n_tables)])
+    ).alias("tb")
 
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         return df.select(

@@ -230,6 +230,25 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pq_cosine",
+    None,  # quantized scores; recall tested vs brute force
+    "ANN top-5 via product quantization: 16 sub-space codebooks (16 "
+    "centroids each, sample-trained seeded k-means), corpus encoded as "
+    "16 one-byte codes + its norm (a 64-dim float vector compresses "
+    "256B -> 24B), queries scored by ADC lookup-table sums, then an "
+    "exact-cosine rerank over the 4x-over-fetched candidates (FAISS "
+    "IVFPQ+refine) — the memory-bound-corpus path where the whole "
+    "index fits in RAM at 100 TB. Encode/score are constant-folded "
+    "array expressions.",
+)
+def knn_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
     "knn_lsh_cosine",
     None,  # approximate; recall asserted against brute force in tests
     "ANN top-5 via random-hyperplane LSH (4 tables x 8 planes) + exact "
