@@ -69,6 +69,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--games", type=int, default=100_000)
     ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument(
+        "--compression",
+        default="gzip",
+        choices=["gzip", "zstd", "snappy", "none"],
+        help="parquet codec; gzip = reference parity, zstd = fast path",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -94,6 +100,7 @@ def main() -> None:
             df.withColumn("year", F.year("DateTime")).withColumn("month", F.month("DateTime")),
             out,
             partition_by=["year", "month"],
+            compression=args.compression,
         )
         t_ingest = time.perf_counter() - t0
         n_rows = spark.read.parquet(out).count()
@@ -107,6 +114,7 @@ def main() -> None:
                     "rows_out": n_rows,
                     "ingest_sec": round(t_ingest, 2),
                     "synth_sec": round(t_synth, 2),
+                    "compression": args.compression,
                 }
             )
         )

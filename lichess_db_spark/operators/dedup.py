@@ -268,6 +268,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 5,
     threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup via inverted-index self-join.
 
@@ -276,11 +277,27 @@ def ngram_jaccard_pairs(
     shingle, then Jaccard = inter / (|A| + |B| - inter). Quadratic
     in the worst case — at 100 TB use minhash_dedup_pairs and keep
     this as the verifier on candidates only.
+
+    ``max_shingle_doc_freq`` caps the inverted-index posting lists: a
+    shingle present in more than that many docs (site boilerplate,
+    license headers) is dropped from the *join* side before pairing —
+    the standard web-scale mitigation for the d^2 blowup on hot
+    shingles. Pair Jaccards are then computed over the capped shingle
+    universe (a documented approximation; |A|,|B| use the same capped
+    sets so the estimate stays consistent).
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
     )
+    if max_shingle_doc_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

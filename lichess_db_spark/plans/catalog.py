@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import catalog_core, catalog_north  # noqa: F401  (registration side effects)
+from . import catalog_core, catalog_formats, catalog_north  # noqa: F401  (registration side effects)
 from .registry import QUERIES, QueryDef  # noqa: F401
 
 

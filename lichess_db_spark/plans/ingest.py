@@ -46,14 +46,23 @@ def ingest_months(
     staging_dir: str,
     out_dir: str,
     include_moves: bool = False,
+    compression: str = "gzip",
 ) -> None:
-    """Full E1 twin: stage -> parse -> domain pipeline -> parquet."""
+    """Full E1 twin: stage -> parse -> domain pipeline -> parquet.
+
+    ``compression`` defaults to gzip for reference parity (S5's Drill
+    compatibility, ingester.py:418-421); pass ``zstd`` for the faster
+    write path — parquet write dominates ingest wall-clock, and zstd
+    encodes several times faster than gzip at comparable ratios
+    (bench_ingest.py --compression zstd measures the difference).
+    """
     stage_months(months, staging_dir)
     df = build_games_table(spark, f"{staging_dir}/*/*/*.pgn", include_moves)
     write_parquet(
         df.withColumn("year", F.year("DateTime")).withColumn("month", F.month("DateTime")),
         out_dir,
         partition_by=["year", "month"],
+        compression=compression,
     )
 
 

@@ -15,6 +15,7 @@ from lichess_db_spark.streaming.ingest import (
     hourly_tumbling,
     read_events_stream,
     running_features_stateful,
+    running_features_tws,
 )
 
 from .conftest import SF_SMALL
@@ -38,7 +39,7 @@ def _run_stream(spark, stream_df, name: str):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if name != "stateful" else "append")
+        .outputMode("append" if name.startswith("stateful") else "complete")
         .trigger(availableNow=True)
         .start()
     )
@@ -80,3 +81,32 @@ def test_stateful_running_count_matches_window(spark, staged_events):
     got_tot = got.groupBy("user_id").agg(F.max("cum_events").alias("n"))
     want_tot = want.groupBy("user_id").agg(F.max("cum_events").alias("n"))
     assert got_tot.join(want_tot, ["user_id", "n"]).count() == want_tot.count()
+
+
+def test_tws_running_count_and_max_matches_batch(spark, staged_events):
+    """transformWithStateInPandas (state v2) twin: per-user final
+    (count, running max) equals the batch groupBy aggregate.
+
+    Skips where google.protobuf is absent (this container): the
+    state-v2 wire protocol is protobuf-serialized, see
+    running_features_tws's docstring. The state-v1 twin above covers
+    the semantics unconditionally."""
+    pytest.importorskip("google.protobuf")
+    d, ev = staged_events
+    # state v2 supports only the RocksDB provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, d, ev.schema)
+    got = _run_stream(spark, running_features_tws(stream), "stateful_tws").cache()
+    got_tot = got.groupBy("user_id").agg(
+        F.max("cum_events").alias("n"), F.max("value_max").alias("vmax")
+    )
+    want_tot = ev.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n"), F.max("value").alias("vmax")
+    )
+    assert got.count() == ev.count()
+    assert (
+        got_tot.join(want_tot, ["user_id", "n", "vmax"]).count() == want_tot.count()
+    )
