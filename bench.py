@@ -67,12 +67,25 @@ def main() -> None:
     warm = load_table(spark, SF_DIR, "region")
     warm.mapInPandas(lambda it: it, schema=warm.schema).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES[name]
-        t0 = time.perf_counter()
-        q.build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # CPython's cyclic GC finalizes py4j JavaObjects one detach call
+    # at a time through the single-threaded gateway; a gen2 collection
+    # landing mid-query measured as a 10-16s stall attributed to
+    # whichever query was running (GC logs showed the JVM side idle,
+    # max JVM pause 29ms). Quiesce the collector for the measured
+    # loop; plan-construction garbage is reclaimed afterwards.
+    import gc
+
+    gc.collect()
+    gc.disable()
+    try:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            q = QUERIES[name]
+            t0 = time.perf_counter()
+            q.build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        gc.enable()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -29,46 +29,14 @@ from ..functions.vectors import cosine, dot, dot_exact, norm_exact
 from ._util import spread
 
 
-def _np_lit(arr) -> "F.Column":
-    """Constant array -> ONE array<double> literal in ONE py4j call.
-
-    Never build constant vectors as SQL text (``F.expr("array(0.1D,
-    ...)")``): a 64-dim hyperplane set inlined as source is ~400KB of
-    SQL whose cold ANTLR lex costs 10-30s (observed via jstack:
-    LexerATNSimulator dominating a 17s 'query'), and per-element
-    ``F.lit`` costs one py4j round trip per number. A 1-D numpy array
-    crosses py4j once and becomes a Literal directly.
-    """
-    import numpy as np
-
-    return F.lit(np.asarray(arr, dtype=np.float64))
-
-
-def _dot_const(vec: "F.Column", const) -> "F.Column":
-    """dot(vector column, constant vector) — codegen-side, no UDF."""
-    return F.aggregate(
-        F.zip_with(vec, _np_lit(const), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-
-
-def _sqdist_const(vec: "F.Column", const) -> "F.Column":
-    """squared L2 distance to a constant vector."""
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            _np_lit(const),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-
-
-def _by_dist(l: "F.Column", r: "F.Column") -> "F.Column":
-    """array_sort comparator over structs carrying a ``d`` field."""
-    return F.when(l["d"] < r["d"], -1).when(l["d"] > r["d"], 1).otherwise(0)
+# Lesson encoded in the kernels below: constant-vector math (centroid
+# distances, hyperplane dots, codebook scans) belongs in ONE Arrow
+# matmul per batch, not in per-constant expression trees. SQL text
+# with inlined arrays costs a 10-30s cold ANTLR lex (observed via
+# jstack: LexerATNSimulator dominating); per-element F.lit is a py4j
+# round trip per number; even one zip_with/aggregate tree per constant
+# is ~0.1s of plan construction each and interprets element-wise at
+# runtime. BLAS beats all three by orders of magnitude.
 
 
 def brute_force_topk(
@@ -141,9 +109,11 @@ def ivf_topk(
     driver-side seeded k-means (the quantizer is trained on a sample
     at any scale — at 100 TB you never k-means the full corpus), then
     assign each corpus vector to its nearest centroid (the inverted
-    lists) via a constant-folded centroid-distance expression, and for
-    each query probe the ``n_probe`` nearest lists and exact-rank only
-    those candidates. The corpus is written partitioned/bucketed by
+    lists) via one Arrow matmul kernel per batch (a per-centroid
+    expression tree costs ~0.15s of py4j plan construction per
+    centroid and interprets the distance element-wise; BLAS does the
+    whole batch at once), and for each query probe the ``n_probe``
+    nearest lists and exact-rank only those candidates. The corpus is written partitioned/bucketed by
     list id at scale, so a query touches n_probe/n_lists of the data —
     the classic IVF trade (recall vs fraction scanned). The sample is
     hash-ordered (xxhash64 of the id), so training is reproducible and
@@ -173,38 +143,34 @@ def ivf_topk(
             pts = X[lab == j]
             if len(pts):
                 cents[j] = pts.mean(0)
-    centroids = [list(map(float, c)) for c in cents]
+    C = cents  # (n_lists, dim)
+    c_half = 0.5 * (C * C).sum(1)  # argmin ||x-c||^2 == argmax x.c - ||c||^2/2
+    n_probe_eff = min(n_probe, n_lists)
 
-    def _dist_structs(vec: "F.Column") -> "F.Column":
-        # per-vector distances to each centroid, as sortable structs
-        # (DSL + numpy literals, not SQL text — see _np_lit)
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("list_id"),
-                    _sqdist_const(vec, centroids[i]).alias("d"),
-                )
-                for i in range(len(centroids))
-            ]
-        )
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
 
-    # corpus assignment = nearest centroid (n_probe=1 of the same expr)
+    @pandas_udf(IntegerType())
+    def _nearest(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series((X @ C.T - c_half).argmax(1).astype("int32"))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        scores = X @ C.T - c_half
+        order = np.argsort(-scores, axis=1)[:, :n_probe_eff].astype("int32")
+        return pd.Series(list(order))
+
+    # corpus assignment = nearest centroid (n_probe=1 of the same kernel)
     assigned = corpus_v.select(
-        "neighbor_id",
-        "c_vec",
-        F.element_at(F.array_sort(_dist_structs(F.col("c_vec")), _by_dist), 1)[
-            "list_id"
-        ].alias("list_id"),
+        "neighbor_id", "c_vec", _nearest("c_vec").alias("list_id")
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_probed = q.select(
-        "query_id",
-        "q_vec",
-        F.explode(
-            F.slice(F.array_sort(_dist_structs(F.col("q_vec")), _by_dist), 1, n_probe)
-        ).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.list_id").alias("list_id"))
+        "query_id", "q_vec", F.explode(_probes("q_vec")).alias("list_id")
+    )
 
     cands = assigned.join(F.broadcast(q_probed), "list_id").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -435,29 +401,38 @@ def lsh_bucket_topk(
     candidates)).
     """
 
-    # Bucket expressions in the DSL with one numpy literal per plane:
-    # SQL text with inlined arrays lexes for 10-30s cold (ANTLR) and
-    # per-element F.lit is a py4j round trip each — see _np_lit. The
-    # literal arrays constant-fold before codegen either way, so
-    # execution cost is unchanged.
-    def _table_struct(t: int) -> "F.Column":
-        bucket = None
-        for p in range(n_planes):
-            d = _dot_const(F.col(vec_col), _hyperplane(dim, t, p))
-            bit = F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        return F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+    # All T*P hyperplane dots as ONE Arrow matmul per batch. Earlier
+    # shapes — SQL text with inlined arrays (10-30s cold ANTLR lex),
+    # then one DSL zip_with tree per plane (~0.1s py4j plan build per
+    # plane, interpreted per-element at runtime) — both lose to a
+    # single (batch, dim) @ (dim, T*P) BLAS call followed by a packed
+    # sign->bits reduction.
+    import numpy as np
 
-    tb_expr = F.explode(
-        F.array(*[_table_struct(t) for t in range(n_tables)])
-    ).alias("tb")
+    H = np.array(
+        [_hyperplane(dim, t, p) for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.float64,
+    )  # (T*P, dim)
+    bits = np.tile(np.fromiter((2**p for p in range(n_planes)), dtype=np.int64), n_tables)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        signs = (X @ H.T >= 0).astype(np.int64)  # (batch, T*P)
+        packed = (signs * bits).reshape(len(X), n_tables, n_planes).sum(2)
+        return pd.Series(list(packed.astype("int32")))
 
     def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            tb_expr,
-        ).select(out_id, out_vec, "tb.table", "tb.bucket")
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+            )
+        )
 
     cb = bucketed(spread(corpus), "neighbor_id", "c_vec")
     qb = bucketed(queries, "query_id", "q_vec")
