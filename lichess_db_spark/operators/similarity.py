@@ -91,6 +91,83 @@ def brute_force_topk(
     )
 
 
+class IVFIndex:
+    """A trained IVF coarse quantizer: the (n_lists, dim) centroid
+    matrix. Persistable as a tiny parquet dataset so the
+    train-once/search-many lifecycle works on any cluster filesystem
+    (HDFS/S3/local) — at 100 TB the quantizer is trained once on a
+    sample, saved beside the partitioned corpus, and every query job
+    loads it instead of retraining.
+    """
+
+    def __init__(self, centroids) -> None:
+        import numpy as np
+
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+
+    def save(self, spark, path: str) -> None:
+        rows = [
+            (i, [float(v) for v in c]) for i, c in enumerate(self.centroids)
+        ]
+        (
+            spark.createDataFrame(rows, "list_id int, centroid array<double>")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        rows = spark.read.parquet(path).orderBy("list_id").collect()
+        return cls([r.centroid for r in rows])
+
+
+def _sample_vectors(corpus_v: DataFrame, vec_col: str, id_col: str, cap: int):
+    """Deterministic training sample: hash-ordered TakeOrdered pass —
+    reproducible at any scale, no count job, no ML pipeline."""
+    import numpy as np
+
+    sample = (
+        corpus_v.select(vec_col, F.xxhash64(id_col).alias("h"))
+        .orderBy("h")
+        .limit(cap)
+        .collect()
+    )
+    return np.array([r[0] for r in sample], dtype=np.float64)
+
+
+def _kmeans(X, k: int, seed: int, max_iter: int):
+    """Seeded driver-side Lloyd's iterations on a sample. A coarse
+    quantizer needs balanced-ish lists, not convergence."""
+    import numpy as np
+
+    k = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        for j in range(k):
+            pts = X[lab == j]
+            if len(pts):
+                cents[j] = pts.mean(0)
+    return cents
+
+
+def train_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_cap: int = 4096,
+) -> IVFIndex:
+    """Train the IVF quantizer on a deterministic corpus sample."""
+    X = _sample_vectors(corpus.select(id_col, vec_col), vec_col, id_col, sample_cap)
+    return IVFIndex(_kmeans(X, n_lists, seed, max_iter))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,6 +179,7 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 10,
     sample_cap: int = 4096,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer + nprobe search.
 
@@ -113,11 +191,14 @@ def ivf_topk(
     expression tree costs ~0.15s of py4j plan construction per
     centroid and interprets the distance element-wise; BLAS does the
     whole batch at once), and for each query probe the ``n_probe``
-    nearest lists and exact-rank only those candidates. The corpus is written partitioned/bucketed by
-    list id at scale, so a query touches n_probe/n_lists of the data —
-    the classic IVF trade (recall vs fraction scanned). The sample is
-    hash-ordered (xxhash64 of the id), so training is reproducible and
-    needs one TakeOrdered pass, no count, no ML pipeline jobs.
+    nearest lists and exact-rank only those candidates. The corpus is
+    written partitioned/bucketed by list id at scale, so a query
+    touches n_probe/n_lists of the data — the classic IVF trade
+    (recall vs fraction scanned).
+
+    Pass a pre-trained/loaded ``index`` (see ``train_ivf_index`` /
+    ``IVFIndex.save``/``load``) to skip training — the
+    train-once/search-many path.
     """
     import numpy as np
 
@@ -126,26 +207,12 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
     )
-    sample = (
-        corpus_v.select("c_vec", F.xxhash64("neighbor_id").alias("h"))
-        .orderBy("h")
-        .limit(sample_cap)
-        .collect()
-    )
-    X = np.array([r.c_vec for r in sample], dtype=np.float64)
-    n_lists = min(n_lists, len(X))
-    rng = np.random.default_rng(seed)
-    cents = X[rng.choice(len(X), n_lists, replace=False)].copy()
-    for _ in range(max_iter):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        lab = d2.argmin(1)
-        for j in range(n_lists):
-            pts = X[lab == j]
-            if len(pts):
-                cents[j] = pts.mean(0)
-    C = cents  # (n_lists, dim)
+    if index is None:
+        X = _sample_vectors(corpus_v, "c_vec", "neighbor_id", sample_cap)
+        index = IVFIndex(_kmeans(X, n_lists, seed, max_iter))
+    C = index.centroids  # (n_lists, dim)
     c_half = 0.5 * (C * C).sum(1)  # argmin ||x-c||^2 == argmax x.c - ||c||^2/2
-    n_probe_eff = min(n_probe, n_lists)
+    n_probe_eff = min(n_probe, len(C))
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
@@ -242,30 +309,15 @@ def pq_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
     )
-    sample = (
-        corpus_v.select("c_vec", F.xxhash64("neighbor_id").alias("h"))
-        .orderBy("h")
-        .limit(sample_cap)
-        .collect()
-    )
-    X = np.array([r.c_vec for r in sample], dtype=np.float64)
+    X = _sample_vectors(corpus_v, "c_vec", "neighbor_id", sample_cap)
     dim = X.shape[1]
     assert dim % n_subspaces == 0, "dim must divide into subspaces"
     sub = dim // n_subspaces
-    rng = np.random.default_rng(seed)
-    books = []  # per subspace: (K, sub) centroids
-    for m in range(n_subspaces):
-        Xm = X[:, m * sub : (m + 1) * sub]
-        kk = min(n_centroids, len(Xm))
-        cents = Xm[rng.choice(len(Xm), kk, replace=False)].copy()
-        for _ in range(max_iter):
-            d2 = ((Xm[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            lab = d2.argmin(1)
-            for j in range(kk):
-                pts = Xm[lab == j]
-                if len(pts):
-                    cents[j] = pts.mean(0)
-        books.append(cents)
+    # per subspace: (K, sub) centroids over that dim-slice
+    books = [
+        _kmeans(X[:, m * sub : (m + 1) * sub], n_centroids, seed + m, max_iter)
+        for m in range(n_subspaces)
+    ]
 
     # encode: per subspace, argmin_k ||slice - centroid_k||^2 — one
     # Arrow batch at a time, ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 with

@@ -213,3 +213,64 @@ def running_features_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+def stream_games_ingest(
+    spark: SparkSession,
+    pgn_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    include_moves: bool = False,
+    available_now: bool = True,
+):
+    """End-to-end continuous ingest: arriving PGN chunks -> canonical
+    games parquet. The streaming twin of ``plans.ingest.ingest_months``
+    (E1) for the mode where month chunks keep arriving and full
+    recompute per arrival is undesirable.
+
+    ``readStream.format("pgn")`` micro-batches arriving chunk files;
+    ``foreachBatch`` applies the SAME batch domain pipeline
+    (clean -> unpivot -> features) to each micro-batch and appends to
+    the year=/month= partitioned layout. foreachBatch rather than a
+    streaming-native plan because the pipeline's unpivot-union and
+    window features aren't append-mode streamable — per micro-batch
+    they run as ordinary batch jobs (the Spark-idiomatic escape hatch
+    for reusing a batch pipeline on a stream).
+
+    Semantics note, mirroring the reference's month-at-a-time reality
+    (ingester.py:172-218): within-player cumulative features are
+    computed per micro-batch; cross-batch continuity is the job of the
+    state-store ops above (running_features_stateful) or a periodic
+    batch recompute. With Trigger.AvailableNow over a fully staged
+    directory everything lands in one batch and the output equals the
+    batch pipeline's exactly (asserted in tests).
+
+    Exactly-once: the checkpoint tracks consumed chunk offsets, so a
+    restart neither re-ingests nor skips chunks (T3 via the state
+    store, not hand-rolled .json.zst snapshots).
+    """
+    from ..io import write_parquet
+    from ..plans.games import games_pipeline
+    from ..sources.pgn_datasource import register_pgn_source
+
+    register_pgn_source(spark)
+    raw = spark.readStream.format("pgn").load(pgn_glob)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        games = games_pipeline(batch_df, include_moves)
+        write_parquet(
+            games.withColumn("year", F.year("DateTime")).withColumn(
+                "month", F.month("DateTime")
+            ),
+            out_dir,
+            partition_by=["year", "month"],
+            mode="append",
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

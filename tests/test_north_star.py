@@ -199,6 +199,28 @@ def test_ivf_recall_vs_brute_force(emb):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_ivf_index_save_load_roundtrip(spark, emb, tmp_path):
+    """Train-once/search-many: a saved+loaded quantizer must reproduce
+    the fresh-trained search exactly (centroids round-trip as doubles)."""
+    import numpy as np
+
+    from lichess_db_spark.operators.similarity import (
+        IVFIndex,
+        ivf_topk,
+        train_ivf_index,
+    )
+
+    idx = train_ivf_index(emb)
+    path = str(tmp_path / "ivf_index")
+    idx.save(spark, path)
+    loaded = IVFIndex.load(spark, path)
+    assert np.array_equal(idx.centroids, loaded.centroids)
+    q = emb.where(F.col("vec_id") < 10)
+    fresh = {tuple(r) for r in ivf_topk(emb, q, k=5, index=idx).collect()}
+    reloaded = {tuple(r) for r in ivf_topk(emb, q, k=5, index=loaded).collect()}
+    assert fresh == reloaded and len(fresh) == 50
+
+
 def test_pq_recall_vs_brute_force(emb):
     from lichess_db_spark.operators.similarity import pq_topk
 

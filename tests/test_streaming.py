@@ -83,6 +83,49 @@ def test_stateful_running_count_matches_window(spark, staged_events):
     assert got_tot.join(want_tot, ["user_id", "n"]).count() == want_tot.count()
 
 
+def test_stream_games_ingest_matches_batch_pipeline(spark, tmp_path):
+    """E2E: staged PGN chunks -> streaming ingest -> partitioned games
+    parquet. With AvailableNow over a pre-staged dir the result equals
+    the batch pipeline exactly; a restart on the same checkpoint must
+    be a no-op (exactly-once via offset tracking)."""
+    import os
+    import shutil
+
+    from lichess_db_spark.plans.games import games_pipeline
+    from lichess_db_spark.sources.pgn_datasource import register_pgn_source
+    from lichess_db_spark.streaming.ingest import stream_games_ingest
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "games.pgn")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    shutil.copy(fixture, stage / "chunk_00000.pgn")
+    # second chunk gets distinct game ids (duplicate IDs would fan out
+    # the opponent mirror-join — in batch mode too)
+    text = open(fixture, encoding="utf-8").read()
+    (stage / "chunk_00001.pgn").write_text(
+        text.replace("lichess.org/", "lichess.org/x"), encoding="utf-8"
+    )
+    out = str(tmp_path / "games")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_games_ingest(spark, str(stage / "*.pgn"), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    register_pgn_source(spark)
+    want = games_pipeline(spark.read.format("pgn").load(str(stage / "*.pgn")))
+    assert got.count() == want.count() == 24
+    cols = [c for c in want.columns]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # partitioned layout materialized
+    assert any(p.startswith("year=") for p in os.listdir(out))
+    # restart on the same checkpoint: offsets already consumed -> no-op
+    q2 = stream_games_ingest(spark, str(stage / "*.pgn"), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 24
+
+
 def test_tws_running_count_and_max_matches_batch(spark, staged_events):
     """transformWithStateInPandas (state v2) twin: per-user final
     (count, running max) equals the batch groupBy aggregate.
