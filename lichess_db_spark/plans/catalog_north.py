@@ -90,6 +90,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard_capped",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2]
+               || ' ' || ts[g.i+3] || ' ' || ts[g.i+4] AS shingle
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 4
+    ),
+    freq_ok AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN freq_ok USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+    "Web-scale mitigation for hot shingles: posting lists longer than "
+    "20 docs (site boilerplate, license headers) are dropped BEFORE "
+    "the pairing self-join, killing the d^2 blowup; Jaccard is then "
+    "computed over the capped shingle universe on both sides "
+    "(consistent estimate). Oracle applies the identical cap in SQL, "
+    "so the approximation itself is hash-verified.",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=5,
+        threshold=0.2,
+        max_shingle_doc_freq=20,
+    )
+
+
 _CLUSTER_ORACLE = """
 WITH RECURSIVE toks AS (
     SELECT doc_id, string_split(text, ' ') AS ts FROM documents
