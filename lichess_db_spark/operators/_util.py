@@ -17,11 +17,15 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     would otherwise duplicate, e.g., the shingle build into all 128
     minhash permutation lambdas).
 
-    On a real cluster with many input splits this is a no-op
-    (partitions already >= parallelism).
+    The exchange is unconditional: deciding from
+    ``df.rdd.getNumPartitions()`` would force a throwaway physical
+    planning + RDD DAG build per call (a real driver-side cost — PQ's
+    plan build measured 21.6 s with it), and would silently drop the
+    projection barrier exactly when the input is large enough to make
+    the CollapseProject recompute expensive. A round-robin exchange of
+    the pre-explode input is cheap relative to the compute-bound stage
+    it feeds, on one box or a thousand.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)

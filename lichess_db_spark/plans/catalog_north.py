@@ -574,22 +574,31 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "TF-IDF top-3 terms per document. idf is the rational N/df (not "
     "ln(N/df): transcendental libm results are not bit-portable across "
-    "engines; the ranking is identical). Two shuffles: token df, then "
-    "per-doc rank window.",
+    "engines; the ranking is identical). Corpus size is a 1-row "
+    "aggregate cross-joined in (no plan-build job); the token-df join "
+    "is unhinted so it can shuffle on token at scale (the vocabulary is "
+    "unbounded) while AQE may still broadcast small measured sizes.",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # Corpus size as a 1-row aggregate cross-joined in (broadcast of one
+    # row), not a driver-side d.count(): no job runs at plan-build and
+    # the plan stays a single lazy DAG at any corpus size.
+    n = d.agg(F.count("*").alias("n_docs"))
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
+    # No broadcast hint on the token->df table: the vocabulary grows with
+    # the corpus (billions of tokens at 100 TB), so the join must be free
+    # to shuffle on token; AQE may still choose broadcast when the
+    # measured size is small.
     df_tbl = tok.groupBy("token").agg(F.count("*").alias("df"))
-    weights = tok.join(F.broadcast(df_tbl), "token").select(
+    weights = tok.join(df_tbl, "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("weight"),
+        (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("weight"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("token"))
     return (

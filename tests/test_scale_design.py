@@ -124,6 +124,44 @@ def test_window_features_share_one_shuffle_per_partitioning(spark):
     assert plan.count("Window") == 2, plan
 
 
+def test_tfidf_builds_lazily_without_vocab_broadcast(spark):
+    """tfidf_top_terms must not run a job at plan-build (corpus count is
+    a cross-joined 1-row aggregate, not a driver .count()) and must not
+    force a broadcast of the token->df table — the vocabulary grows with
+    the corpus, so that join has to be free to shuffle on token."""
+    from lichess_db_spark.plans import QUERIES
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = tracker.getJobIdsForGroup(None) or []
+    df = QUERIES["tfidf_top_terms"].build(spark, SF_SMALL)
+    new_jobs = [j for j in (tracker.getJobIdsForGroup(None) or []) if j not in jobs_before]
+    # parquet schema reads are 1-task constant-cost jobs; what must NOT
+    # happen at plan-build is an O(data) scan (the old d.count())
+    for j in new_jobs:
+        info = tracker.getJobInfo(j)
+        for s in info.stageIds:
+            st = tracker.getStageInfo(s)
+            assert st is None or st.numTasks <= 1, (
+                f"plan-build ran a {st.numTasks}-task stage (job {j})"
+            )
+
+    # The only broadcast allowed in the *optimized logical* plan is the
+    # 1-row corpus-count; the token-df join must carry no hint. (AQE may
+    # still broadcast at runtime when measured sizes are small — that's
+    # the desired small-data behavior, so assert on hints, not the
+    # physical plan.)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    import re
+
+    hints = re.findall(r"ResolvedHint.*", optimized)
+    for h in hints:
+        assert "df" not in h.lower() or "n_docs" in h, h
+    logical = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    # exactly one broadcast hint in the user plan: the n_docs single row
+    assert logical.count("UnresolvedHint BROADCAST") <= 1, logical
+    assert df.where(F.col("rnk") == 1).count() > 0
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join handling (on in session.py): a hot key whose
     partition exceeds the (lowered) skew threshold must be split at
