@@ -834,30 +834,33 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "As-of join (custom operator — Spark lacks it natively): each event "
     "matched to the user's latest order on-or-before the event time. "
-    "Implemented as range join + per-event row_number pick; at scale: "
-    "broadcast the daily dimension or bucket both sides on the key. "
-    "DuckDB oracle uses its native ASOF JOIN (pre-aggregated to a unique "
+    "union_window strategy: both sides union into one stream, a single "
+    "running last(ignorenulls) window per key carries the latest order "
+    "forward — ONE shuffle on the key, no join, and no |events| x "
+    "orders-per-user intermediate blow-up (both sides are fact-sized, "
+    "so the old broadcast form was a driver OOM at scale). DuckDB "
+    "oracle uses its native ASOF JOIN (pre-aggregated to a unique "
     "(key, time) grid so the match is unambiguous).",
 )
 def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
     ev = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy("o_custkey", "o_orderdate").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("day_total")
     )
-    joined = ev.select("event_id", "user_id", "ts").join(
-        F.broadcast(daily),
-        (F.col("user_id") == F.col("o_custkey")) & (F.col("ts") >= F.col("o_orderdate")),
-        "inner",
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        daily,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("o_orderdate").alias("last_order_date"),
-            "day_total",
-        )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderdate").alias("last_order_date"),
+        "day_total",
     )

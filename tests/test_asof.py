@@ -1,0 +1,94 @@
+"""asof_join operator: strategy equivalence + scale-design plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lichess_db_spark.io import load_table
+from lichess_db_spark.operators.asof import asof_join
+
+from .conftest import SF_SMALL
+
+
+def _inputs(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, SF_SMALL, "orders")
+    daily = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("day_total")
+    )
+    return ev, daily
+
+
+def _collect(df):
+    return sorted(
+        (r["event_id"], r["user_id"], str(r["o_orderdate"]), r["day_total"])
+        for r in df.collect()
+    )
+
+
+def test_union_window_matches_broadcast_pick(spark):
+    ev, daily = _inputs(spark)
+    kw = dict(
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+    )
+    a = asof_join(ev, daily, strategy="union_window", **kw)
+    b = asof_join(ev, daily, strategy="broadcast_pick", **kw)
+    ra, rb = _collect(a), _collect(b)
+    assert len(ra) > 0
+    assert ra == rb
+
+
+def test_union_window_inclusive_at_equal_time(spark):
+    """An event exactly at the order's timestamp matches that order
+    (at-or-before is inclusive: right rows sort before left ties)."""
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-05 00:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-05", 99.0), (10, "2024-01-01", 1.0)],
+        "o_custkey long, o_orderdate string, day_total double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    out = asof_join(
+        left, right,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+    ).collect()
+    assert len(out) == 1
+    assert str(out[0]["o_orderdate"]) == "2024-01-05"
+    assert out[0]["day_total"] == 99.0
+
+
+def test_union_window_drops_unmatched_left(spark):
+    """Inner semantics: a left row earlier than every right row drops."""
+    left = spark.createDataFrame(
+        [(1, 10, "2023-01-01 00:00:00"), (2, 10, "2024-06-01 00:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01", 5.0)], "o_custkey long, o_orderdate string, day_total double"
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    out = asof_join(
+        left, right,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+    ).collect()
+    assert [r["event_id"] for r in out] == [2]
+
+
+def test_union_window_plan_has_no_broadcast(spark):
+    """The default strategy must survive a fact-sized right side: no
+    BroadcastExchange anywhere, exactly one Window node (one shuffle on
+    the key), no join at all."""
+    ev, daily = _inputs(spark)
+    df = asof_join(
+        ev, daily,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Window") == 1, plan
