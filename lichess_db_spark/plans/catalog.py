@@ -19,7 +19,7 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # earns a driver row; core keeps its local mirror in
 # tests/test_catalog_oracle.py regardless of position.
 _PRIORITY_MODULES = ("catalog_north", "catalog_formats")
-_PRIORITY_NAMES = ("cube_type_day", "rollup_type_day")
+_PRIORITY_NAMES = ("cube_type_day", "rollup_type_day", "o1_global_rank_scalable")
 
 
 def _ordered() -> list[QueryDef]:

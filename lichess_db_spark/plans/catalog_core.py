@@ -173,6 +173,26 @@ def o1_global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o1_global_rank_scalable",
+    """
+    SELECT o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+    "O1 at scale: same global rank as o1_global_sort_rank (same oracle) "
+    "but distributed — range-partitioned sort + JVM-side local offsets "
+    "+ broadcast per-partition counts (operators/rank.py). No "
+    "single-partition Window anywhere near the data; o1_global_sort_rank "
+    "stays registered as the single-partition oracle twin.",
+)
+def o1_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return global_rank(o, "o_orderdate", "o_orderkey", rank_col="rn")
+
+
+@register(
     "o3_topk_head",
     """
     SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

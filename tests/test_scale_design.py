@@ -162,6 +162,29 @@ def test_tfidf_builds_lazily_without_vocab_broadcast(spark):
     assert df.where(F.col("rnk") == 1).count() > 0
 
 
+def test_global_rank_avoids_single_partition_window(spark):
+    """o1_global_rank_scalable must produce identical ranks to the
+    single-partition twin while keeping every full-data Window out of
+    the plan: the only Window allowed is the per-partition-count
+    running offset (#partitions rows)."""
+    from lichess_db_spark.plans import QUERIES
+
+    scalable = QUERIES["o1_global_rank_scalable"].build(spark, SF_SMALL)
+    twin = QUERIES["o1_global_sort_rank"].build(spark, SF_SMALL)
+
+    # assert on the pre-execution plan (post-collect AQE explain prints
+    # initial + final plans and double-counts nodes)
+    plan = _plan(scalable, "formatted")
+    # the main branch carries a range partitioning, not a single partition
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    simple = _plan(scalable, "simple")
+    assert simple.count("Window") == 1, simple  # counts-offset window only
+
+    a = sorted((r["o_orderkey"], str(r["o_orderdate"]), r["rn"]) for r in scalable.collect())
+    b = sorted((r["o_orderkey"], str(r["o_orderdate"]), r["rn"]) for r in twin.collect())
+    assert a == b and len(a) > 0
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join handling (on in session.py): a hot key whose
     partition exceeds the (lowered) skew threshold must be split at
