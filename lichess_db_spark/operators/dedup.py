@@ -157,12 +157,15 @@ def minhash_signatures(
     )
 
 
+DEFAULT_MAX_BUCKET_SIZE = 256
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 32,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash).
 
@@ -170,8 +173,15 @@ def minhash_lsh_candidates(
     band become candidates (S-curve threshold ~ (1/b)^(1/r) ≈ 0.42
     for b=32, r=4). The join is a groupBy + collect of doc ids per
     bucket, then in-bucket pairing — shuffle key is the 8-byte band
-    hash. Skewed buckets (boilerplate docs) would be capped upstream
-    by a frequency filter at real scale.
+    hash.
+
+    ``max_bucket_size`` (default 256 — pass ``None`` to disable) drops
+    buckets bigger than the cap before pairing: a web-scale hot bucket
+    (boilerplate, empty-ish docs) is a low-information d² pair bomb —
+    one 1M-doc bucket alone would emit 5e11 pairs. Members of a capped
+    bucket can still pair through their other ``bands-1`` buckets;
+    literal exact duplicates should be removed by exact_dedup_groups
+    *before* MinHash, as the reference pipeline orders it.
     """
     # sigs carry no nulls (minhash_signatures drops shingle-less docs);
     # filtering on the signature here would push the predicate below
@@ -194,10 +204,9 @@ def minhash_lsh_candidates(
     )
     size_ok = F.size("ids") > 1
     if max_bucket_size is not None:
-        # boilerplate cap: a bucket with thousands of members is a
-        # low-information collision (common at web scale); pairing it
-        # is O(n^2) for near-zero dedup value. Cap is the standard
-        # production mitigation; verified sf0.1 buckets max out at 4.
+        # verified sf0.1 buckets max out at 4, so the default cap of
+        # 256 never binds on the test corpora — it exists for the
+        # adversarial hot bucket.
         size_ok = size_ok & (F.size("ids") <= max_bucket_size)
     pairs = (
         buckets.where(size_ok)
@@ -231,6 +240,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 5,
     bands: int = 32,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates verified by
     exact shingle-set Jaccard (join back to shingle sets; the
@@ -244,7 +254,9 @@ def minhash_dedup_pairs(
     sigs = shingled.select(
         F.col(id_col), _minhash_sig(F.col("_sh"), num_perms).alias("signature")
     )
-    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, rows_per_band, max_bucket_size=max_bucket_size
+    )
     sets_df = shingled.select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
     a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))

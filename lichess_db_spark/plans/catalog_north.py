@@ -193,13 +193,20 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash(128 perms)+LSH(32 bands x 4 rows) near-dup candidates, "
     "verified by exact shingle Jaccard >= 0.2. Shuffle volume is "
     "O(docs x bands) — the 100 TB-scale path; signature computation is "
-    "one codegen'd array expression, no UDF. Rows-only check (xxhash64 "
-    "has no DuckDB twin); tests assert it finds the same pairs as "
+    "one codegen'd array expression, no UDF; hot buckets are capped at "
+    "256 members (d² bomb guard — never binds on the test corpora, "
+    "whose buckets max out at 4). Rows-only check (xxhash64 has no "
+    "DuckDB twin); tests assert it finds the same pairs as "
     "dedup_ngram_jaccard at high thresholds.",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), num_perms=128, shingle_n=5, bands=32, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        num_perms=128,
+        shingle_n=5,
+        bands=32,
+        threshold=0.2,
+        max_bucket_size=dd.DEFAULT_MAX_BUCKET_SIZE,
     )
 
 

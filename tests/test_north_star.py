@@ -42,6 +42,34 @@ def test_minhash_finds_exact_jaccard_pairs(docs):
     assert len(exact) > 0, "fixture should contain near-dups"
 
 
+def test_minhash_hot_bucket_cap_bounds_pair_output(spark):
+    """Adversarial hot bucket: 600 near-identical boilerplate docs all
+    collide in every band, so uncapped LSH would emit ~600²/2 pairs x
+    32 bands of shuffle. The default max_bucket_size (256) must drop
+    those buckets — bounded output — while leaving the distinct-doc
+    near-dup pair intact (its buckets are tiny)."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3)
+              for i in range(600)]
+    near = [
+        (1000, "a quick brown fox jumps over the lazy dog again and again today"),
+        (1001, "a quick brown fox jumps over the lazy dog again and again tomorrow"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    capped = dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert (1000, 1001) in capped_pairs
+    # every boilerplate bucket (600 members) exceeds the cap in all 32
+    # bands, so no boilerplate pair survives and output stays tiny
+    assert len(capped_pairs) == 1, sorted(capped_pairs)[:10]
+
+    # disabling the cap floods: the same corpus emits the full d² set
+    uncapped = dd.minhash_lsh_candidates(
+        dd.minhash_signatures(docs), max_bucket_size=None
+    )
+    assert uncapped.count() >= 600 * 599 // 2
+
+
 def test_minhash_jaccard_estimate_close(docs):
     """Signature agreement rate estimates Jaccard: for verified pairs,
     |sig_agree|/128 within 0.25 of exact jaccard."""
