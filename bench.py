@@ -9,6 +9,16 @@ Prints ONE JSON line:
 Each query is executed to completion with the noop sink (no driver
 collect, no result materialization cost — measures the distributed
 plan, which is what scales).
+
+Measurement discipline: one un-timed warm-up execution per query,
+then ITERS (default 3) timed executions, reporting the per-query
+MEDIAN. The host intermittently stalls whole tens of seconds
+(measured: a byte-identical query ran 4.9s / 64.7s / 4.5s within one
+process); a single-shot number attributes those stalls to whichever
+query was running. The median of three absorbs one stall per query;
+the warm-up removes first-touch costs (codegen, Arrow worker spin-up,
+shuffle-file creation) that are real but amortized in any long-lived
+cluster. All raw samples are kept in "samples" for auditability.
 """
 
 from __future__ import annotations
@@ -38,6 +48,8 @@ HEADLINE = [
     "asof_join_latest_order",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_capped",
+    "knn_pq_cosine",
     "knn_bruteforce_cosine",
     "knn_lsh_cosine",
     "knn_ivf_cosine",
@@ -75,15 +87,28 @@ def main() -> None:
     # loop; plan-construction garbage is reclaimed afterwards.
     import gc
 
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
     gc.collect()
     gc.disable()
     try:
         timings: dict[str, float] = {}
+        samples: dict[str, list[float]] = {}
         for name in HEADLINE:
             q = QUERIES[name]
-            t0 = time.perf_counter()
-            q.build(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+
+            def run() -> float:
+                t0 = time.perf_counter()
+                q.build(spark, SF_DIR).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                return time.perf_counter() - t0
+
+            run()  # warm-up: un-timed (codegen, worker pool, plan cache)
+            runs = sorted(round(run(), 3) for _ in range(iters))
+            samples[name] = runs
+            timings[name] = runs[len(runs) // 2]
+            gc.collect()  # reclaim plan garbage between queries, not during
     finally:
         gc.enable()
 
@@ -93,10 +118,11 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
-        "metric": "headline-suite wall-clock (noop sink)",
+        "metric": "headline-suite wall-clock (median of %d, warm)" % iters,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "sf": sf_val,
     }
     print(json.dumps(out))

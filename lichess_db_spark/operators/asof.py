@@ -26,8 +26,34 @@ ties make the match ambiguous.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_RESERVED = ("__asof_t", "__asof_side", "__asof_carry")
+
+
+def _validate_names(
+    left: DataFrame, right: DataFrame, *, right_key: str, right_time: str
+) -> None:
+    """Fail fast with an actionable message instead of letting Spark
+    produce duplicate output columns or an opaque ambiguous-reference
+    AnalysisException deep in the plan."""
+    payload = _payload_cols(right, right_key, right_time)
+    clash = sorted({right_time, *payload} & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: right-side output column(s) {clash} collide with "
+            "left columns; rename them (withColumnRenamed) before joining"
+        )
+    reserved = sorted(
+        set(_RESERVED) & (set(left.columns) | set(right.columns))
+    )
+    if reserved:
+        raise ValueError(
+            f"asof_join: column name(s) {reserved} are reserved for "
+            "internal use; rename them before joining"
+        )
 
 
 def asof_join(
@@ -44,8 +70,12 @@ def asof_join(
 
     Returns all ``left`` columns plus all non-key ``right`` payload
     columns; left rows with no right row at-or-before their time are
-    dropped (inner semantics, matching DuckDB ``ASOF JOIN``).
+    dropped (inner semantics, matching DuckDB ``ASOF JOIN``). NULL join
+    keys never match (equi-join semantics) under either strategy, and
+    all carried right columns — including genuine NULL payload values —
+    come from the single matched right row.
     """
+    _validate_names(left, right, right_key=right_key, right_time=right_time)
     if strategy == "union_window":
         return _asof_union_window(
             left, right, left_key=left_key, right_key=right_key,
@@ -75,42 +105,54 @@ def _asof_union_window(
     payload = _payload_cols(right, right_key, right_time)
     t = "__asof_t"
     side = "__asof_side"  # 0 = right, 1 = left: right first at equal times
+    carry = "__asof_carry"
 
-    lhs = left.select(
+    # The whole right row travels as ONE struct and one last(ignorenulls)
+    # window carries it: every output column — including a payload value
+    # that is genuinely NULL in the matched row — comes from the same
+    # right row. Per-column windows would resurrect stale non-null
+    # values and could mix columns from different right rows.
+    carry_type = T.StructType(
+        [right.schema[right_time]] + [right.schema[c] for c in payload]
+    )
+    # NULL keys never match under equi-join (broadcast_pick, DuckDB
+    # ASOF); drop them up front so the window can't pair the two sides'
+    # null-key rows with each other.
+    lhs = left.where(F.col(left_key).isNotNull()).select(
         F.col(left_key).alias(left_key),
         F.col(left_time).cast("timestamp").alias(t),
         F.lit(1).alias(side),
         *[F.col(c) for c in left.columns if c != left_key],
-        F.lit(None).cast(right.schema[right_time].dataType).alias(right_time),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(carry_type).alias(carry),
     )
-    rhs = right.select(
+    rhs = right.where(F.col(right_key).isNotNull()).select(
         F.col(right_key).alias(left_key),
         F.col(right_time).cast("timestamp").alias(t),
         F.lit(0).alias(side),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c != left_key],
-        F.col(right_time),
-        *[F.col(c) for c in payload],
+        F.struct(F.col(right_time), *[F.col(c) for c in payload]).alias(carry),
     )
     w = (
         Window.partitionBy(left_key)
         .orderBy(F.col(t).asc(), F.col(side).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: list[Column] = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in [right_time, *payload]
-    ]
     unioned = lhs.unionByName(rhs)
     filled = unioned.select(
         left_key,
         side,
         *[c for c in left.columns if c != left_key],
-        *carried,
+        F.last(carry, ignorenulls=True).over(w).alias(carry),
     )
     return filled.where(
-        (F.col(side) == 1) & F.col(right_time).isNotNull()
-    ).drop(side)
+        (F.col(side) == 1) & F.col(carry).isNotNull()
+    ).select(
+        left_key,
+        *[c for c in left.columns if c != left_key],
+        F.col(f"{carry}.{right_time}").alias(right_time),
+        *[F.col(f"{carry}.{c}").alias(c) for c in payload],
+    )
 
 
 def _asof_broadcast_pick(

@@ -76,6 +76,69 @@ def test_union_window_drops_unmatched_left(spark):
     assert [r["event_id"] for r in out] == [2]
 
 
+def test_null_payload_not_resurrected(spark):
+    """A matched right row whose payload is NULL must carry that NULL —
+    not a stale non-null value from an earlier right row (the whole
+    right row travels as one struct)."""
+    left = spark.createDataFrame(
+        [(1, 10, "2024-03-01 00:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01", 1.0), (10, "2024-02-01", None)],
+        "o_custkey long, o_orderdate string, day_total double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    out = asof_join(
+        left, right,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+    ).collect()
+    assert len(out) == 1
+    assert str(out[0]["o_orderdate"]) == "2024-02-01"
+    assert out[0]["day_total"] is None
+
+
+def test_null_keys_never_match(spark):
+    """NULL join keys never match (equi-join semantics) — both
+    strategies must agree with DuckDB ASOF, which drops them."""
+    left = spark.createDataFrame(
+        [(1, None, "2024-03-01 00:00:00"), (2, 10, "2024-03-01 00:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(None, "2024-01-01", 7.0), (10, "2024-01-01", 5.0)],
+        "o_custkey long, o_orderdate string, day_total double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    kw = dict(
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+    )
+    for strategy in ("union_window", "broadcast_pick"):
+        out = asof_join(left, right, strategy=strategy, **kw).collect()
+        assert [r["event_id"] for r in out] == [2], strategy
+        assert out[0]["day_total"] == 5.0, strategy
+
+
+def test_name_collision_raises(spark):
+    """Colliding right-side output names fail fast with a clear error,
+    not duplicate columns or an ambiguous-reference AnalysisException."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-03-01 00:00:00", 0.0)],
+        "event_id long, user_id long, ts string, day_total double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01", 5.0)],
+        "o_custkey long, o_orderdate string, day_total double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    with pytest.raises(ValueError, match="day_total"):
+        asof_join(
+            left, right,
+            left_key="user_id", right_key="o_custkey",
+            left_time="ts", right_time="o_orderdate",
+        )
+
+
 def test_union_window_plan_has_no_broadcast(spark):
     """The default strategy must survive a fact-sized right side: no
     BroadcastExchange anywhere, exactly one Window node (one shuffle on
