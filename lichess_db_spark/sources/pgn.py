@@ -110,21 +110,29 @@ def _assemble_games(with_id: DataFrame, text_col: str) -> DataFrame:
 
 
 def parse_pgn_text(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed PGN parse: spark.read.text + per-file line order.
+    """Distributed PGN parse with contractual per-file line order.
 
-    ``spark.read.text`` preserves line order within a file split;
-    games never straddle *files* after staging (sources.staging cuts
-    at blank lines), and within a file we recover order from a
-    per-file running position. The heavy grouping is a window over
-    (file), which shuffles each file's lines to one task — acceptable
-    because staged chunks are ~128MB by construction.
+    Each staged chunk is read whole via the ``binaryFile`` source
+    (non-splittable BY CONTRACT) and split into lines with
+    ``posexplode``, so a line's position comes from the file's own
+    byte content — not from ``monotonically_increasing_id``, whose
+    ordering depended on FileSourceScan packing a file's splits into
+    partitions in offset order (true today, but not contractual; a
+    packing change would silently reassemble games wrong).
+
+    Games never straddle *files* after staging (sources.staging cuts
+    at blank lines). Memory/parallelism: one staged chunk (~128MB by
+    construction) decodes in one task — the same per-file granularity
+    the grouping window's shuffle already imposed, minus the hazard.
     """
-    lines = spark.read.text(path).select(
-        F.col("value"),
-        F.input_file_name().alias("_file"),
+    files = spark.read.format("binaryFile").load(path)
+    lines = files.select(
+        F.col("path").alias("_file"),
+        F.posexplode(
+            F.split(F.decode(F.col("content"), "UTF-8"), "\r?\n")
+        ).alias("_pos", "value"),
     )
     w = Window.partitionBy("_file").orderBy("_pos")
-    lines = lines.withColumn("_pos", F.monotonically_increasing_id())
     is_moves = (~F.col("value").startswith("[")) & (F.trim(F.col("value")) != "")
     with_id = lines.withColumn(
         "game_id",

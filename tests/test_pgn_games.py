@@ -133,6 +133,51 @@ def test_mirrored_feature_consistency(raw_games):
     assert bad.count() == 0, bad.collect()
 
 
+def test_multisplit_chunk_order_contract(spark, tmp_path):
+    """Line order must come from file content, not partition ids: a
+    chunk many times larger than maxPartitionBytes parses identically
+    to the imperative twin. binaryFile + posexplode makes this hold by
+    contract (the source is non-splittable), where the old
+    spark.read.text + monotonically_increasing_id form relied on
+    FileSourceScan packing splits in offset order."""
+    games = []
+    for i in range(300):
+        games.append(
+            f'[Event "Rated Blitz game"]\n'
+            f'[Site "https://lichess.org/g{i:08d}"]\n'
+            f'[White "w{i}"]\n'
+            f'[Black "b{i}"]\n'
+            f'[Result "1-0"]\n'
+            f'[UTCDate "2024.01.01"]\n'
+            f'[UTCTime "00:00:{i % 60:02d}"]\n'
+            f'[WhiteElo "{1000 + i}"]\n'
+            f'[BlackElo "{1500 + i}"]\n'
+            "\n"
+            f"1. e4 e5 2. Nf3 Nc6 move{i} 1-0\n"
+            "\n"
+        )
+    text = "".join(games)
+    p = tmp_path / "chunk.pgn"
+    p.write_text(text)
+    assert len(text) > 16 * 4096  # many splits' worth at the conf below
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        got = sorted(
+            (r.Site, r.White, r.Black, r.WhiteElo, r.BlackElo, r.Moves)
+            for r in parse_pgn_text(spark, str(p)).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    with open(p) as fh:
+        want = sorted(
+            (g["Site"], g["White"], g["Black"], g["WhiteElo"], g["BlackElo"], g["Moves"])
+            for g in parse_pgn_partitions(iter(fh))
+        )
+    assert len(got) == 300
+    assert got == want
+
+
 def test_facade_api(raw_games):
     from lichess_db_spark.api import LichessDB
 
