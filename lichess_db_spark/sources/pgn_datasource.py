@@ -64,6 +64,9 @@ class PgnStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pgn source requires a path")
+        # rate limit (T4 analogue of the file source's option): at most
+        # this many new chunk files per micro-batch; 0/absent = all.
+        self.max_files = int(options.get("maxFilesPerTrigger", 0)) or None
 
     def _files(self) -> list[str]:
         return sorted(_glob.glob(self.path))
@@ -74,7 +77,9 @@ class PgnStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         files = self._files()
         new = files[start["n"]:]
-        return iter(self._rows(new)), {"n": len(files)}
+        if self.max_files is not None:
+            new = new[: self.max_files]
+        return iter(self._rows(new)), {"n": start["n"] + len(new)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = self._files()[start["n"]:end["n"]]

@@ -215,6 +215,116 @@ def running_features_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def _feature_state_of(games: DataFrame) -> DataFrame:
+    """Cumulative per-(Event, Player) feature state from a (state-
+    adjusted) canonical batch: the Spark analogue of the reference's
+    ``d_cum_games`` dict entries (ingester.py:172-218). Per-player
+    totals are derivable (every game has exactly one Event), so one
+    grain suffices."""
+    return games.groupBy("Event", "Player").agg(
+        F.max("Player_cum_games_type").cast("int").alias("n_type"),
+        F.max("PlayerElo_max").cast("int").alias("elo_max"),
+        F.max("PlayerElo_max_faced").cast("int").alias("elo_max_faced"),
+    )
+
+
+def _apply_feature_state(games: DataFrame, st: DataFrame) -> DataFrame:
+    """Offset a batch's within-batch running features by the prior
+    cumulative state — counts add, maxes floor — on BOTH the Player_*
+    and Opponent_* sides (same offsets keyed by Opponent preserve the
+    mirror invariant). Plain hash joins: state is |players|x|types|
+    rows, batch-fact sized at worst, and AQE broadcasts it when small.
+    """
+    totals = st.groupBy("Player").agg(
+        F.sum("n_type").cast("int").alias("n_total")
+    )
+    g = (
+        games.join(
+            st.select(
+                "Event", "Player",
+                F.col("n_type").alias("_p_nt"),
+                F.col("elo_max").alias("_p_em"),
+                F.col("elo_max_faced").alias("_p_emf"),
+            ),
+            ["Event", "Player"], "left",
+        )
+        .join(
+            totals.select("Player", F.col("n_total").alias("_p_ntot")),
+            ["Player"], "left",
+        )
+        .join(
+            st.select(
+                "Event",
+                F.col("Player").alias("Opponent"),
+                F.col("n_type").alias("_o_nt"),
+                F.col("elo_max").alias("_o_em"),
+                F.col("elo_max_faced").alias("_o_emf"),
+            ),
+            ["Event", "Opponent"], "left",
+        )
+        .join(
+            totals.select(
+                F.col("Player").alias("Opponent"),
+                F.col("n_total").alias("_o_ntot"),
+            ),
+            ["Opponent"], "left",
+        )
+    )
+    adj = (
+        g.withColumn(
+            "Player_cum_games_type",
+            (F.col("Player_cum_games_type") + F.coalesce("_p_nt", F.lit(0))).cast("int"),
+        )
+        .withColumn(
+            "Player_cum_games_total",
+            (F.col("Player_cum_games_total") + F.coalesce("_p_ntot", F.lit(0))).cast("int"),
+        )
+        .withColumn("PlayerElo_max", F.greatest("PlayerElo_max", "_p_em").cast("int"))
+        .withColumn(
+            "PlayerElo_max_faced", F.greatest("PlayerElo_max_faced", "_p_emf").cast("int")
+        )
+        .withColumn(
+            "Opponent_cum_games_type",
+            (F.col("Opponent_cum_games_type") + F.coalesce("_o_nt", F.lit(0))).cast("int"),
+        )
+        .withColumn(
+            "Opponent_cum_games_total",
+            (F.col("Opponent_cum_games_total") + F.coalesce("_o_ntot", F.lit(0))).cast("int"),
+        )
+        .withColumn("OpponentElo_max", F.greatest("OpponentElo_max", "_o_em").cast("int"))
+        .withColumn(
+            "OpponentElo_max_faced",
+            F.greatest("OpponentElo_max_faced", "_o_emf").cast("int"),
+        )
+    )
+    return adj.drop(
+        "_p_nt", "_p_em", "_p_emf", "_p_ntot", "_o_nt", "_o_em", "_o_emf", "_o_ntot"
+    )
+
+
+def _latest_state_version(spark: SparkSession, state_path: str, before: int):
+    """Highest committed (_SUCCESS-marked) state version strictly below
+    ``before`` — strict so a re-run of batch N after a crash never
+    reads its own partial vN. Hadoop FS API, so any scheme (file:,
+    hdfs:, s3a:) works; no driver-side os.listdir."""
+    jvm = spark._jvm  # noqa: SLF001
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    sp = path_cls(state_path)
+    fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(sp):
+        return None, fs, path_cls
+    best = None
+    for status in fs.listStatus(sp):
+        name = status.getPath().getName()
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        v = int(name[1:])
+        if v >= before or not fs.exists(path_cls(f"{state_path}/{name}/_SUCCESS")):
+            continue
+        best = v if best is None else max(best, v)
+    return best, fs, path_cls
+
+
 def stream_games_ingest(
     spark: SparkSession,
     pgn_glob: str,
@@ -222,6 +332,7 @@ def stream_games_ingest(
     checkpoint_dir: str,
     include_moves: bool = False,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end continuous ingest: arriving PGN chunks -> canonical
     games parquet. The streaming twin of ``plans.ingest.ingest_months``
@@ -237,27 +348,50 @@ def stream_games_ingest(
     they run as ordinary batch jobs (the Spark-idiomatic escape hatch
     for reusing a batch pipeline on a stream).
 
-    Semantics note, mirroring the reference's month-at-a-time reality
-    (ingester.py:172-218): within-player cumulative features are
-    computed per micro-batch; cross-batch continuity is the job of the
-    state-store ops above (running_features_stateful) or a periodic
-    batch recompute. With Trigger.AvailableNow over a fully staged
-    directory everything lands in one batch and the output equals the
-    batch pipeline's exactly (asserted in tests).
+    Cross-batch cumulative state (reference parity: ``d_cum_games``
+    restored at ingester.py:62-85, persisted at ingester.py:269-278):
+    each batch's within-batch running features are OFFSET by a
+    persisted per-(Event, Player) state table — counts add, Elo maxes
+    floor — then the post-offset batch aggregates become the next
+    state version. State lives at ``{out_dir}/_feature_state/v{N}``
+    (underscore prefix: invisible to parquet readers of the output);
+    versions are batch ids, a reader takes the highest committed
+    version STRICTLY below its own id (a crashed batch's partial
+    state is never read, and a re-run overwrites its own version).
+    Like the reference, continuity assumes chunks arrive in event-time
+    order (months in order); a late month needs a batch recompute.
+
+    ``max_files_per_trigger`` rate-limits continuous mode
+    (``available_now=False``). With AvailableNow the Python DataSource
+    runtime falls back to single-batch execution (runtime warning), so
+    a backfill run consumes everything new as ONE batch per run —
+    month-at-a-time arrival means one run per month, as in the
+    reference's CLI loop (ingest_lichess.py:9-27).
 
     Exactly-once: the checkpoint tracks consumed chunk offsets, so a
     restart neither re-ingests nor skips chunks (T3 via the state
-    store, not hand-rolled .json.zst snapshots).
+    store, not hand-rolled .json.zst snapshots). The output append
+    itself is at-least-once on a mid-write crash — same contract as
+    the reference's file writes.
     """
     from ..io import write_parquet
     from ..plans.games import games_pipeline
     from ..sources.pgn_datasource import register_pgn_source
 
     register_pgn_source(spark)
-    raw = spark.readStream.format("pgn").load(pgn_glob)
+    reader = spark.readStream.format("pgn")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(pgn_glob)
+    state_path = f"{out_dir}/_feature_state"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         games = games_pipeline(batch_df, include_moves)
+        prev, fs, path_cls = _latest_state_version(spark, state_path, batch_id)
+        if prev is not None:
+            games = _apply_feature_state(
+                games, spark.read.parquet(f"{state_path}/v{prev}")
+            )
         write_parquet(
             games.withColumn("year", F.year("DateTime")).withColumn(
                 "month", F.month("DateTime")
@@ -266,6 +400,23 @@ def stream_games_ingest(
             partition_by=["year", "month"],
             mode="append",
         )
+        batch_state = _feature_state_of(games)
+        if prev is not None:
+            st = spark.read.parquet(f"{state_path}/v{prev}")
+            batch_state = batch_state.unionByName(
+                st.join(
+                    batch_state.select("Event", "Player"),
+                    ["Event", "Player"],
+                    "left_anti",
+                )
+            )
+        batch_state.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        # prune: keep the version just read (crash recovery) + the new one
+        if prev is not None:
+            for status in fs.listStatus(path_cls(state_path)):
+                name = status.getPath().getName()
+                if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < prev:
+                    fs.delete(status.getPath(), True)
 
     writer = (
         raw.writeStream.foreachBatch(_process)
