@@ -76,7 +76,21 @@ def _perm_coeffs(spark, num_perms: int):
     return _perm_cache[num_perms]
 
 
-def _minhash_sig(sh: "F.Column", num_perms: int) -> "F.Column":
+def _portable_perm_coeffs(num_perms: int):
+    """Arithmetic (hash-free) affine-permutation coefficients for the
+    portable variant: derivable in ANSI SQL by any engine, so a DuckDB
+    oracle can reproduce signatures bit-for-bit. Knuth multiplicative
+    + LCG constants; quality is irrelevant here (any fixed family of
+    distinct affine maps gives valid minhash estimates)."""
+    import numpy as np
+
+    i = np.arange(num_perms, dtype=np.int64)
+    a = (i * 2654435761) % (_MERSENNE_P - 1) + 1
+    b = (i * 1013904223 + 12345) % _MERSENNE_P
+    return a[None, :], b[None, :]
+
+
+def _minhash_sig(sh: "F.Column", num_perms: int, portable: bool = False) -> "F.Column":
     """num_perms minhash values from a shingle array column.
 
     Each shingle is string-hashed ONCE, JVM-side (xxhash64 -> 31-bit
@@ -88,12 +102,21 @@ def _minhash_sig(sh: "F.Column", num_perms: int) -> "F.Column":
     doc that interpreter was the pipeline bottleneck (measured 7.4s
     -> <1s for 5k docs x 54 shingles x 128 perms at sf0.1). numpy
     does the same affine mins at memory bandwidth.
+
+    ``portable=True`` swaps the base hash to the first 8 hex digits of
+    md5 and the coefficients to arithmetic derivations — both exactly
+    reproducible in DuckDB SQL, making the WHOLE pipeline (signatures
+    included) hash-checkable against an oracle. xxhash64 stays the
+    production default (one JVM hash vs md5 + hex parse per shingle).
     """
     import numpy as np
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    A, B = _perm_coeffs(SparkSession.getActiveSession(), num_perms)
+    if portable:
+        A, B = _portable_perm_coeffs(num_perms)
+    else:
+        A, B = _perm_coeffs(SparkSession.getActiveSession(), num_perms)
 
     @pandas_udf("array<bigint>")
     def _sig_udf(base: pd.Series) -> pd.Series:
@@ -106,7 +129,16 @@ def _minhash_sig(sh: "F.Column", num_perms: int) -> "F.Column":
             out.append(((arr * A + B) % _MERSENNE_P).min(axis=0))
         return pd.Series(out, dtype=object)
 
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    if portable:
+        base = F.transform(
+            sh,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+                F.lit(_MERSENNE_P),
+            ),
+        )
+    else:
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
     return _sig_udf(base)
 
 
@@ -241,6 +273,7 @@ def minhash_dedup_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates verified by
     exact shingle-set Jaccard (join back to shingle sets; the
@@ -248,11 +281,17 @@ def minhash_dedup_pairs(
 
     Both the signature branch and the verification branch consume the
     *same* shingled+exchanged subplan, so Spark's ReuseExchange
-    computes shingles once instead of re-scanning the corpus."""
+    computes shingles once instead of re-scanning the corpus.
+
+    ``portable=True``: md5-derived signatures reproducible in DuckDB
+    SQL (see _minhash_sig) — the hash-checked oracle twin; band
+    bucketing itself needs no portability (pairs emerge from signature
+    equality, which is engine-independent once signatures match)."""
     rows_per_band = num_perms // bands
     shingled = _shingled(df, text_col, id_col, shingle_n)
     sigs = shingled.select(
-        F.col(id_col), _minhash_sig(F.col("_sh"), num_perms).alias("signature")
+        F.col(id_col),
+        _minhash_sig(F.col("_sh"), num_perms, portable=portable).alias("signature"),
     )
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, rows_per_band, max_bucket_size=max_bucket_size

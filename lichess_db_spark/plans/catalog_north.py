@@ -211,6 +211,87 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_pairs_portable",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        WHERE doc_id IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2]
+               || ' ' || ts[g.i+3] || ' ' || ts[g.i+4] AS shingle
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 4
+    ),
+    base AS (
+        SELECT doc_id, shingle,
+               (('0x' || substr(md5(shingle), 1, 8))::BIGINT) % 2147483647 AS h
+        FROM sh
+    ),
+    perms AS (
+        SELECT i,
+               (i * 2654435761) % 2147483646 + 1 AS a,
+               (i * 1013904223 + 12345) % 2147483647 AS b
+        FROM range(0, 128) AS r(i)
+    ),
+    sigs AS (
+        SELECT doc_id, p.i, MIN((p.a * base.h + p.b) % 2147483647) AS m
+        FROM base CROSS JOIN perms p
+        GROUP BY doc_id, p.i
+    ),
+    banded AS (
+        SELECT doc_id, (i // 4) AS band_idx,
+               string_agg(m::VARCHAR, '-' ORDER BY i) AS band_key
+        FROM sigs GROUP BY doc_id, (i // 4)
+    ),
+    bucket_sizes AS (
+        SELECT band_idx, band_key, COUNT(*) AS n
+        FROM banded GROUP BY band_idx, band_key
+    ),
+    cands AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x
+        JOIN banded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id
+        JOIN bucket_sizes s ON s.band_idx = x.band_idx AND s.band_key = x.band_key
+        WHERE s.n <= 256
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.2
+    """,
+    "Hash-checked MinHash+LSH twin: base hash = first 8 md5 hex digits, "
+    "affine coefficients derived arithmetically — every stage "
+    "(signatures, banding, bucket cap, Jaccard verify) reproduced in "
+    "DuckDB SQL, so the FULL pipeline is value-verified, not rows-only. "
+    "The xxhash64 production path (dedup_minhash_pairs) keeps the "
+    "cheaper JVM hash; band bucketing needs no cross-engine parity "
+    "because pairs emerge from signature equality alone.",
+)
+def dedup_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perms=128,
+        shingle_n=5,
+        bands=32,
+        threshold=0.2,
+        max_bucket_size=dd.DEFAULT_MAX_BUCKET_SIZE,
+        portable=True,
+    )
+
+
+@register(
     "dedup_simhash",
     None,  # xxhash64-based
     "SimHash-64 signature groups (identical-signature docs). Cheapest "
