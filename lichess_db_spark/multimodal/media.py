@@ -42,7 +42,18 @@ DECODE_SCHEMA = StructType(
     ]
 )
 
-HAVE_REAL_CODECS = False  # PIL / soundfile / av are not installed here
+# PIL-if-available gate (same pattern as the protobuf gate on
+# transformWithStateInPandas): real decode when the library exists in
+# the environment, deterministic stub otherwise — identical schema
+# either way. Executors re-import this module, so the gate resolves
+# per-process, not just on the driver.
+try:
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_REAL_CODECS = True
+except ImportError:
+    _PILImage = None
+    HAVE_REAL_CODECS = False
 
 
 def _decode_stub(doc_id: "pd.Series", data: "pd.Series") -> "pd.DataFrame":
@@ -71,13 +82,64 @@ def _decode_stub(doc_id: "pd.Series", data: "pd.Series") -> "pd.DataFrame":
     )
 
 
-def decode_images(df: DataFrame, id_col: str = "doc_id", data_col: str = "data") -> DataFrame:
-    """binary column -> decoded metadata via Arrow-batched mapInPandas."""
+def _decode_pil(doc_id: "pd.Series", data: "pd.Series") -> "pd.DataFrame":
+    """Real PIL decoder — active when PIL is importable. Same schema as
+    the stub; blobs PIL can't parse yield NULL width/height/format
+    (web-scale reality: one corrupt blob must not kill the Arrow
+    batch). ``Image.open`` reads only the header lazily, so metadata
+    extraction never decompresses full pixel data."""
+    import io
+
+    import pandas as pd
+
+    widths: list = []
+    heights: list = []
+    fmts: list = []
+    for blob in data:
+        try:
+            img = _PILImage.open(io.BytesIO(blob))
+            w, h = img.size
+            widths.append(w)
+            heights.append(h)
+            fmts.append((img.format or "").lower() or None)
+        except Exception:  # corrupt / non-image blob
+            widths.append(None)
+            heights.append(None)
+            fmts.append(None)
+    return pd.DataFrame(
+        {
+            "doc_id": doc_id,
+            "n_bytes": data.str.len().astype("int64"),
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "format": fmts,
+        }
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    use_real: bool | None = None,
+) -> DataFrame:
+    """binary column -> decoded metadata via Arrow-batched mapInPandas.
+
+    ``use_real=None`` (default) picks the PIL decoder when PIL is
+    importable, the deterministic stub otherwise; pass True/False to
+    force (True without PIL raises up front, not per-task)."""
+    if use_real is None:
+        use_real = HAVE_REAL_CODECS
+    if use_real and not HAVE_REAL_CODECS:
+        raise ImportError(
+            "decode_images(use_real=True) requires PIL; install pillow "
+            "or use the deterministic stub (use_real=False)"
+        )
+    decode = _decode_pil if use_real else _decode_stub
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = _decode_stub(pdf[id_col], pdf[data_col])
-            yield out
+            yield decode(pdf[id_col], pdf[data_col])
 
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 

@@ -596,17 +596,18 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     "Multimodal decode pipeline: binary -> (bytes, width, height, format) "
-    "via an Arrow-batched mapInPandas 'decoder' (deterministic stub — "
-    "image libs absent in this container; the Spark-side plumbing, "
-    "schema, and batch shape are real). Oracle mirrors the stub "
-    "arithmetic.",
+    "via an Arrow-batched mapInPandas 'decoder'. Pinned to the "
+    "deterministic stub (use_real=False) so the oracle arithmetic holds "
+    "in any environment; decode_images defaults to the REAL PIL decoder "
+    "when pillow is importable (same schema, NULL metadata for corrupt "
+    "blobs) — the PIL-gated twin of the protobuf-gated TWS operator.",
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.media import decode_images
 
     d = _t(spark, sf_dir, "documents")
     binary = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
-    return decode_images(binary)
+    return decode_images(binary, use_real=False)
 
 
 @register(

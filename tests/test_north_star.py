@@ -135,7 +135,7 @@ def test_multimodal_decode_plumbing(spark, docs):
     from lichess_db_spark.multimodal.media import decode_images, frame_sample_stub
 
     binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
-    out = decode_images(binary)
+    out = decode_images(binary, use_real=False)  # stub arithmetic asserted below
     rows = out.orderBy("doc_id").limit(3).collect()
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_bytes", "width", "height", "format",
@@ -144,6 +144,43 @@ def test_multimodal_decode_plumbing(spark, docs):
     assert r.n_bytes > 0 and r.width % 64 == 0 and r.format in ("png", "jpeg")
     frames = frame_sample_stub(binary.limit(2), n_frames=4)
     assert frames.count() == 8
+
+
+def test_decode_real_requires_pil(spark, docs):
+    """Forcing the real decoder without PIL fails up front with a clear
+    ImportError, not per-task; where PIL exists the gate defaults to it
+    (exercised in test_decode_real_pil below)."""
+    from lichess_db_spark.multimodal.media import HAVE_REAL_CODECS, decode_images
+
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    if HAVE_REAL_CODECS:
+        pytest.skip("PIL present: use_real=True is valid here")
+    with pytest.raises(ImportError, match="pillow"):
+        decode_images(binary, use_real=True)
+
+
+def test_decode_real_pil(spark):
+    """Real-decoder path (runs wherever pillow is installed): a genuine
+    PNG yields its true dimensions; a corrupt blob yields NULL metadata
+    without killing the batch. Same output schema as the stub."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from lichess_db_spark.multimodal.media import decode_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, data binary",
+    )
+    rows = {r.doc_id: r for r in decode_images(df).collect()}
+    assert rows[1].width == 17 and rows[1].height == 9 and rows[1].format == "png"
+    assert rows[1].n_bytes == len(png)
+    assert rows[2].width is None and rows[2].format is None
 
 
 def test_binary_file_source_pathway(spark, tmp_path):
