@@ -185,6 +185,38 @@ def test_global_rank_avoids_single_partition_window(spark):
     assert a == b and len(a) > 0
 
 
+def test_spread_barrier_only_has_no_exchange(spark):
+    """spread(barrier_only=True) — the scan-dominated variant — must
+    keep the projection barrier WITHOUT a cluster-wide exchange: no
+    Exchange node anywhere, the barrier is an Arrow identity pass, and
+    a filter on the derived column stays above it instead of being
+    pushed into the scan with the derivation re-inlined."""
+    from lichess_db_spark.functions.text import word_shingles
+    from lichess_db_spark.operators._util import spread
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    proj = docs.select("doc_id", word_shingles("text", 5).alias("_sh"))
+    barriered = spread(proj, barrier_only=True)
+    q = barriered.where(F.size("_sh") > 3).select(
+        "doc_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("h")
+    )
+    plan = _plan(q, "simple")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan[:2000]
+    # pushdown blocked: the filter references the barrier's output
+    # column, and nothing above the barrier re-derives the shingles (a
+    # pushed-through filter would re-inline the split/transform chain)
+    above = plan.split("MapInArrow")[0]
+    assert "split(text" not in above, plan[:3000]
+    assert "Filter (size(_sh" in plan, plan[:3000]
+
+    # same values as the exchange form
+    plain = spread(proj).where(F.size("_sh") > 3).select("doc_id")
+    assert sorted(r.doc_id for r in q.select("doc_id").collect()) == sorted(
+        r.doc_id for r in plain.collect()
+    )
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join handling (on in session.py): a hot key whose
     partition exceeds the (lowered) skew threshold must be split at
