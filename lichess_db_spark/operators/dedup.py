@@ -198,6 +198,7 @@ def minhash_lsh_candidates(
     bands: int = 32,
     rows_per_band: int = 4,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash).
 
@@ -212,8 +213,17 @@ def minhash_lsh_candidates(
     (boilerplate, empty-ish docs) is a low-information d² pair bomb —
     one 1M-doc bucket alone would emit 5e11 pairs. Members of a capped
     bucket can still pair through their other ``bands-1`` buckets;
-    literal exact duplicates should be removed by exact_dedup_groups
-    *before* MinHash, as the reference pipeline orders it.
+    **run exact_dedup_groups first** — a corpus of literal exact
+    duplicates floods every band bucket and the cap then silently
+    drops those pairs (by design; exact dups are the cheaper tier's
+    job).
+
+    ``observation`` (a ``pyspark.sql.Observation``): the cap is a
+    silent-recall hazard, so pass an Observation to make it
+    observable — after the first action, ``observation.get`` reports
+    ``capped_buckets`` (buckets dropped by the cap) and
+    ``max_bucket_size_seen``; the metrics ride the candidate job
+    itself (no extra pass over the data).
     """
     # sigs carry no nulls (minhash_signatures drops shingle-less docs);
     # filtering on the signature here would push the predicate below
@@ -234,6 +244,17 @@ def minhash_lsh_candidates(
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
+    if observation is not None:
+        over_cap = (
+            F.size("ids") > max_bucket_size
+            if max_bucket_size is not None
+            else F.lit(False)
+        )
+        buckets = buckets.observe(
+            observation,
+            F.count(F.when(over_cap, 1)).alias("capped_buckets"),
+            F.max(F.size("ids")).alias("max_bucket_size_seen"),
+        )
     size_ok = F.size("ids") > 1
     if max_bucket_size is not None:
         # verified sf0.1 buckets max out at 4, so the default cap of
@@ -274,10 +295,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     portable: bool = False,
+    observation=None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates verified by
     exact shingle-set Jaccard (join back to shingle sets; the
     verification join touches only candidate pairs).
+
+    ``observation``: forwarded to minhash_lsh_candidates — surfaces
+    capped-bucket counts after the first action (silent-recall guard).
 
     Both the signature branch and the verification branch consume the
     *same* shingled+exchanged subplan, so Spark's ReuseExchange
@@ -294,7 +319,8 @@ def minhash_dedup_pairs(
         _minhash_sig(F.col("_sh"), num_perms, portable=portable).alias("signature"),
     )
     cands = minhash_lsh_candidates(
-        sigs, id_col, bands, rows_per_band, max_bucket_size=max_bucket_size
+        sigs, id_col, bands, rows_per_band,
+        max_bucket_size=max_bucket_size, observation=observation,
     )
     sets_df = shingled.select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
     a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))

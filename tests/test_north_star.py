@@ -56,12 +56,20 @@ def test_minhash_hot_bucket_cap_bounds_pair_output(spark):
     ]
     docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
 
-    capped = dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    from pyspark.sql import Observation
+
+    obs = Observation("minhash_cap")
+    capped = dd.minhash_dedup_pairs(docs, threshold=0.5, observation=obs).collect()
     capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
     assert (1000, 1001) in capped_pairs
     # every boilerplate bucket (600 members) exceeds the cap in all 32
     # bands, so no boilerplate pair survives and output stays tiny
     assert len(capped_pairs) == 1, sorted(capped_pairs)[:10]
+    # the recall loss is OBSERVABLE, not silent: the observation rode
+    # the job and reports the dropped hot buckets
+    metrics = obs.get
+    assert metrics["capped_buckets"] >= 32, metrics
+    assert metrics["max_bucket_size_seen"] >= 600, metrics
 
     # disabling the cap floods: the same corpus emits the full d² set
     uncapped = dd.minhash_lsh_candidates(
