@@ -164,6 +164,13 @@ def _asof_broadcast_pick(
     left_time: str,
     right_time: str,
 ) -> DataFrame:
+    if right_key in left.columns:
+        raise ValueError(
+            f"asof_join(strategy='broadcast_pick'): right key "
+            f"{right_key!r} collides with a left column, making the "
+            "join condition ambiguous; rename one side (union_window "
+            "handles identical key names)"
+        )
     payload = _payload_cols(right, right_key, right_time)
     joined = left.join(
         F.broadcast(right),

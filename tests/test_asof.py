@@ -138,6 +138,29 @@ def test_name_collision_raises(spark):
             left_time="ts", right_time="o_orderdate",
         )
 
+    # broadcast_pick additionally needs a non-colliding right key (the
+    # equi-join condition would be ambiguous); union_window aliases it
+    # away and accepts identical names
+    right2 = spark.createDataFrame(
+        [(10, "2024-01-01", 5.0)],
+        "user_id long, o_orderdate string, total double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    left2 = left.drop("day_total")
+    with pytest.raises(ValueError, match="broadcast_pick"):
+        asof_join(
+            left2, right2,
+            left_key="user_id", right_key="user_id",
+            left_time="ts", right_time="o_orderdate",
+            strategy="broadcast_pick",
+        )
+    ok = asof_join(
+        left2, right2,
+        left_key="user_id", right_key="user_id",
+        left_time="ts", right_time="o_orderdate",
+        strategy="union_window",
+    ).collect()
+    assert len(ok) == 1 and ok[0]["total"] == 5.0
+
 
 def test_union_window_plan_has_no_broadcast(spark):
     """The default strategy must survive a fact-sized right side: no
