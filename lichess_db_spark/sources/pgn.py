@@ -27,7 +27,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -110,42 +110,89 @@ def _assemble_games(with_id: DataFrame, text_col: str) -> DataFrame:
 
 
 def parse_pgn_text(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed PGN parse with contractual per-file line order.
+    """Distributed PGN parse: ZERO shuffles, contractual line order.
 
     Each staged chunk is read whole via the ``binaryFile`` source
-    (non-splittable BY CONTRACT) and split into lines with
-    ``posexplode``, so a line's position comes from the file's own
-    byte content — not from ``monotonically_increasing_id``, whose
-    ordering depended on FileSourceScan packing a file's splits into
-    partitions in offset order (true today, but not contractual; a
-    packing change would silently reassemble games wrong).
+    (non-splittable BY CONTRACT), so a line's position comes from the
+    file's own byte content — not from ``monotonically_increasing_id``,
+    whose ordering depended on FileSourceScan packing a file's splits
+    into partitions in offset order (true today, but not contractual;
+    a packing change would silently reassemble games wrong).
+
+    Game assembly happens INSIDE the file row with array expressions
+    (split / filter / transform / map_from_entries), then one
+    ``posexplode`` emits a row per game: the whole parse is map-only.
+    The previous form exploded lines and regrouped them with a
+    per-file window + a per-game groupBy — two cluster-wide shuffles
+    of every PGN line; at 100 TB that shuffle IO dominated the parse.
+    Per the reference state machine (ingester.py:139-235): a
+    non-header non-blank line is a game's moves line and closes the
+    game; header lines since the previous moves line belong to it;
+    malformed header lines are ignored; a trailing moves-less header
+    block is dropped.
 
     Games never straddle *files* after staging (sources.staging cuts
     at blank lines). Memory/parallelism: one staged chunk (~128MB by
-    construction) decodes in one task — the same per-file granularity
-    the grouping window's shuffle already imposed, minus the hazard.
+    construction) decodes in one task — the unit of parallelism is the
+    chunk file, same as before, minus both shuffles.
     """
     files = spark.read.format("binaryFile").load(path)
-    lines = files.select(
+    # _lines and _midx are materialized in SEPARATE projections: each
+    # is referenced many times by downstream lambdas, and referencing
+    # the raw expression there would re-evaluate it per element access
+    # (split of the whole chunk per line — O(lines²) per file).
+    # Multi-referenced non-cheap expressions are exactly what
+    # CollapseProject refuses to inline, so the steps stay distinct.
+    staged = files.select(
         F.col("path").alias("_file"),
-        F.posexplode(
-            F.split(F.decode(F.col("content"), "UTF-8"), "\r?\n")
-        ).alias("_pos", "value"),
+        F.split(F.decode(F.col("content"), "UTF-8"), "\r?\n").alias("_lines"),
     )
-    w = Window.partitionBy("_file").orderBy("_pos")
-    is_moves = (~F.col("value").startswith("[")) & (F.trim(F.col("value")) != "")
-    with_id = lines.withColumn(
-        "game_id",
-        F.concat_ws(
-            "#",
-            F.col("_file"),
-            (
-                F.sum(F.when(is_moves, 1).otherwise(0)).over(w)
-                - F.when(is_moves, 1).otherwise(0)
-            ).cast("string"),
-        ),
+    lines = F.col("_lines")
+    line = lambda i: F.element_at(lines, i + 1)  # noqa: E731  (0-based)
+    # 0-based positions of moves lines (= game ends)
+    staged = staged.select(
+        "_file",
+        "_lines",
+        F.filter(
+            F.sequence(F.lit(0), F.size(lines) - 1),
+            lambda i: (~line(i).startswith("[")) & (F.trim(line(i)) != ""),
+        ).alias("_midx"),
     )
-    return _assemble_games(with_id, "value")
+    midx = F.col("_midx")
+
+    def game(m: Column, i: Column) -> Column:
+        # headers live between the previous game's moves line and m
+        prev = F.when(i == 0, F.lit(-1)).otherwise(F.element_at(midx, i))
+        rng = F.when(m - 1 >= prev + 1, F.sequence(prev + 1, m - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        hlines = F.filter(
+            F.transform(rng, lambda j: line(j)), lambda l: l.startswith("[")
+        )
+        entries = F.transform(
+            hlines,
+            lambda l: F.struct(
+                F.regexp_extract(l, r'\[(\S+)\s"', 1).alias("k"),
+                F.regexp_extract(l, r'\[\S+\s"(.*)"\]', 1).alias("v"),
+            ),
+        )
+        return F.struct(
+            F.map_from_entries(
+                F.filter(entries, lambda e: e["k"] != "")  # malformed -> ignored
+            ).alias("h"),
+            line(m).alias("Moves"),
+        )
+
+    exploded = staged.select(
+        "_file",
+        F.posexplode(F.transform(midx, game)).alias("_gi", "_g"),
+    )
+    cols = [F.col("_g.h").getItem(f).alias(f) for f in HEADER_FIELDS]
+    return exploded.select(
+        F.concat_ws("#", F.col("_file"), F.col("_gi").cast("string")).alias("game_id"),
+        *cols,
+        F.col("_g.Moves").alias("Moves"),
+    )
 
 
 def parse_pgn_partitions(lines_iter: Iterator[str]) -> Iterator[dict]:

@@ -217,6 +217,25 @@ def test_spread_barrier_only_has_no_exchange(spark):
     )
 
 
+def test_pgn_parse_is_map_only(spark):
+    """The PGN parse must be shuffle-free: game assembly happens inside
+    the file row with array expressions (binaryFile -> split -> filter/
+    transform -> posexplode). The previous form exploded lines and
+    regrouped them with a per-file window + per-game groupBy — two
+    cluster-wide shuffles of every PGN line, pure waste since binaryFile
+    already colocates a file's lines in one task."""
+    import os
+
+    from lichess_db_spark.sources.pgn import parse_pgn_text
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "games.pgn")
+    df = parse_pgn_text(spark, fixture)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Sort" not in plan, plan[:2000]
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join handling (on in session.py): a hot key whose
     partition exceeds the (lowered) skew threshold must be split at
