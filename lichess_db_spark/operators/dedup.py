@@ -368,13 +368,22 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
     )
     if max_shingle_doc_freq is not None:
-        freq_ok = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_shingle_doc_freq)
-            .select("shingle")
+        # posting-list length as a WINDOW count over the shingle
+        # partitioning, not an aggregate + equi-join back: the window's
+        # hash exchange on `shingle` is exactly the distribution the
+        # pairing self-join below needs, so Catalyst reuses ONE
+        # explode+exchange for the whole query instead of re-scanning
+        # and re-exploding the corpus per consumer (measured: 8 scans /
+        # 14 exchanges -> shared subplan).
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("_df") <= max_shingle_doc_freq)
+            .drop("_df")
         )
-        sh = sh.join(freq_ok, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
