@@ -37,6 +37,9 @@ _TOUCHED_THIS_ROUND = (
     "tfidf_top_terms",              # spread() call-site
     "mm_decode_stub",               # PIL-if-available gate
     "mm_binary_meta",
+    "text_repetition_stats",        # new: C4/Gopher repetition filters
+    "dedup_ngram_jaccard_capped",   # window-count cap rewrite
+    "dedup_ngram_jaccard",
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -559,6 +559,82 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, COUNT(*) AS n2,
+               COUNT(DISTINCT ts[g.i] || ' ' || ts[g.i+1]) AS d2
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 1
+        GROUP BY doc_id
+    ),
+    g5 AS (
+        SELECT doc_id, COUNT(*) AS n5,
+               COUNT(DISTINCT ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2]
+                     || ' ' || ts[g.i+3] || ' ' || ts[g.i+4]) AS d5
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 4
+        GROUP BY doc_id
+    ),
+    words AS (
+        SELECT doc_id, unnest(ts) AS w FROM toks
+    ),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    hap AS (
+        SELECT doc_id,
+               COUNT(*) FILTER (WHERE c = 1) AS hapax,
+               COUNT(*) AS uniq
+        FROM wc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           1 - CAST(g2.d2 AS DOUBLE) / g2.n2 AS dup_2gram_frac,
+           1 - CAST(g5.d5 AS DOUBLE) / g5.n5 AS dup_5gram_frac,
+           CAST(hap.hapax AS DOUBLE) / hap.uniq AS hapax_ratio
+    FROM toks t
+    LEFT JOIN g2 ON g2.doc_id = t.doc_id
+    LEFT JOIN g5 ON g5.doc_id = t.doc_id
+    LEFT JOIN hap ON hap.doc_id = t.doc_id
+    """,
+    "Repetition quality filters (C4/Gopher family): duplicate word-2gram "
+    "and word-5gram fractions plus hapax ratio (once-occurring words / "
+    "vocabulary) per document. Spark side is pure array expressions — "
+    "map-only, ZERO shuffle: each doc computes its own stats in place, "
+    "where the oracle needs three grouped subqueries. Raw IEEE "
+    "divisions, no rounding (cross-engine bit-identical).",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+
+    def dup_frac(n: int) -> F.Column:
+        g = word_shingles("text", n)
+        return F.when(
+            F.size(g) > 0,
+            F.lit(1) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        )
+
+    uniq = F.array_distinct(ts)
+    hapax = F.size(
+        F.filter(uniq, lambda w: F.size(F.filter(ts, lambda t: t == w)) == 1)
+    )
+    return d.select(
+        "doc_id",
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(5).alias("dup_5gram_frac"),
+        F.when(
+            F.size(uniq) > 0, hapax.cast("double") / F.size(uniq)
+        ).alias("hapax_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
