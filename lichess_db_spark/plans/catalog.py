@@ -38,6 +38,7 @@ _TOUCHED_THIS_ROUND = (
     "mm_decode_stub",               # PIL-if-available gate
     "mm_binary_meta",
     "text_repetition_stats",        # new: C4/Gopher repetition filters
+    "dedup_keep_representatives",   # new: dedup decision applied
     "dedup_ngram_jaccard_capped",   # window-count cap rewrite
     "dedup_ngram_jaccard",
 )

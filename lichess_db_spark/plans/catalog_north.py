@@ -187,6 +187,35 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+_KEEP_REPS_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node",
+    """, assign AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN assign a ON a.doc_id = d.doc_id
+WHERE a.doc_id IS NULL OR a.cluster_id = a.doc_id""",
+)
+
+
+@register(
+    "dedup_keep_representatives",
+    _KEEP_REPS_ORACLE,
+    "The dedup decision APPLIED — the operator a corpus pipeline "
+    "actually runs: every document survives except non-representative "
+    "cluster members (representative = min doc_id per near-dup "
+    "cluster). Spark side: cluster assignment -> anti-join of the "
+    "corpus against non-representatives; at 100 TB the anti-join "
+    "shuffles only (doc_id) keys, never text.",
+)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.2)
+    labels = dd.connected_components(pairs)
+    drop = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
 @register(
     "dedup_minhash_pairs",
     None,  # xxhash64-based signatures: not reproducible in the oracle
