@@ -168,6 +168,33 @@ def train_ivf_index(
     return IVFIndex(_kmeans(X, n_lists, seed, max_iter))
 
 
+def _ivf_kernels(C, n_probe: int):
+    """The two IVF assignment kernels over a centroid matrix C: nearest
+    list per vector, and the n_probe nearest lists per query — each ONE
+    Arrow matmul per batch (argmin ||x-c||² == argmax x·c − ||c||²/2)."""
+    import numpy as np
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c_half = 0.5 * (C * C).sum(1)
+    n_probe_eff = min(n_probe, len(C))
+
+    @pandas_udf(IntegerType())
+    def _nearest(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series((X @ C.T - c_half).argmax(1).astype("int32"))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        scores = X @ C.T - c_half
+        order = np.argsort(-scores, axis=1)[:, :n_probe_eff].astype("int32")
+        return pd.Series(list(order))
+
+    return _nearest, _probes
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,24 +237,7 @@ def ivf_topk(
     if index is None:
         X = _sample_vectors(corpus_v, "c_vec", "neighbor_id", sample_cap)
         index = IVFIndex(_kmeans(X, n_lists, seed, max_iter))
-    C = index.centroids  # (n_lists, dim)
-    c_half = 0.5 * (C * C).sum(1)  # argmin ||x-c||^2 == argmax x.c - ||c||^2/2
-    n_probe_eff = min(n_probe, len(C))
-
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    @pandas_udf(IntegerType())
-    def _nearest(vecs: pd.Series) -> pd.Series:
-        X = np.array(vecs.tolist(), dtype=np.float64)
-        return pd.Series((X @ C.T - c_half).argmax(1).astype("int32"))
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def _probes(vecs: pd.Series) -> pd.Series:
-        X = np.array(vecs.tolist(), dtype=np.float64)
-        scores = X @ C.T - c_half
-        order = np.argsort(-scores, axis=1)[:, :n_probe_eff].astype("int32")
-        return pd.Series(list(order))
+    _nearest, _probes = _ivf_kernels(index.centroids, n_probe)
 
     # corpus assignment = nearest centroid (n_probe=1 of the same kernel)
     assigned = corpus_v.select(
@@ -240,6 +250,72 @@ def ivf_topk(
     )
 
     cands = assigned.join(F.broadcast(q_probed), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("q_vec", "c_vec"), 3).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_write_partitioned(
+    corpus: DataFrame,
+    index: IVFIndex,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists as the AT-REST layout: corpus
+    assigned to its nearest list and written ``partitionBy(list_id)``.
+    At 100 TB this is how the index actually lives — each list is a
+    hive partition, so an n_probe search becomes a partition-pruned
+    scan touching n_probe/n_lists of the files (asserted via
+    PartitionFilters in the search plan), instead of assigning the
+    whole corpus per query job."""
+    nearest, _ = _ivf_kernels(index.centroids, 1)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        nearest(F.col(vec_col)).alias("list_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_search_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    index: IVFIndex,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a list-partitioned IVF corpus (``ivf_write_partitioned``)
+    with partition pruning: the union of the query batch's probe lists
+    becomes a LITERAL ``isin`` filter on the partition column, so the
+    scan reads only those hive partitions (``PartitionFilters`` in the
+    plan — the batch-query twin of FAISS's per-list seek). The probe
+    union is collected driver-side: the query batch is the small side
+    by definition (the corpus is the 100 TB side). Results are
+    identical to ``ivf_topk`` with the same index."""
+    _, probes = _ivf_kernels(index.centroids, n_probe)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_probed = q.select(
+        "query_id", "q_vec", F.explode(probes("q_vec")).alias("list_id")
+    )
+    probe_ids = sorted(
+        r.list_id for r in q_probed.select("list_id").distinct().collect()
+    )
+    corpus = spark.read.parquet(path).where(F.col("list_id").isin(probe_ids))
+    cands = corpus.join(F.broadcast(q_probed), "list_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cands.select(

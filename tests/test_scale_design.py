@@ -217,6 +217,34 @@ def test_spread_barrier_only_has_no_exchange(spark):
     )
 
 
+def test_ivf_partitioned_search_prunes(spark, tmp_path):
+    """IVF at rest: corpus written partitionBy(list_id); the n_probe
+    search must (a) prune to the probe partitions (PartitionFilters on
+    list_id in the scan) and (b) return exactly what the in-memory
+    ivf_topk returns with the same index — the at-scale layout changes
+    IO, not results."""
+    from lichess_db_spark.operators.similarity import (
+        ivf_search_partitioned,
+        ivf_topk,
+        ivf_write_partitioned,
+        train_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    index = train_ivf_index(emb)
+    path = str(tmp_path / "ivf_corpus")
+    ivf_write_partitioned(emb, index, path)
+
+    got_df = ivf_search_partitioned(spark, path, queries, index, k=5, n_probe=4)
+    plan = _plan(got_df, "simple")
+    assert "PartitionFilters: [list_id" in plan, plan[:2500]
+
+    want = sorted(map(tuple, ivf_topk(emb, queries, k=5, index=index).collect()))
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_pgn_parse_is_map_only(spark):
     """The PGN parse must be shuffle-free: game assembly happens inside
     the file row with array expressions (binaryFile -> split -> filter/
