@@ -331,6 +331,68 @@ def ivf_search_partitioned(
     )
 
 
+class PQIndex:
+    """Trained product-quantization codebooks: one (K, dim/M) centroid
+    matrix per subspace. Persisted as a tiny parquet dataset (one row
+    per (subspace, code) centroid) exactly like ``IVFIndex`` — at
+    100 TB the codebooks are trained once on a sample, saved beside
+    the encoded corpus, and every scoring job loads them instead of
+    retraining (retraining would also silently invalidate previously
+    encoded codes)."""
+
+    def __init__(self, books) -> None:
+        import numpy as np
+
+        self.books = [np.asarray(b, dtype=np.float64) for b in books]
+
+    def save(self, spark, path: str) -> None:
+        rows = [
+            (m, k, [float(v) for v in c])
+            for m, B in enumerate(self.books)
+            for k, c in enumerate(B)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "subspace int, code int, centroid array<double>"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQIndex":
+        rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+        books: dict[int, list] = {}
+        for r in rows:
+            books.setdefault(r.subspace, []).append(r.centroid)
+        return cls([books[m] for m in sorted(books)])
+
+
+def train_pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_cap: int = 4096,
+) -> PQIndex:
+    """Train PQ codebooks on a deterministic corpus sample (seeded
+    per-subspace k-means, same regime as ``train_ivf_index``)."""
+    X = _sample_vectors(corpus.select(id_col, vec_col), vec_col, id_col, sample_cap)
+    dim = X.shape[1]
+    assert dim % n_subspaces == 0, "dim must divide into subspaces"
+    sub = dim // n_subspaces
+    return PQIndex(
+        [
+            _kmeans(X[:, m * sub : (m + 1) * sub], n_centroids, seed + m, max_iter)
+            for m in range(n_subspaces)
+        ]
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -343,6 +405,7 @@ def pq_topk(
     max_iter: int = 10,
     sample_cap: int = 4096,
     rerank: int = 4,
+    index: PQIndex | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: the memory-bound-corpus path.
 
@@ -385,15 +448,20 @@ def pq_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
     )
-    X = _sample_vectors(corpus_v, "c_vec", "neighbor_id", sample_cap)
-    dim = X.shape[1]
-    assert dim % n_subspaces == 0, "dim must divide into subspaces"
-    sub = dim // n_subspaces
-    # per subspace: (K, sub) centroids over that dim-slice
-    books = [
-        _kmeans(X[:, m * sub : (m + 1) * sub], n_centroids, seed + m, max_iter)
-        for m in range(n_subspaces)
-    ]
+    if index is None:
+        X = _sample_vectors(corpus_v, "c_vec", "neighbor_id", sample_cap)
+        dim = X.shape[1]
+        assert dim % n_subspaces == 0, "dim must divide into subspaces"
+        sub = dim // n_subspaces
+        # per subspace: (K, sub) centroids over that dim-slice
+        books = [
+            _kmeans(X[:, m * sub : (m + 1) * sub], n_centroids, seed + m, max_iter)
+            for m in range(n_subspaces)
+        ]
+    else:
+        books = index.books
+        n_subspaces = len(books)
+        sub = books[0].shape[1]
 
     # encode: per subspace, argmin_k ||slice - centroid_k||^2 — one
     # Arrow batch at a time, ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 with

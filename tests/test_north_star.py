@@ -294,6 +294,31 @@ def test_ivf_index_save_load_roundtrip(spark, emb, tmp_path):
     assert fresh == reloaded and len(fresh) == 50
 
 
+def test_pq_index_save_load_roundtrip(spark, emb, tmp_path):
+    """PQ codebooks persist like the IVF quantizer: saved+loaded books
+    reproduce the fresh-trained search exactly — retraining would also
+    silently invalidate previously encoded corpus codes, so the
+    persisted books are the contract."""
+    import numpy as np
+
+    from lichess_db_spark.operators.similarity import (
+        PQIndex,
+        pq_topk,
+        train_pq_index,
+    )
+
+    idx = train_pq_index(emb)
+    path = str(tmp_path / "pq_index")
+    idx.save(spark, path)
+    loaded = PQIndex.load(spark, path)
+    assert len(idx.books) == len(loaded.books)
+    assert all(np.array_equal(a, b) for a, b in zip(idx.books, loaded.books))
+    q = emb.where(F.col("vec_id") < 10)
+    fresh = {tuple(r) for r in pq_topk(emb, q, k=5, index=idx).collect()}
+    reloaded = {tuple(r) for r in pq_topk(emb, q, k=5, index=loaded).collect()}
+    assert fresh == reloaded and len(fresh) == 50
+
+
 def test_pq_recall_vs_brute_force(emb):
     from lichess_db_spark.operators.similarity import pq_topk
 
