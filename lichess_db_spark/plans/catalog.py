@@ -39,6 +39,7 @@ _TOUCHED_THIS_ROUND = (
     "mm_binary_meta",
     "text_repetition_stats",        # new: C4/Gopher repetition filters
     "dedup_keep_representatives",   # new: dedup decision applied
+    "format_roundtrip_orc",         # new: ORC columnar round-trip
     "dedup_ngram_jaccard_capped",   # window-count cap rewrite
     "dedup_ngram_jaccard",
 )

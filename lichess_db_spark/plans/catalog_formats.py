@@ -91,3 +91,30 @@ def format_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "format_roundtrip_orc",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Columnar-format portability: lineitem -> ORC (zlib) -> read back "
+    "-> grouped decimal-exact aggregate, oracle on the ORIGINAL "
+    "parquet. ORC is the other columnar interchange format a warehouse "
+    "migration meets; predicate pushdown and column pruning work the "
+    "same as parquet (built-in vectorized reader). spark-avro is not "
+    "on this classpath, so the row-format twin stays parquet/CSV/JSON.",
+)
+def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _scratch(sf_dir, "orc_lineitem")
+    li.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.schema(li.schema).orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        decimal_sum("l_extendedprice", 2, "total_price"),
+    )
