@@ -40,6 +40,7 @@ _TOUCHED_THIS_ROUND = (
     "text_repetition_stats",        # new: C4/Gopher repetition filters
     "dedup_keep_representatives",   # new: dedup decision applied
     "format_roundtrip_orc",         # new: ORC columnar round-trip
+    "salted_join_event_segments",   # new: skew salting, result-invisible
     "dedup_ngram_jaccard_capped",   # window-count cap rewrite
     "dedup_ngram_jaccard",
 )

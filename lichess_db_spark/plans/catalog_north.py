@@ -664,6 +664,39 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_event_segments",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    "Skew-mitigation salted join, driver-verified: the events fact "
+    "joins the small customer dim through operators.skew.salted_join "
+    "(dim replicated salt x, fact rows sprayed across replicas — a hot "
+    "user's rows land on salt tasks instead of one). Salting must be "
+    "result-invisible, so the oracle is the PLAIN join: a hash match "
+    "proves the mitigation changes the physical plan, not the answer. "
+    "Decimal-exact sum for order independence.",
+)
+def salted_join_event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import decimal_sum
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", salt=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        decimal_sum("value", 6, "value_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
