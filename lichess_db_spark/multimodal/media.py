@@ -22,6 +22,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -153,10 +154,72 @@ def frame_sample_stub(df: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("data", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Resize blobs to (width, height) via Arrow-batched mapInPandas —
+    PIL-gated like decode_images. A resize cannot be faked with a
+    deterministic stub (the output IS pixel data), so without pillow
+    this raises up front; blobs PIL can't parse yield a NULL data cell
+    rather than killing the batch. Re-encodes as PNG (deterministic,
+    lossless)."""
+    if not HAVE_REAL_CODECS:
+        raise ImportError(
+            "resize_images requires PIL (pillow); decode_images has a "
+            "stub fallback because metadata can be faked — pixels cannot"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_data, ws, hs = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                out_ids.append(doc_id)
+                try:
+                    img = _PILImage.open(io.BytesIO(blob)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_data.append(buf.getvalue())
+                    ws.append(width)
+                    hs.append(height)
+                except Exception:
+                    out_data.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "data": out_data,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def resize_stub(*_args, **_kwargs):
     raise NotImplementedError(
         "image resize requires PIL/opencv (absent in this container); "
-        "the mapInPandas contract matches decode_images"
+        "use resize_images where pillow is installed — the mapInPandas "
+        "contract matches decode_images"
     )
 
 

@@ -191,6 +191,42 @@ def test_decode_real_pil(spark):
     assert rows[2].width is None and rows[2].format is None
 
 
+def test_resize_requires_pil(spark, docs):
+    """resize_images cannot stub (output IS pixels): without pillow it
+    raises up front with guidance; with pillow it resizes and
+    re-encodes (exercised in test_resize_real_pil)."""
+    from lichess_db_spark.multimodal.media import HAVE_REAL_CODECS, resize_images
+
+    if HAVE_REAL_CODECS:
+        pytest.skip("PIL present: resize is valid here")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    with pytest.raises(ImportError, match="pillow"):
+        resize_images(binary, 8, 8)
+
+
+def test_resize_real_pil(spark):
+    """Real resize path (runs wherever pillow is installed): PNG in ->
+    8x8 PNG out; corrupt blob -> NULL data without killing the batch."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from lichess_db_spark.multimodal.media import resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"junk"))],
+        "doc_id long, data binary",
+    )
+    rows = {r.doc_id: r for r in resize_images(df, 8, 8).collect()}
+    assert rows[1].width == 8 and rows[1].height == 8
+    out = Image.open(io.BytesIO(bytes(rows[1].data)))
+    assert out.size == (8, 8)
+    assert rows[2].data is None and rows[2].width is None
+
+
 def test_binary_file_source_pathway(spark, tmp_path):
     from lichess_db_spark.multimodal.media import (
         decode_images,
