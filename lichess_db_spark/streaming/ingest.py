@@ -388,29 +388,37 @@ def stream_games_ingest(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         games = games_pipeline(batch_df, include_moves)
         prev, fs, path_cls = _latest_state_version(spark, state_path, batch_id)
-        if prev is not None:
-            games = _apply_feature_state(
-                games, spark.read.parquet(f"{state_path}/v{prev}")
-            )
-        write_parquet(
-            games.withColumn("year", F.year("DateTime")).withColumn(
-                "month", F.month("DateTime")
-            ),
-            out_dir,
-            partition_by=["year", "month"],
-            mode="append",
+        st = (
+            spark.read.parquet(f"{state_path}/v{prev}")
+            if prev is not None
+            else None
         )
-        batch_state = _feature_state_of(games)
-        if prev is not None:
-            st = spark.read.parquet(f"{state_path}/v{prev}")
-            batch_state = batch_state.unionByName(
-                st.join(
-                    batch_state.select("Event", "Player"),
-                    ["Event", "Player"],
-                    "left_anti",
-                )
+        if st is not None:
+            games = _apply_feature_state(games, st)
+        # the output write AND the state aggregation both consume the
+        # full feature pipeline; persist so it executes once per batch
+        games = games.persist()
+        try:
+            write_parquet(
+                games.withColumn("year", F.year("DateTime")).withColumn(
+                    "month", F.month("DateTime")
+                ),
+                out_dir,
+                partition_by=["year", "month"],
+                mode="append",
             )
-        batch_state.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+            batch_state = _feature_state_of(games)
+            if st is not None:
+                batch_state = batch_state.unionByName(
+                    st.join(
+                        batch_state.select("Event", "Player"),
+                        ["Event", "Player"],
+                        "left_anti",
+                    )
+                )
+            batch_state.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        finally:
+            games.unpersist()
         # prune: keep the version just read (crash recovery) + the new one
         if prev is not None:
             for status in fs.listStatus(path_cls(state_path)):
