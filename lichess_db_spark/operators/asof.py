@@ -145,11 +145,11 @@ def _asof_union_window(
         *[c for c in left.columns if c != left_key],
         F.last(carry, ignorenulls=True).over(w).alias(carry),
     )
+    # original left column order (matches broadcast_pick's output shape)
     return filled.where(
         (F.col(side) == 1) & F.col(carry).isNotNull()
     ).select(
-        left_key,
-        *[c for c in left.columns if c != left_key],
+        *left.columns,
         F.col(f"{carry}.{right_time}").alias(right_time),
         *[F.col(f"{carry}.{c}").alias(c) for c in payload],
     )

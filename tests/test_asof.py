@@ -162,6 +162,64 @@ def test_name_collision_raises(spark):
     assert len(ok) == 1 and ok[0]["total"] == 5.0
 
 
+def test_strategies_agree_on_adversarial_random_data(spark):
+    """Seeded random data with every hazard at once — NULL keys, NULL
+    payload values, equal-time ties, two payload columns, lefts before
+    any right. Both strategies must agree with each other AND with an
+    independent imperative reference."""
+    import datetime as dt
+    import random
+
+    rnd = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lefts = [
+        (
+            i,
+            rnd.choice([None, 1, 2, 3, 4, 5]),
+            base + dt.timedelta(minutes=rnd.randint(0, 120)),
+        )
+        for i in range(300)
+    ]
+    rights, seen = [], set()
+    for j in range(150):
+        key = rnd.choice([None, 1, 2, 3, 5, 6])
+        t = rnd.randint(0, 120)
+        if (key, t) in seen:
+            continue
+        seen.add((key, t))
+        rights.append(
+            (
+                key,
+                base + dt.timedelta(minutes=t),
+                rnd.choice([None, float(j)]),
+                rnd.choice([None, f"s{j}"]),
+            )
+        )
+    left = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rights, "o_custkey long, o_time timestamp, pay_num double, pay_str string"
+    )
+    kw = dict(
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_time",
+    )
+    a = sorted(map(tuple, asof_join(left, right, strategy="union_window", **kw).collect()))
+    b = sorted(map(tuple, asof_join(left, right, strategy="broadcast_pick", **kw).collect()))
+    assert a == b and len(a) > 0
+
+    # imperative reference (output order = left columns + right cols)
+    want = []
+    for eid, key, ts in lefts:
+        if key is None:
+            continue
+        cands = [r for r in rights if r[0] == key and r[1] <= ts]
+        if not cands:
+            continue
+        m = max(cands, key=lambda r: r[1])
+        want.append((eid, key, ts, m[1], m[2], m[3]))
+    assert a == sorted(want)
+
+
 def test_union_window_plan_has_no_broadcast(spark):
     """The default strategy must survive a fact-sized right side: no
     BroadcastExchange anywhere, exactly one Window node (one shuffle on
