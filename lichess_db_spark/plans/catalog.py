@@ -41,6 +41,7 @@ _TOUCHED_THIS_ROUND = (
     "dedup_keep_representatives",   # new: dedup decision applied
     "format_roundtrip_orc",         # new: ORC columnar round-trip
     "salted_join_event_segments",   # new: skew salting, result-invisible
+    "split_train_test",             # new: portable-hash split
     "dedup_ngram_jaccard_capped",   # window-count cap rewrite
     "dedup_ngram_jaccard",
 )

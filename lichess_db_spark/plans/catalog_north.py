@@ -665,6 +665,42 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_train_test",
+    """
+    WITH tagged AS (
+        SELECT doc_id, lang,
+               CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY lang, split
+    """,
+    "Deterministic train/test split — the op every training pipeline "
+    "runs last: assignment by md5 of the stable id (engine-portable, "
+    "reshuffle-proof: a document's split never changes when the corpus "
+    "grows, unlike sample() or rand()). Output is the per-(lang, split) "
+    "accounting table; the assignment expression itself is the "
+    "reusable piece. Map-only + one small aggregate.",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(100),
+    )
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+@register(
     "salted_join_event_segments",
     """
     SELECT c.c_mktsegment AS segment,
