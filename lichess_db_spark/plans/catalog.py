@@ -44,6 +44,8 @@ _TOUCHED_THIS_ROUND = (
     "split_train_test",             # new: portable-hash split
     "dedup_ngram_jaccard_capped",   # window-count cap rewrite
     "dedup_ngram_jaccard",
+    "knn_ivf_cosine",               # kernel-extraction refactor
+    "knn_pq_cosine",                # PQIndex plumbing
 )
 _CORE_SENTINELS = (
     "a1_count",
