@@ -154,6 +154,103 @@ def frame_sample_stub(df: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+def frame_sample(
+    df: DataFrame,
+    max_frames: int = 4,
+    stride_bytes: int = 256,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Data-dependent frame sampling over opaque media blobs: each blob
+    yields ``min(max_frames, 1 + n_bytes // stride_bytes)`` evenly-spaced
+    frames, emitted as (doc_id, frame_idx, n_bytes, byte_offset) rows. A
+    real video decoder would seek to ``byte_offset`` (container keyframe
+    index in practice) and emit one binary per frame; the offset
+    arithmetic, row explosion, and schema are the part Spark owns.
+
+    Pure ``explode(sequence(...))`` — map-side only, no shuffle, codegen
+    all the way; at 100 TB the fan-out multiplies rows, never bytes,
+    until a decoder materializes frames downstream.
+    """
+    n_bytes = F.octet_length(F.col(data_col)).cast("bigint")
+    n_frames = F.least(
+        F.lit(max_frames).cast("bigint"),
+        F.lit(1) + (n_bytes / F.lit(stride_bytes)).cast("bigint"),
+    )
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_bytes.alias("n_bytes"),
+        n_frames.alias("__nf"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("__nf") - 1)).alias(
+            "frame_idx"
+        ),
+        "__nf",
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "n_bytes",
+        (F.col("frame_idx") * F.floor(F.col("n_bytes") / F.col("__nf")))
+        .cast("bigint")
+        .alias("byte_offset"),
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_printable", LongType()),
+        StructField("n_digits", LongType()),
+        StructField("n_newlines", LongType()),
+    ]
+)
+
+
+def extract_byte_features(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """REAL (non-stub) feature extraction over opaque binary: byte-class
+    counts via numpy kernels inside Arrow-batched mapInPandas — the
+    codec-free tier of media featurization (magic sniffing, text-vs-
+    binary classification, compression-ratio heuristics all start
+    here). Counts, not ratios, so the output is exactly integer and
+    engine-portable.
+
+    For UTF-8 encoded text blobs the byte counts equal code-point
+    counts for the pure-ASCII classes (continuation bytes are >= 0x80,
+    lead bytes >= 0xC2 — never inside [0x20,0x7E], never 0x0A/0x30-39),
+    which is what makes a SQL oracle over the decoded text possible.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col],
+                "n_bytes": [],
+                "n_printable": [],
+                "n_digits": [],
+                "n_newlines": [],
+            }
+            for blob in pdf[data_col]:
+                a = np.frombuffer(blob or b"", dtype=np.uint8)
+                out["n_bytes"].append(a.size)
+                out["n_printable"].append(int(((a >= 0x20) & (a <= 0x7E)).sum()))
+                out["n_digits"].append(int(((a >= 0x30) & (a <= 0x39)).sum()))
+                out["n_newlines"].append(int((a == 0x0A).sum()))
+            yield pd.DataFrame(out).astype(
+                {c: "int64" for c in out if c != "doc_id"}
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -785,6 +785,67 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_sample",
+    """
+    WITH b AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_bytes,
+               LEAST(4, 1 + n_bytes // 256) AS n_frames
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(g.i AS INT) AS frame_idx,
+           n_bytes,
+           CAST(g.i * (n_bytes // n_frames) AS BIGINT) AS byte_offset
+    FROM f, range(0, 4) AS g(i)
+    WHERE g.i < n_frames
+    """,
+    "Multimodal frame sampling: each blob fans out to "
+    "min(4, 1 + bytes/256) evenly-spaced (frame_idx, byte_offset) rows "
+    "— the seek plan a video decoder consumes. explode(sequence) is "
+    "map-only codegen: row fan-out without byte fan-out, no shuffle.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    return frame_sample(binary, max_frames=4, stride_bytes=256)
+
+
+@register(
+    "mm_feature_extract",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT)
+               AS n_printable,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '\\n', '', 'g'))
+               AS BIGINT) AS n_newlines
+    FROM documents
+    """,
+    "Multimodal feature extraction, codec-free tier: numpy byte-class "
+    "counts (printable / digit / newline) over opaque blobs in one "
+    "Arrow-batched mapInPandas — the text-vs-binary sniffing stage of a "
+    "media pipeline. Counts (exact ints), never ratios, so the oracle "
+    "holds bit-for-bit; the UTF-8 byte-vs-codepoint equivalence for "
+    "ASCII classes is what lets SQL over decoded text check a kernel "
+    "that only ever sees raw bytes.",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import extract_byte_features
+
+    d = _t(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    return extract_byte_features(binary)
+
+
+@register(
     "embedding_centroids",
     """
     WITH scaled AS (

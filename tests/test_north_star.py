@@ -154,6 +154,57 @@ def test_multimodal_decode_plumbing(spark, docs):
     assert frames.count() == 8
 
 
+def test_frame_sample_offsets_in_bounds(spark):
+    """Data-dependent frame sampling: per-blob frame count is
+    min(max_frames, 1 + bytes//stride) and every byte_offset is a valid
+    seek position inside the blob."""
+    from lichess_db_spark.multimodal.media import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"x" * 100), (3, b"y" * 300), (4, b"z" * 5000)],
+        "doc_id long, data binary",
+    )
+    rows = frame_sample(df, max_frames=4, stride_bytes=256).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].byte_offset == 0
+    assert len(by_doc[2]) == 1           # 100 bytes < stride -> 1 frame
+    assert len(by_doc[3]) == 2           # 1 + 300//256
+    assert len(by_doc[4]) == 4           # capped at max_frames
+    for r in rows:
+        assert 0 <= r.byte_offset <= max(0, r.n_bytes - 1) or r.n_bytes == 0
+        assert sorted(x.frame_idx for x in by_doc[r.doc_id]) == list(
+            range(len(by_doc[r.doc_id]))
+        )
+
+
+def test_extract_byte_features_exact_counts(spark):
+    """The numpy byte-class kernel counts exactly; non-ASCII bytes never
+    leak into the ASCII classes (the invariant the SQL oracle relies
+    on)."""
+    from lichess_db_spark.multimodal.media import extract_byte_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "abc 123\n".encode()),
+            (2, "hélloÿ€9".encode()),  # multi-byte chars + digit
+            (3, b""),
+        ],
+        "doc_id long, data binary",
+    )
+    rows = {r.doc_id: r for r in extract_byte_features(df).collect()}
+    assert rows[1].n_bytes == 8
+    assert rows[1].n_printable == 7      # all but the newline
+    assert rows[1].n_digits == 3
+    assert rows[1].n_newlines == 1
+    r2 = rows[2]
+    assert r2.n_bytes == len("hélloÿ€9".encode())
+    assert r2.n_printable == 5           # h,l,l,o,9 — accents are non-ASCII
+    assert r2.n_digits == 1
+    assert rows[3].n_bytes == 0 and rows[3].n_printable == 0
+
+
 def test_decode_real_requires_pil(spark, docs):
     """Forcing the real decoder without PIL fails up front with a clear
     ImportError, not per-task; where PIL exists the gate defaults to it
