@@ -496,6 +496,106 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _lsh_plane_coeffs(dim: int, n_tables: int, n_planes: int):
+    """Integer hyperplane coefficients, engine-portable: coefficient
+    (t, p, d) is the first 8 md5 hex digits of ``"t-p-d"`` mapped to
+    [-1e6, 1e6). The same derivation is one SQL expression in DuckDB
+    (``('0x' || substr(md5(t||'-'||p||'-'||d), 1, 8))::BIGINT``), so an
+    oracle can rebuild the exact planes — same trick as the portable
+    MinHash twin's permutation coefficients."""
+    import hashlib
+
+    import numpy as np
+
+    C = np.empty((n_tables * n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(hashlib.md5(f"{t}-{p}-{d}".encode()).hexdigest()[:8], 16)
+                C[t * n_planes + p, d] = h % 2_000_000 - 1_000_000
+    return C
+
+
+def embedding_lsh_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed (the scale path for
+    ``dedup_embedding_cosine``'s quadratic verifier): random-hyperplane
+    sign buckets generate candidate pairs, exact cosine filters them.
+
+    Deterministic END TO END — a DuckDB oracle reproduces it bit-for-bit:
+
+    - vectors quantize by ``floor(x * 2^20)``: a power-of-two scale is a
+      pure exponent shift, so the double product is EXACT in any engine
+      and floor agrees everywhere (no round-half ambiguity);
+    - hyperplane coefficients are md5-derived integers
+      (``_lsh_plane_coeffs``), so plane dots are exact int64 sums —
+      the bucket (packed sign bits) is engine-independent;
+    - candidate verification uses ``cosine_exact`` (scaled-int dot).
+
+    Shuffle shape at 100 TB: the kernel is ONE int64 matmul per Arrow
+    batch (map-side); candidates come from an equi-join on
+    (table, bucket) — O(docs x tables) shuffle rows, never O(docs^2).
+    Vectors ride through the bucket join (256 B payload beats two
+    re-fetch joins); for wide payloads distinct ids first, then
+    re-fetch. Hot buckets (mass near-dup clusters) re-introduce d^2
+    within a bucket — run exact dedup first, same caveat as MinHash's
+    ``max_bucket_size``.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ..functions.vectors import cosine_exact
+
+    C = _lsh_plane_coeffs(dim, n_tables, n_planes)
+    bits = np.tile(
+        np.fromiter((2**p for p in range(n_planes)), dtype=np.int64), n_tables
+    )
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        V = np.floor(X * 1048576.0).astype(np.int64)  # exact: 2^20 scale
+        signs = (V @ C.T >= 0).astype(np.int64)  # exact int64 dots
+        packed = (signs * bits).reshape(len(V), n_tables, n_planes).sum(2)
+        return pd.Series(list(packed.astype("int32")))
+
+    bucketed = spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        "table",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        "table",
+        "bucket",
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cands.select(
+        "vec_a", "vec_b", cosine_exact("ea", "eb").alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical simhash (hamming distance 0)."""
     sigs = simhash64(df, text_col, id_col)

@@ -30,6 +30,9 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # driver row.
 _ROUND = 4
 _TOUCHED_THIS_ROUND = (
+    "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
+    "mm_frame_sample",              # new: data-dependent frame sampling
+    "mm_feature_extract",           # new: byte-class feature kernel
     "asof_join_latest_order",       # struct-carry + null-key semantics
     "dedup_minhash_pairs_portable",  # new: md5-portable, full oracle
     "dedup_minhash_pairs",          # portable-flag plumbing in shared code

@@ -154,6 +154,32 @@ def test_multimodal_decode_plumbing(spark, docs):
     assert frames.count() == 8
 
 
+def test_embedding_lsh_subset_and_recall(spark, emb):
+    """LSH-bucketed near-dup output must be a SUBSET of the exact
+    all-pairs result at the same threshold (the exact-cosine verify
+    guarantees no false positives), with recall bounded below by the
+    8x4 table/plane collision math on the fixture's near-dup pairs."""
+    from lichess_db_spark.functions.vectors import cosine_exact
+
+    exact = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_exact("a.embedding", "b.embedding").alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+    exact_pairs = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    lsh_rows = dd.embedding_lsh_dedup_pairs(emb, threshold=0.4).collect()
+    lsh_pairs = {(r.vec_a, r.vec_b) for r in lsh_rows}
+    assert lsh_pairs <= exact_pairs  # exact verify -> no false positives
+    if exact_pairs:
+        recall = len(lsh_pairs) / len(exact_pairs)
+        assert recall >= 0.5, (recall, len(exact_pairs))
+
+
 def test_frame_sample_offsets_in_bounds(spark):
     """Data-dependent frame sampling: per-blob frame count is
     min(max_frames, 1 + bytes//stride) and every byte_offset is a valid
