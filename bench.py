@@ -59,6 +59,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "embedding_centroids",
     "znorm_user_values",
+    "znorm_user_values_expr",
+    "dedup_embedding_lsh",
 ]
 
 

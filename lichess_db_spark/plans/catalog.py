@@ -31,6 +31,7 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 _ROUND = 4
 _TOUCHED_THIS_ROUND = (
     "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
+    "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
     "mm_frame_sample",              # new: data-dependent frame sampling
     "mm_feature_extract",           # new: byte-class feature kernel
     "asof_join_latest_order",       # struct-carry + null-key semantics

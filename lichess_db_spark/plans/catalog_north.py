@@ -1019,33 +1019,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
              AND a.vec_id < b.vec_id
     ),
-    pairs AS (
-        SELECT c.vec_a, c.vec_b, ea.embedding AS ea, eb.embedding AS eb
-        FROM cands c
-        JOIN embeddings ea ON ea.vec_id = c.vec_a
-        JOIN embeddings eb ON eb.vec_id = c.vec_b
+    norms AS (
+        SELECT vec_id, SUM(x * x) AS q FROM v GROUP BY vec_id
     ),
     cdots AS (
-        SELECT vec_a, vec_b,
-               CAST(SUM(CAST(ROUND(CAST(ea[g.i] AS DOUBLE) * CAST(eb[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS d,
-               CAST(SUM(CAST(ROUND(CAST(ea[g.i] AS DOUBLE) * CAST(ea[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qa,
-               CAST(SUM(CAST(ROUND(CAST(eb[g.i] AS DOUBLE) * CAST(eb[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qb
-        FROM pairs, range(1, 65) AS g(i) GROUP BY vec_a, vec_b
+        SELECT c.vec_a, c.vec_b, SUM(va.x * vb.x) AS d
+        FROM cands c
+        JOIN v va ON va.vec_id = c.vec_a
+        JOIN v vb ON vb.vec_id = c.vec_b AND vb.d = va.d
+        GROUP BY c.vec_a, c.vec_b
     )
-    SELECT vec_a, vec_b,
-           (d / 1e12) / (sqrt(qa / 1e12) * sqrt(qb / 1e12)) AS cosine
-    FROM cdots
-    WHERE (d / 1e12) / (sqrt(qa / 1e12) * sqrt(qb / 1e12)) >= 0.4
+    SELECT cd.vec_a, cd.vec_b,
+           CAST(cd.d AS DOUBLE)
+             / (sqrt(CAST(na.q AS DOUBLE)) * sqrt(CAST(nb.q AS DOUBLE))) AS cosine
+    FROM cdots cd
+    JOIN norms na ON na.vec_id = cd.vec_a
+    JOIN norms nb ON nb.vec_id = cd.vec_b
+    WHERE CAST(cd.d AS DOUBLE)
+             / (sqrt(CAST(na.q AS DOUBLE)) * sqrt(CAST(nb.q AS DOUBLE))) >= 0.4
     """,
-    "Embedding near-dup via random-hyperplane LSH buckets + exact "
-    "cosine verify — the scale path for dedup_embedding_cosine's "
+    "Embedding near-dup via random-hyperplane LSH buckets + quantized "
+    "integer cosine verify — the scale path for dedup_embedding_cosine's "
     "quadratic verifier, and HASH-CHECKED: md5-derived integer planes "
     "+ floor(x*2^20) quantization (power-of-two scale = exact double "
-    "product) make bucket assignment bit-identical in any engine, so "
-    "the approximation itself is oracle-verified, not just rows-only. "
-    "Candidates are an equi-join on (table, bucket): O(docs x 8) "
-    "shuffle rows; the signature kernel is one int64 matmul per Arrow "
-    "batch.",
+    "product) make buckets AND verify cosines bit-identical in any "
+    "engine, so the approximation itself is oracle-verified, not just "
+    "rows-only. Candidates are an id-only equi-join on (table, bucket): "
+    "O(docs x 8) shuffle rows; bucket signatures and the pair verify "
+    "are each one int64 matmul/einsum per Arrow batch.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_lsh_dedup_pairs(
@@ -1145,6 +1146,50 @@ def znorm_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ev.groupBy("user_id").applyInPandas(znorm, schema=schema)
+
+
+@register(
+    "znorm_user_values_expr",
+    """
+    WITH m AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           (e.value - m.s1 / m.n)
+             / sqrt((m.n * m.s2 - m.s1 * m.s1) / (m.n * (m.n - 1))) AS z
+    FROM events e JOIN m USING (user_id)
+    WHERE m.n > 1
+    """,
+    "Per-user z-score, pure-codegen twin of znorm_user_values: decimal "
+    "moments as window aggregates over partitionBy(user_id) — ONE "
+    "shuffle, no join, no Python. Same oracle as the pandas variant; "
+    "the measured gap between the two (bench) is the UDF-escape-hatch "
+    "tax quantified. This is the production path; the applyInPandas "
+    "twin demonstrates D1 for logic SQL genuinely can't express.",
+)
+def znorm_user_values_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    n = F.count("*").over(w)
+    s1 = F.sum(F.col("value").cast("decimal(30,2)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,4)"))
+        .over(w)
+        .cast("double")
+    )
+    z = (F.col("value") - s1 / n) / F.sqrt(
+        (n * s2 - s1 * s1) / (n * (n - F.lit(1)))
+    )
+    return (
+        ev.select("event_id", "user_id", "value", n.alias("_n"), z.alias("z"))
+        .where(F.col("_n") > 1)
+        .select("event_id", "user_id", "z")
+    )
 
 
 # --------------------------------------------------------------------------
