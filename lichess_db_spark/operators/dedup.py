@@ -516,6 +516,65 @@ def _lsh_plane_coeffs(dim: int, n_tables: int, n_planes: int):
     return C
 
 
+def _quant_vectors(vecs: pd.Series):
+    """floor(x * 2^20) int64 quantization — a power-of-two scale is a
+    pure exponent shift, so the double product is EXACT in any engine
+    and floor agrees everywhere (no round-half ambiguity)."""
+    import numpy as np
+
+    X = np.array(vecs.tolist(), dtype=np.float64)
+    return np.floor(X * 1048576.0).astype(np.int64)
+
+
+def portable_bucket_udf(dim: int, n_tables: int, n_planes: int):
+    """Pandas UDF: vector -> array of per-table LSH buckets (packed
+    sign bits of exact int64 plane dots). Engine-portable given
+    ``_lsh_plane_coeffs`` + ``_quant_vectors``."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = _lsh_plane_coeffs(dim, n_tables, n_planes)
+    bits = np.tile(
+        np.fromiter((2**p for p in range(n_planes)), dtype=np.int64), n_tables
+    )
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = _quant_vectors(vecs)
+        signs = (V @ C.T >= 0).astype(np.int64)  # exact int64 dots
+        packed = (signs * bits).reshape(len(V), n_tables, n_planes).sum(2)
+        return pd.Series(list(packed.astype("int32")))
+
+    return _buckets
+
+
+def portable_qcos_udf():
+    """Pandas UDF: quantized-integer cosine of two vector columns —
+    exact int64 einsum (|x| < 2^25 -> sums < 2^56), one kernel per
+    Arrow batch; bit-reproducible in SQL from the same quantized
+    ints."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _qcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        Va, Vb = _quant_vectors(a), _quant_vectors(b)
+        d = np.einsum("ij,ij->i", Va, Vb)
+        qa = np.einsum("ij,ij->i", Va, Va)
+        qb = np.einsum("ij,ij->i", Vb, Vb)
+        return pd.Series(
+            d.astype(np.float64)
+            / (np.sqrt(qa.astype(np.float64)) * np.sqrt(qb.astype(np.float64)))
+        )
+
+    return _qcos
+
+
 def embedding_lsh_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -552,41 +611,8 @@ def embedding_lsh_dedup_pairs(
     near-dup clusters) re-introduce d^2 within a bucket — run exact
     dedup first, same caveat as MinHash's ``max_bucket_size``.
     """
-    import numpy as np
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
-
-    C = _lsh_plane_coeffs(dim, n_tables, n_planes)
-    bits = np.tile(
-        np.fromiter((2**p for p in range(n_planes)), dtype=np.int64), n_tables
-    )
-
-    def _quant(vecs: pd.Series):
-        import numpy as np
-
-        X = np.array(vecs.tolist(), dtype=np.float64)
-        return np.floor(X * 1048576.0).astype(np.int64)  # exact: 2^20 scale
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        V = _quant(vecs)
-        signs = (V @ C.T >= 0).astype(np.int64)  # exact int64 dots
-        packed = (signs * bits).reshape(len(V), n_tables, n_planes).sum(2)
-        return pd.Series(list(packed.astype("int32")))
-
-    @pandas_udf(DoubleType())
-    def _qcos(a: pd.Series, b: pd.Series) -> pd.Series:
-        import numpy as np
-
-        Va, Vb = _quant(a), _quant(b)
-        d = np.einsum("ij,ij->i", Va, Vb)  # exact: |x|<2^25 -> sum < 2^56
-        qa = np.einsum("ij,ij->i", Va, Va)
-        qb = np.einsum("ij,ij->i", Vb, Vb)
-        return pd.Series(
-            d.astype(np.float64) / (np.sqrt(qa.astype(np.float64)) * np.sqrt(qb.astype(np.float64)))
-        )
+    _buckets = portable_bucket_udf(dim, n_tables, n_planes)
+    _qcos = portable_qcos_udf()
 
     bucketed = spread(emb.select(id_col, vec_col)).select(
         F.col(id_col),
@@ -612,6 +638,42 @@ def embedding_lsh_dedup_pairs(
         .select("vec_a", "vec_b", _qcos("ea", "eb").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """Portable-hash SimHash twin: 60-bit signature whose per-token
+    base hash is the first 15 md5 hex digits (60 bits — keeps the
+    BIGINT positive), so a DuckDB oracle rebuilds it bit-for-bit —
+    same portability trick as the md5 MinHash twin. xxhash64
+    ``simhash64`` stays the production tier (one JVM hash per token
+    vs md5 + hex parse)."""
+    hashed = spread(
+        df.where(F.col(id_col).isNotNull()).select(
+            F.col(id_col),
+            F.expr(
+                f"transform(array_distinct(split({text_col}, ' ')), "
+                "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+            ).alias("_hs"),
+        )
+    )
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(sequence(0, {bits - 1}), i ->
+              CASE WHEN aggregate(_hs, 0,
+                     (acc, h) -> acc + (CASE WHEN shiftright(h, i) % 2 != 0
+                                             THEN 1 ELSE -1 END)) > 0
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+            sequence(0, {bits - 1}),
+            (b, i) -> shiftleft(b, i)),
+          CAST(0 AS BIGINT),
+          (acc, v) -> acc + v)
+        """
+    )
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

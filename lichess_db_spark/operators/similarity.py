@@ -91,6 +91,67 @@ def brute_force_topk(
     )
 
 
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
+    """ANN top-k via hyperplane LSH, HASH-CHECKABLE end to end: md5
+    integer planes + floor(x*2^20) quantization make bucket assignment
+    AND candidate scores bit-identical in any engine (same portability
+    kit as ``embedding_lsh_dedup_pairs``; contrast ``lsh_bucket_topk``,
+    whose splitmix planes are JVM-fast but not SQL-reproducible).
+
+    Plan shape: candidate generation is an equi-join of corpus buckets
+    against broadcast query buckets (ids only); vectors are re-fetched
+    for candidates; scoring is one int64 einsum per Arrow batch; the
+    per-query top-k is a rank window over candidates only.
+    """
+    from .dedup import portable_bucket_udf, portable_qcos_udf
+
+    _buckets = portable_bucket_udf(dim, n_tables, n_planes)
+    _qcos = portable_qcos_udf()
+
+    cb = spread(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+        )
+    )
+    cands = (
+        cb.join(qb, ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _qcos("q_vec", "c_vec").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 class IVFIndex:
     """A trained IVF coarse quantizer: the (n_lists, dim) centroid
     matrix. Persistable as a tiny parquet dataset so the

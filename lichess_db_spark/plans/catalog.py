@@ -32,6 +32,8 @@ _ROUND = 4
 _TOUCHED_THIS_ROUND = (
     "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
     "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
+    "dedup_simhash_portable",       # new: md5 hash-checked simhash twin
+    "knn_lsh_cosine_portable",      # new: hash-checked ANN (portable LSH)
     "mm_frame_sample",              # new: data-dependent frame sampling
     "mm_feature_extract",           # new: byte-class feature kernel
     "asof_join_latest_order",       # struct-carry + null-key semantics

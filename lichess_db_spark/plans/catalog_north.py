@@ -324,10 +324,44 @@ def dedup_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     None,  # xxhash64-based
     "SimHash-64 signature groups (identical-signature docs). Cheapest "
-    "near-dup tier; rows-only check.",
+    "near-dup tier; rows-only check — the md5 twin below is the "
+    "hash-checked witness for the algorithm.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.simhash64(_t(spark, sf_dir, "documents"))
+    return sigs.select("doc_id", "simhash")
+
+
+@register(
+    "dedup_simhash_portable",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.i,
+               SUM(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h, range(0, 60) AS b(i)
+        GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(i AS INT))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    "Hash-checked SimHash twin: 60-bit signature from the first 15 md5 "
+    "hex digits per token — bit-vote aggregation reproduced exactly in "
+    "DuckDB, same portability pattern as dedup_minhash_pairs_portable. "
+    "Signature build is one codegen lambda pass per doc, no shuffle "
+    "until the (absent here) group stage.",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.simhash_portable(_t(spark, sf_dir, "documents"))
     return sigs.select("doc_id", "simhash")
 
 
@@ -421,6 +455,77 @@ def knn_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "knn_lsh_cosine_portable",
+    """
+    WITH planes AS (
+        SELECT t.t AS t, p.p AS p, d.d AS d,
+               (('0x' || substr(md5(CAST(t.t AS VARCHAR) || '-' ||
+                    CAST(p.p AS VARCHAR) || '-' || CAST(d.d AS VARCHAR)),
+                    1, 8))::BIGINT % 2000000) - 1000000 AS c
+        FROM range(0, 8) t(t), range(0, 4) p(p), range(0, 64) d(d)
+    ),
+    v AS (
+        SELECT vec_id, g.i - 1 AS d,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) AS g(i)
+    ),
+    dots AS (
+        SELECT v.vec_id, pl.t, pl.p, SUM(v.x * pl.c) AS dot
+        FROM v JOIN planes pl ON pl.d = v.d
+        GROUP BY v.vec_id, pl.t, pl.p
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id, t
+    ),
+    cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q
+        JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+             AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    norms AS (
+        SELECT vec_id, SUM(x * x) AS q FROM v GROUP BY vec_id
+    ),
+    cdots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(va.x * vb.x) AS d
+        FROM cands c
+        JOIN v va ON va.vec_id = c.query_id
+        JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.d = va.d
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(cd.d AS DOUBLE)
+                 / (sqrt(CAST(nq.q AS DOUBLE)) * sqrt(CAST(nn.q AS DOUBLE))) AS score
+        FROM cdots cd
+        JOIN norms nq ON nq.vec_id = cd.query_id
+        JOIN norms nn ON nn.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    "HASH-CHECKED ANN: hyperplane-LSH top-5 whose bucket assignment "
+    "and candidate cosines are bit-reproduced in DuckDB (md5 integer "
+    "planes, floor(x*2^20) quantization, int64 einsum scoring) — the "
+    "approximation structure itself is oracle-verified, upgrading the "
+    "ANN family from rows-only checks. Same plan shape as "
+    "knn_lsh_cosine: broadcast query buckets, id-only candidate join, "
+    "rank window over candidates only.",
+)
+def knn_lsh_cosine_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk_portable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk_portable(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
 # --------------------------------------------------------------------------
