@@ -1,0 +1,142 @@
+"""Training-data curation operators: domain mixing, benchmark
+contamination detection, sequence packing.
+
+These are the last-mile ops of an LLM data pipeline (after dedup /
+quality filtering, before tokenizer sharding). All three are
+deterministic and engine-portable by construction, so each catalog
+entry carries a full DuckDB oracle:
+
+- mixing samples by md5 of the stable id against a RATES CONFIG TABLE
+  (broadcast join — at 100 TB the config is a dim of tens of rows);
+- contamination is an inverted-index equi-join on word n-grams — the
+  same shuffle shape as exact-Jaccard dedup, bounded by eval-set size;
+- packing is a per-partition-key running token count (one window, one
+  shuffle); the greedy "cut at seq_len boundaries" rule is pure
+  integer arithmetic on the running sum.
+
+Reference parity: the reference pipeline has no curation layer (its
+scope ends at EDA aggregates); this module is part of the
+training-pipeline surface SURVEY.md §2.10 adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def _md5_bucket(col, modulus: int):
+    """Deterministic [0, modulus) bucket from the first 8 md5 hex
+    digits of a stable id — reshuffle-proof (a row's bucket never
+    changes as the corpus grows) and reproducible in ANSI SQL."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(modulus),
+    )
+
+
+def sample_to_rates(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Domain mixing: downsample each ``key_col`` group to its target
+    rate from an explicit config dict.
+
+    The rates ship as a broadcast config-table join (not a when-chain):
+    the idiomatic shape when the config comes from a file/catalog, and
+    plan size stays O(1) as the domain count grows. Selection is
+    ``md5_bucket(id) % 10000 < rate*10000`` — deterministic per row, so
+    reruns and engine ports keep identical samples (``F.sample`` or
+    ``rand()`` would not).
+
+    Returns the kept rows with their group's ``rate_bp`` (basis
+    points) attached. Map-side only after the broadcast.
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, int(round(v * 10000))) for k, v in sorted(rates.items())]
+    config = F.broadcast(
+        spark.createDataFrame(rate_rows, f"{key_col} string, rate_bp int")
+    )
+    joined = df.join(config, key_col, "left").withColumn(
+        "rate_bp",
+        F.coalesce(F.col("rate_bp"), F.lit(int(round(default_rate * 10000)))),
+    )
+    return joined.where(_md5_bucket(F.col(id_col), 10000) < F.col("rate_bp"))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark contamination: (train_doc, eval_doc) pairs sharing at
+    least ``min_shared`` distinct word ``shingle_n``-grams.
+
+    Inverted-index equi-join on the shingle string: shuffle keys are
+    n-grams, candidate volume is bounded by the EVAL side (benchmarks
+    are small — thousands of docs), so at 100 TB this scans the train
+    corpus once, shuffles only shingles that occur in the eval set
+    (semi-join prune below), and never goes quadratic in train size.
+    """
+    def shingles(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
+                "shingle"
+            ),
+        )
+
+    tr = shingles(train, "train_id")
+    ev = shingles(eval_df, "eval_id")
+    # semi-join prune: only train shingles that exist in the eval set
+    # reach the pairing shuffle (eval shingle set is broadcastable).
+    pruned = tr.join(F.broadcast(ev.select("shingle").distinct()), "shingle")
+    return (
+        pruned.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in stable id
+    order, per ``part_col`` stream) and cut every ``seq_len`` tokens;
+    a document's sequence id is its starting offset // seq_len.
+
+    One running-sum window per stream key — a single hash shuffle; at
+    100 TB the stream key is the shard (here: lang), so no global
+    order is ever materialized. Token count is whitespace split —
+    swap in a real tokenizer count upstream without changing the
+    packing. Returns per-(stream, seq_id) accounting: docs packed and
+    exact token count (integers -> engine-portable).
+    """
+    tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(part_col), F.col(id_col), tokens.alias("n_tok")
+    ).withColumn("cum_end", F.sum("n_tok").over(w))
+    seq = ((F.col("cum_end") - F.col("n_tok")) / seq_len).cast("bigint")
+    return (
+        staged.select(part_col, seq.alias("seq_id"), "n_tok")
+        .groupBy(part_col, "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )

@@ -34,6 +34,9 @@ _TOUCHED_THIS_ROUND = (
     "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
     "dedup_simhash_portable",       # new: md5 hash-checked simhash twin
     "knn_lsh_cosine_portable",      # new: hash-checked ANN (portable LSH)
+    "mix_sample_sources",           # new: domain mixing (curation.py)
+    "contamination_eval_overlap",   # new: benchmark contamination scan
+    "pack_sequences_lang",          # new: greedy sequence packing
     "mm_frame_sample",              # new: data-dependent frame sampling
     "mm_feature_extract",           # new: byte-class feature kernel
     "asof_join_latest_order",       # struct-carry + null-key semantics

@@ -806,6 +806,100 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_sample_sources",
+    """
+    WITH tagged AS (
+        SELECT source,
+               9000 - 400 * CAST(substr(source, 4) AS INT) AS rate_bp
+        FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              % 10000 < 9000 - 400 * CAST(substr(source, 4) AS INT)
+    )
+    SELECT source, CAST(rate_bp AS INT) AS rate_bp, COUNT(*) AS n_kept
+    FROM tagged GROUP BY source, rate_bp
+    """,
+    "Domain mixing: downsample each source to an explicit target rate "
+    "(config-table broadcast join, not a when-chain) with md5-of-id "
+    "selection — deterministic, reshuffle-proof, engine-portable, "
+    "unlike sample()/rand(). Map-only after the broadcast; the oracle "
+    "derives the same rates arithmetically from the source suffix.",
+)
+def mix_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_to_rates
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {f"src{n}": (9000 - 400 * n) / 10000 for n in range(20)}
+    kept = sample_to_rates(d, rates, key_col="source", id_col="doc_id")
+    return kept.groupBy("source", "rate_bp").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "contamination_eval_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2] || ' ' ||
+               ts[g.i+3] || ' ' || ts[g.i+4] || ' ' || ts[g.i+5] || ' ' ||
+               ts[g.i+6] || ' ' || ts[g.i+7] AS shingle
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 7
+    )
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+    FROM sh t
+    JOIN sh e ON e.shingle = t.shingle
+    WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0
+    GROUP BY t.doc_id, e.doc_id
+    """,
+    "Benchmark contamination scan: (train, eval) doc pairs sharing any "
+    "distinct word 8-gram. Inverted-index equi-join on the shingle "
+    "with a broadcast semi-join prune (only train shingles present in "
+    "the eval set reach the shuffle) — scans the corpus once, bounded "
+    "by eval-set size, never quadratic in train size.",
+)
+def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_pairs(
+        d.where(F.col("doc_id") % 11 != 0),
+        d.where(F.col("doc_id") % 11 == 0),
+        shingle_n=8,
+    )
+
+
+@register(
+    "pack_sequences_lang",
+    """
+    WITH t AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM t
+    )
+    SELECT lang, CAST((cum_end - n_tok) // 2048 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY lang, seq_id
+    """,
+    "Greedy sequence packing for training shards: concatenate docs in "
+    "stable id order per lang stream, cut every 2048 tokens; a doc's "
+    "sequence is its starting offset // 2048. ONE running-sum window "
+    "per stream key (single hash shuffle, no global sort); per-"
+    "(stream, seq) accounting in exact integers.",
+)
+def pack_sequences_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048)
+
+
+@register(
     "salted_join_event_segments",
     """
     SELECT c.c_mktsegment AS segment,
