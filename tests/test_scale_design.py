@@ -303,3 +303,48 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_contamination_prunes_with_broadcast_semi_join(spark):
+    """The train-side shingle stream must be pruned by a BROADCAST of
+    the (small) eval shingle set before the pairing shuffle — the
+    property that keeps contamination linear in train size."""
+    from lichess_db_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["contamination_eval_overlap"].build(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mix_sample_config_broadcasts_and_stays_map_side(spark):
+    """The rates config joins as a broadcast dim: no SortMergeJoin, no
+    shuffle of the corpus on the mixing key."""
+    from lichess_db_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["mix_sample_sources"].build(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing = one hash exchange (the per-stream window) feeding the
+    final aggregate; no global sort/range exchange may appear."""
+    from lichess_db_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(pack_sequences(docs, seq_len=512))
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Exchange hashpartitioning(lang") <= 2  # window + partial-agg reuse
+
+
+def test_embedding_lsh_candidates_are_id_only(spark):
+    """The LSH candidate distinct must shuffle id pairs, never vector
+    payloads: no 'ea' / embedding column may appear in any Exchange
+    above the bucket join."""
+    from lichess_db_spark.plans import QUERIES
+
+    df = QUERIES["dedup_embedding_lsh"].build(spark, SF_SMALL)
+    plan = _plan(df)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1) and ", ea" not in m.group(1)
