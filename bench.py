@@ -61,6 +61,9 @@ HEADLINE = [
     "znorm_user_values",
     "znorm_user_values_expr",
     "dedup_embedding_lsh",
+    "mix_sample_sources",
+    "contamination_eval_overlap",
+    "pack_sequences_lang",
 ]
 
 
