@@ -69,6 +69,31 @@ def sample_to_rates(
     return joined.where(_md5_bucket(F.col(id_col), 10000) < F.col("rate_bp"))
 
 
+def stratified_sample_n(
+    df: DataFrame,
+    n: int,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size stratified sample: the ``n`` rows per ``part_col``
+    group that rank first by md5 of the stable id.
+
+    The hash order is a deterministic, engine-portable stand-in for
+    "uniformly random without an RNG": reruns pick the same rows, and
+    growing a group only ever displaces the highest-hash members
+    (bounded churn, unlike re-rolled rand() samples). One rank window
+    per group key — a single hash shuffle; at 100 TB combine with a
+    per-partition pre-filter (keep local top-n before the exchange)
+    which Spark's rank-filter pushdown does not do automatically.
+    """
+    h = _md5_bucket(F.col(id_col), 1 << 32)
+    w = Window.partitionBy(part_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -834,6 +834,31 @@ def mix_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_langs",
+    """
+    SELECT lang, doc_id, CAST(rank AS INT) AS sample_rank FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT) % 4294967296, doc_id) AS rank
+        FROM documents
+    ) WHERE rank <= 20
+    """,
+    "Fixed-size stratified sample: first 20 docs per lang in md5-of-id "
+    "order — deterministic 'random without an RNG', rerun-stable, with "
+    "bounded churn as groups grow (a re-rolled rand() sample has "
+    "neither property). One rank window per group key, single hash "
+    "shuffle.",
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_sample_n
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample_n(d, 20).select("lang", "doc_id", "sample_rank")
+
+
+@register(
     "contamination_eval_overlap",
     """
     WITH toks AS (

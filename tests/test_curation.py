@@ -81,3 +81,22 @@ def test_pack_sequences_accounting(spark, docs):
         # no gaps: a doc lands in bin k only after bins < k have filled
         assert seq_ids == list(range(seq_ids[0], seq_ids[-1] + 1))
         assert seq_ids[0] == 0
+
+
+def test_stratified_sample_fixed_size_and_stable(spark, docs):
+    """Each group yields min(n, group_size) rows; the sample of a
+    grown corpus contains churn only at the hash boundary (subset
+    check against the n+5 sample)."""
+    from lichess_db_spark.operators.curation import stratified_sample_n
+
+    small = stratified_sample_n(docs, 10).collect()
+    big = {(r.lang, r.doc_id) for r in stratified_sample_n(docs, 15).collect()}
+    sizes = {}
+    for r in small:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+        assert (r.lang, r.doc_id) in big  # n=10 sample ⊂ n=15 sample
+    group_sizes = {
+        r.lang: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    for lang, k in sizes.items():
+        assert k == min(10, group_sizes[lang])
