@@ -572,7 +572,11 @@ def portable_qcos_udf():
             / (np.sqrt(qa.astype(np.float64)) * np.sqrt(qb.astype(np.float64)))
         )
 
-    return _qcos
+    # The kernel IS deterministic; the flag only blocks Catalyst from
+    # cloning it below its Project when a threshold filter references
+    # the aliased output (observed plan: two ArrowEvalPython nodes
+    # running the same einsum — the flag halves the kernel cost).
+    return _qcos.asNondeterministic()
 
 
 def embedding_lsh_dedup_pairs(
