@@ -70,3 +70,34 @@ def test_chunker_never_splits_games(tmp_path_factory, games, budget):
         with open(p) as fh:
             reparsed.extend(parse_pgn_partitions(fh))
     assert len(reparsed) == len(games)
+
+
+@given(st.integers(0, 7), st.integers(0, 3), st.integers(2, 64))
+def test_portable_planes_deterministic_bounded(t, p, dim):
+    from lichess_db_spark.operators.dedup import _lsh_plane_coeffs
+
+    C = _lsh_plane_coeffs(dim, t + 1, p + 1)
+    assert C.shape == ((t + 1) * (p + 1), dim)
+    assert (C >= -1_000_000).all() and (C < 1_000_000).all()
+    C2 = _lsh_plane_coeffs(dim, t + 1, p + 1)
+    assert (C == C2).all()
+
+
+@given(st.lists(st.integers(0, 5000), min_size=1, max_size=200),
+       st.integers(1, 4096))
+@settings(max_examples=200)
+def test_greedy_packing_gapless_and_conserving(toks, seq_len):
+    # python twin of pack_sequences' window formula: seq_id from the
+    # running token count must be non-decreasing, gapless from 0, and
+    # conserve every token.
+    cum = 0
+    seq_ids = []
+    for n in toks:
+        seq_ids.append(cum // seq_len)
+        cum += n
+    assert seq_ids[0] == 0
+    # non-decreasing; a jump is bounded by how many seq_len blocks the
+    # PREVIOUS doc spans (a long doc legitimately skips bins — no doc
+    # STARTS inside it)
+    for (a, b), n_prev in zip(zip(seq_ids, seq_ids[1:]), toks):
+        assert 0 <= b - a <= n_prev // seq_len + 1
