@@ -587,6 +587,8 @@ def embedding_lsh_dedup_pairs(
     dim: int = 64,
     n_tables: int = 8,
     n_planes: int = 4,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Embedding near-dup, LSH-bucketed (the scale path for
     ``dedup_embedding_cosine``'s quadratic verifier): random-hyperplane
@@ -613,7 +615,11 @@ def embedding_lsh_dedup_pairs(
     per Arrow batch — the interpreted zip_with cosine measured 26s on
     806k candidates at sf0.1, the kernel ~2s. Hot buckets (mass
     near-dup clusters) re-introduce d^2 within a bucket — run exact
-    dedup first, same caveat as MinHash's ``max_bucket_size``.
+    dedup first; ``max_bucket_size`` (default None: off, keeps the
+    oracle exact) drops over-cap (table, bucket) groups before
+    pairing, and ``observation`` (a ``pyspark.sql.Observation``)
+    reports ``capped_buckets`` / ``max_bucket_size_seen`` riding the
+    candidate job — the same silent-recall guard as MinHash's cap.
     """
     _buckets = portable_bucket_udf(dim, n_tables, n_planes)
     _qcos = portable_qcos_udf()
@@ -622,6 +628,24 @@ def embedding_lsh_dedup_pairs(
         F.col(id_col),
         F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
     )
+    if max_bucket_size is not None or observation is not None:
+        sizes = bucketed.groupBy("table", "bucket").agg(
+            F.count("*").alias("_bsz")
+        )
+        if observation is not None:
+            over = (
+                F.col("_bsz") > max_bucket_size
+                if max_bucket_size is not None
+                else F.lit(False)
+            )
+            sizes = sizes.observe(
+                observation,
+                F.count(F.when(over, 1)).alias("capped_buckets"),
+                F.max("_bsz").alias("max_bucket_size_seen"),
+            )
+        if max_bucket_size is not None:
+            sizes = sizes.where(F.col("_bsz") <= max_bucket_size)
+        bucketed = bucketed.join(sizes.drop("_bsz"), ["table", "bucket"])
     a = bucketed.select(F.col(id_col).alias("vec_a"), "table", "bucket")
     b = bucketed.select(F.col(id_col).alias("vec_b"), "table", "bucket")
     cands = (

@@ -467,3 +467,25 @@ def test_connected_components_transitivity(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (23, 20),
     }
+
+
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """A flood of identical vectors makes every bucket hot; the cap
+    drops those buckets (bounded d^2) and the Observation reports how
+    many were capped — no silent recall loss."""
+    from pyspark.sql import Observation
+
+    vecs = [(i, [0.5] * 64) for i in range(80)] + [
+        (1000, [0.9] * 32 + [-0.9] * 32),
+        (1001, [0.9] * 32 + [-0.9] * 32),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    obs = Observation("lsh_cap")
+    out = dd.embedding_lsh_dedup_pairs(
+        df, threshold=0.4, max_bucket_size=10, observation=obs
+    )
+    pairs = {(r.vec_a, r.vec_b) for r in out.collect()}
+    assert (1000, 1001) in pairs          # small-bucket pair survives
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)  # flood capped
+    assert obs.get["capped_buckets"] > 0
+    assert obs.get["max_bucket_size_seen"] == 80
