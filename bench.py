@@ -64,6 +64,7 @@ HEADLINE = [
     "mix_sample_sources",
     "contamination_eval_overlap",
     "pack_sequences_lang",
+    "corpus_assembly_pipeline",
 ]
 
 

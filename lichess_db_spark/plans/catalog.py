@@ -38,6 +38,7 @@ _TOUCHED_THIS_ROUND = (
     "contamination_eval_overlap",   # new: benchmark contamination scan
     "pack_sequences_lang",          # new: greedy sequence packing
     "stratified_sample_langs",      # new: fixed-N per-group hash sample
+    "corpus_assembly_pipeline",     # new: composed dedup->mix->split flagship
     "mm_frame_sample",              # new: data-dependent frame sampling
     "mm_feature_extract",           # new: byte-class feature kernel
     "asof_join_latest_order",       # struct-carry + null-key semantics

@@ -925,6 +925,70 @@ def pack_sequences_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_assembly_pipeline",
+    """
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    base AS (
+        SELECT d.doc_id, d.text, d.source FROM documents d
+        JOIN keep k ON k.doc_id = d.doc_id
+    ),
+    mixed AS (
+        SELECT doc_id, text, source FROM base
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              % 10000 < 9000 - 400 * CAST(substr(source, 4) AS INT)
+    ),
+    tagged AS (
+        SELECT source, text,
+               CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-split'),
+                          1, 8))::BIGINT) % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM mixed
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY source, split
+    """,
+    "End-to-end corpus assembly — the composed flagship of the "
+    "curation layer: exact dedup (keep min-id per content digest) -> "
+    "domain mixing (config-table rates, md5-of-id selection) -> "
+    "train/test split (salted md5 so the split hash is independent of "
+    "the mixing hash) -> per-(source, split) doc/token accounting. "
+    "Three hash shuffles total (digest group, mixing broadcast is "
+    "map-side, final agg); every stage reshuffle-proof and "
+    "engine-portable, hash-verified END TO END by one oracle.",
+)
+def corpus_assembly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_to_rates
+
+    d = _t(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    base = d.select("doc_id", "text", "source").join(
+        keep.select("doc_id"), "doc_id"
+    )
+    rates = {f"src{n}": (9000 - 400 * n) / 10000 for n in range(20)}
+    mixed = sample_to_rates(base, rates, key_col="source", id_col="doc_id")
+    split_bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-split"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    tagged = mixed.select(
+        "source",
+        "text",
+        F.when(split_bucket < 90, "train").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+
+
+@register(
     "salted_join_event_segments",
     """
     SELECT c.c_mktsegment AS segment,
