@@ -34,19 +34,28 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table (S6).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright; we read nanos as raw longs
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) across fixture generations. NANOS is rejected by
+    Spark's reader outright, so we read it as raw longs
     (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs
     TIMESTAMP_NTZ with *integer* division (the data is µs-grained, so
     this is lossless; float division would lose precision at 1e18 ns).
-    DuckDB's TIMESTAMP is also µs, so both engines see identical values.
+    MICROS arrives as TIMESTAMP_NTZ already and passes through. DuckDB's
+    TIMESTAMP is also µs, so both engines see identical values either way.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
