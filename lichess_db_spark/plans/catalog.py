@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import catalog_core, catalog_formats, catalog_north  # noqa: F401  (registration side effects)
+from . import catalog_core, catalog_formats, catalog_north, catalog_tpch  # noqa: F401  (registration side effects)
 from .registry import QUERIES, QueryDef  # noqa: F401
 
 # The driver's correctness gate checks the first 50 entries of
@@ -30,6 +30,18 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # driver row.
 _ROUND = 4
 _TOUCHED_THIS_ROUND = (
+    "q7_nation_volume",             # new: TPC-H Q7 breadth batch (catalog_tpch)
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_top_customers",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance",
     "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
     "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
     "dedup_simhash_portable",       # new: md5 hash-checked simhash twin

@@ -348,3 +348,55 @@ def test_embedding_lsh_candidates_are_id_only(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1) and ", ea" not in m.group(1)
+
+
+def test_tpch_fact_fact_join_never_broadcasts(spark):
+    """q7/q10/q18 join lineitem to orders on orderkey: at 100 TB orders
+    is fact-sized, so that join must be a shuffle join (SMJ/SHJ), while
+    every dimension side (nation/supplier/customer-after-filter) stays
+    a BroadcastHashJoin."""
+    from lichess_db_spark.plans import QUERIES
+
+    # Simulate fact-sized inputs: kill size-estimate broadcasts so only
+    # the explicit dimension hints survive (at 100 TB the size stats
+    # would exceed the threshold anyway — this is what the plan becomes).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try:
+        for name in ("q7_nation_volume", "q10_returned_top_customers"):
+            plan = _plan(QUERIES[name].build(spark, SF_SMALL))
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+            assert "BroadcastHashJoin" in plan, name
+            # the shuffled join must be the orderkey one
+            assert "l_orderkey" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_q18_filters_before_join(spark):
+    """The HAVING sum(qty) > 160 must run on the pre-join aggregate (a
+    Filter above HashAggregate, below the join) — filtering after the
+    join would carry every lineitem group through the orderkey
+    exchange."""
+    from lichess_db_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["q18_large_orders"].build(spark, SF_SMALL))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    assert "sum_qty" in plan
+    # TakeOrderedAndProject caps the output instead of a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q17_self_agg_join_shares_partitioning(spark):
+    """Q17 joins lineitem to its own per-partkey aggregate. Both sides
+    hash-partition on partkey, so the join itself must not introduce a
+    third exchange beyond the two scans' shuffles (AQE may then convert
+    the small agg side to broadcast at runtime — also fine)."""
+    from lichess_db_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["q17_small_qty_revenue"].build(spark, SF_SMALL))
+    # static plan: at most 2 hash exchanges feed the join (one per side)
+    pre_final = plan.split("HashAggregate", 1)[0]
+    assert plan.count("Exchange hashpartitioning(l_partkey") <= 1, pre_final
+    assert plan.count("Exchange hashpartitioning(pk") <= 1
