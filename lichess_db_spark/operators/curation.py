@@ -165,3 +165,90 @@ def pack_sequences(
         .groupBy(part_col, "seq_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual-sampling
+    rule: post-sample sizes ∝ n_g^alpha, alpha<1 flattens the
+    distribution toward the small groups).
+
+    Per-group keep rate = (min_n / n_g)^(1-alpha), so the smallest
+    group keeps everything and larger groups are downsampled toward
+    the flattened target. Selection is md5-of-id against the rate in
+    basis points — deterministic, reshuffle-proof, engine-portable
+    (same discipline as :func:`sample_to_rates`).
+
+    The group counts and their min are aggregates of the input itself
+    (no driver-side collect): counts are a 1-row-per-group aggregate,
+    the min is a 1-row aggregate of THAT, and both broadcast back —
+    at 100 TB the group table is dims-sized (languages, domains).
+
+    alpha=0.5 keeps the rate inside sqrt(), which is correctly rounded
+    in IEEE 754 — bit-identical across engines. Other alphas go
+    through pow(), which is only faithfully rounded (≤1 ulp) and may
+    disagree across libm implementations in the last bit; floor() at
+    basis-point granularity makes that visible only if the rate lands
+    within 1e-16 of a boundary.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_g"))
+    mn = counts.agg(F.min("n_g").alias("min_n"))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("min_n") / F.col("n_g"))
+    else:
+        rate = F.pow(F.col("min_n") / F.col("n_g"), F.lit(1.0 - alpha))
+    rated = counts.join(F.broadcast(mn)).select(
+        key_col,
+        "n_g",
+        F.floor(rate * 10000).cast("int").alias("rate_bp"),
+    )
+    return df.join(F.broadcast(rated), key_col).where(
+        _md5_bucket(F.col(id_col), 10000) < F.col("rate_bp")
+    )
+
+
+def repeated_passages(
+    df: DataFrame,
+    chunk_words: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level duplication scan: split each document into
+    non-overlapping ``chunk_words``-word chunks and surface chunks that
+    appear in at least ``min_docs`` distinct documents.
+
+    This is the sub-document complement of whole-document dedup: the
+    boilerplate / licence-header / template detector. Shuffle key is
+    the chunk digest — one exchange, group sizes bounded by chunk
+    frequency (a hot chunk is exactly the thing being measured).
+    Ragged tails (< chunk_words words) are dropped so chunk identity
+    is length-stable in both engines.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.floor(F.size(words) / chunk_words).cast("int")
+    chunk_idx = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    # guard: sequence(0, -1) would COUNT DOWN for a sub-chunk doc;
+    # drop those rows before the explode
+    df = df.where(F.size(words) >= chunk_words)
+    chunked = df.select(
+        F.col(id_col), words.alias("__words"), chunk_idx.alias("__ci")
+    ).select(
+        F.col(id_col),
+        F.array_join(
+            F.slice(F.col("__words"), F.col("__ci") * chunk_words + 1, chunk_words),
+            " ",
+        ).alias("passage"),
+    )
+    return (
+        chunked.groupBy("passage")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -42,6 +42,9 @@ _TOUCHED_THIS_ROUND = (
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_balance",
+    "lang_temperature_resample",    # new: temperature rebalancing (curation)
+    "repeated_passages",            # new: passage-level dup scan
+    "corpus_shuffle_rank",          # new: deterministic training-order shuffle
     "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
     "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
     "dedup_simhash_portable",       # new: md5 hash-checked simhash twin

@@ -1586,3 +1586,99 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("last_order_date"),
         "day_total",
     )
+
+
+@register(
+    "lang_temperature_resample",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+    ),
+    rated AS (
+        SELECT lang, n_g,
+               CAST(FLOOR(SQRT((SELECT MIN(n_g) FROM counts) / n_g) * 10000)
+                    AS INT) AS rate_bp
+        FROM counts
+    )
+    SELECT d.lang, r.n_g, r.rate_bp, COUNT(*) AS n_kept
+    FROM documents d JOIN rated r ON d.lang = r.lang
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+          % 10000 < r.rate_bp
+    GROUP BY d.lang, r.n_g, r.rate_bp
+    """,
+    "Temperature-based language rebalancing (post-sample sizes ∝ "
+    "n_lang^0.5 — the multilingual-corpus flattening rule): per-lang "
+    "keep rate (min_n/n_g)^0.5 derived from two broadcast aggregates "
+    "of the corpus itself (no driver collect), md5-of-id selection in "
+    "basis points. alpha=0.5 keeps the rate inside sqrt(), which IEEE "
+    "rounds identically in both engines (pow() is only 1-ulp-faithful).",
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_resample(d, alpha=0.5, key_col="lang", id_col="doc_id")
+    return kept.groupBy("lang", "n_g", "rate_bp").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+@register(
+    "repeated_passages",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(ts[(g.i-1)*5+1:(g.i-1)*5+5], ' ') AS passage
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE (g.i-1)*5+5 <= len(ts)
+    )
+    SELECT passage, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM chunks GROUP BY passage
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    "Passage-level duplication scan (the sub-document complement of "
+    "whole-doc dedup — boilerplate / licence-header / template "
+    "detector): non-overlapping 5-word chunks, chunks appearing in 2+ "
+    "distinct docs. One shuffle on the chunk; group sizes bounded by "
+    "chunk frequency, which is exactly the quantity being measured.",
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import repeated_passages as rp
+
+    return rp(_t(spark, sf_dir, "documents"), chunk_words=5, min_docs=2)
+
+
+@register(
+    "corpus_shuffle_rank",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '-shuffle'), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    "Deterministic global training-order shuffle: every epoch-0 data "
+    "loader needs a reproducible permutation of the corpus. Sort key "
+    "is md5(id || salt) — reshuffle-proof and engine-portable; the "
+    "global position comes from the distributed rank operator "
+    "(repartitionByRange on the hash + per-partition offsets), NOT a "
+    "single-partition ROW_NUMBER window, so it scales to 100 TB the "
+    "same way o1_global_rank_scalable does.",
+)
+def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_rank
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-shuffle"))).alias(
+            "__shuffle_key"
+        ),
+    )
+    ranked = global_rank(
+        d, F.col("__shuffle_key"), F.col("doc_id"), rank_col="shuffle_pos"
+    )
+    return ranked.select("doc_id", "shuffle_pos")

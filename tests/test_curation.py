@@ -100,3 +100,79 @@ def test_stratified_sample_fixed_size_and_stable(spark, docs):
     }
     for lang, k in sizes.items():
         assert k == min(10, group_sizes[lang])
+
+
+def test_temperature_resample_flattens(spark, docs):
+    """alpha=0.5: the smallest lang keeps everything (rate 10000 bp);
+    larger langs are downsampled; post-sample counts are closer to
+    uniform than the input (the whole point of temperature sampling);
+    and the sample is deterministic across runs."""
+    from lichess_db_spark.operators.curation import temperature_resample
+
+    kept = temperature_resample(docs, alpha=0.5, key_col="lang", id_col="doc_id")
+    rows = kept.groupBy("lang", "n_g", "rate_bp").count().collect()
+    assert rows
+    by_lang = {r.lang: r for r in rows}
+    min_n = min(r.n_g for r in rows)
+    for r in rows:
+        if r.n_g == min_n:
+            assert r.rate_bp == 10000  # smallest group keeps all
+        assert 0 < r.rate_bp <= 10000
+    # flattening: max/min post-sample ratio <= max/min input ratio
+    in_ratio = max(r.n_g for r in rows) / min_n
+    out_counts = [r["count"] for r in rows]
+    out_ratio = max(out_counts) / min(out_counts)
+    assert out_ratio <= in_ratio
+    again = temperature_resample(docs, alpha=0.5).groupBy("lang").count().collect()
+    assert {(r.lang, r["count"]) for r in again} == {
+        (r.lang, r["count"]) for r in rows
+    }
+
+
+def test_temperature_resample_generic_alpha(spark, docs):
+    """alpha=1 keeps everything (rates ∝ n^0 -> 1); alpha=0 targets
+    fully uniform (rate = min_n/n_g)."""
+    from lichess_db_spark.operators.curation import temperature_resample
+
+    all_kept = temperature_resample(docs, alpha=1.0)
+    assert all_kept.count() == docs.count()
+    uniform = (
+        temperature_resample(docs, alpha=0.0)
+        .groupBy("lang", "n_g", "rate_bp")
+        .count()
+        .collect()
+    )
+    min_n = min(r.n_g for r in uniform)
+    for r in uniform:
+        # rate floors to bp, so expected kept ~= min_n per group
+        assert r.rate_bp == int(10000 * min_n / r.n_g)
+
+
+def test_repeated_passages_semantics(spark):
+    """Two docs sharing a 5-word passage are caught; a doc shorter
+    than the chunk is dropped (no sequence(0,-1) blowup); passages
+    unique to one doc never appear."""
+    from lichess_db_spark.operators.curation import repeated_passages
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps completely different tail words here"),
+        (3, "short doc"),
+        (4, "unique words only in this document right here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_passages(df, chunk_words=5, min_docs=2).collect()
+    passages = {r.passage: (r.n_docs, r.n_occurrences) for r in out}
+    assert passages == {"the quick brown fox jumps": (2, 2)}
+
+
+def test_corpus_shuffle_rank_is_a_permutation(spark, docs):
+    """shuffle_pos is a 1..N permutation, stable across runs, and not
+    the identity order (it actually shuffles)."""
+    from lichess_db_spark.plans import QUERIES
+
+    out = QUERIES["corpus_shuffle_rank"].build(spark, SF_SMALL).collect()
+    n = len(out)
+    assert sorted(r.shuffle_pos for r in out) == list(range(1, n + 1))
+    by_pos = sorted(out, key=lambda r: r.shuffle_pos)
+    assert [r.doc_id for r in by_pos] != sorted(r.doc_id for r in out)
