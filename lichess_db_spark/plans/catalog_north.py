@@ -1682,3 +1682,75 @@ def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, F.col("__shuffle_key"), F.col("doc_id"), rank_col="shuffle_pos"
     )
     return ranked.select("doc_id", "shuffle_pos")
+
+
+@register(
+    "quality_filter_pipeline",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    stats AS (
+        SELECT t.doc_id,
+               LENGTH(MIN(d.text)) AS n_chars_t,
+               CAST(COUNT(DISTINCT t.tok) AS DOUBLE) / COUNT(*) AS ttr,
+               CAST(COUNT(*) FILTER (WHERE t.tok IN ('the','a','of','and','to','in','is')) AS DOUBLE)
+                   / COUNT(*) AS sw
+        FROM tok t JOIN documents d USING (doc_id) GROUP BY t.doc_id
+    ),
+    qual AS (
+        SELECT doc_id,
+               (LEAST(n_chars_t / 500.0, 1.0) + ttr
+                + GREATEST(1.0 - ABS(sw - 0.4) / 0.4, 0.0)) / 3.0 AS quality
+        FROM stats
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, COUNT(*) AS n2,
+               COUNT(DISTINCT ts[g.i] || ' ' || ts[g.i+1]) AS d2
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 1
+        GROUP BY doc_id
+    ),
+    verdicts AS (
+        SELECT d.source,
+               CASE WHEN (1 - CAST(g2.d2 AS DOUBLE) / g2.n2) > 0.05
+                      THEN 'drop_repetition'
+                    WHEN q.quality < 0.40 THEN 'drop_quality'
+                    ELSE 'keep' END AS verdict
+        FROM documents d
+        LEFT JOIN qual q ON q.doc_id = d.doc_id
+        LEFT JOIN g2 ON g2.doc_id = d.doc_id
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs
+    FROM verdicts GROUP BY source, verdict
+    """,
+    "Composed quality gate — the filter stage a pre-training pipeline "
+    "runs between dedup and mixing: repetition kill-rule first "
+    "(dup-2gram fraction > 0.05, the C4/Gopher family), then the "
+    "composite quality floor (0.40), per-source verdict accounting. "
+    "Spark side is MAP-ONLY per doc (array expressions compute both "
+    "signals in place, zero shuffle before the final tiny agg) where "
+    "the oracle needs four grouped subqueries — the point of "
+    "expression-level fusion at 100 TB.",
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    g2 = T.word_shingles("text", 2)
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.lit(1) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2),
+    )
+    verdict = (
+        F.when(dup2 > 0.05, "drop_repetition")
+        .when(T.quality_score("text") < 0.40, "drop_quality")
+        .otherwise("keep")
+    )
+    return (
+        d.select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )

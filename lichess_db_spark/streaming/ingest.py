@@ -433,3 +433,26 @@ def stream_games_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit the first arrival of each key,
+    drop later duplicates that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes it — BOUNDED state, unlike a plain
+    ``dropDuplicates`` whose state grows with the whole history (a
+    guaranteed OOM on an unbounded stream). The contract this buys at
+    100 TB/day: duplicates separated by more than the watermark are
+    NOT caught here — cross-horizon dedup belongs to the batch layer
+    (dedup_exact_groups / minhash), and the two compose: stream-dedup
+    deduplicates the firehose cheaply, batch-dedup sweeps the archive.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

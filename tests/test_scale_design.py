@@ -400,3 +400,16 @@ def test_tpch_q17_self_agg_join_shares_partitioning(spark):
     pre_final = plan.split("HashAggregate", 1)[0]
     assert plan.count("Exchange hashpartitioning(l_partkey") <= 1, pre_final
     assert plan.count("Exchange hashpartitioning(pk") <= 1
+
+
+def test_quality_filter_pipeline_is_map_only(spark):
+    """Both quality signals (dup-2gram fraction + composite score) are
+    per-row array expressions — the only exchange in the whole plan is
+    the final tiny (source, verdict) aggregate. A join-based shape
+    (like the oracle's four subqueries) would shuffle the corpus 3x."""
+    from lichess_db_spark.plans import QUERIES
+
+    # simple mode prints each node once (formatted lists tree + detail)
+    plan = _plan(QUERIES["quality_filter_pipeline"].build(spark, SF_SMALL), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan

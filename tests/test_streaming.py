@@ -232,3 +232,32 @@ def test_tws_running_count_and_max_matches_batch(spark, staged_events):
     assert (
         got_tot.join(want_tot, ["user_id", "n", "vmax"]).count() == want_tot.count()
     )
+
+
+def test_stream_dedup_within_watermark(spark, staged_events):
+    """A doubled stream (every event staged twice) dedups back to the
+    original set; first arrivals survive, later copies drop; state is
+    watermark-bounded (the operator, not the test, guarantees that —
+    here we assert semantics)."""
+    from lichess_db_spark.streaming.ingest import stream_dedup
+
+    d, ev = staged_events
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    try:
+        doubled = ev.unionAll(ev)
+        doubled.repartition(4).write.mode("overwrite").parquet(dup_dir)
+        stream = read_events_stream(spark, dup_dir, ev.schema)
+        deduped = stream_dedup(stream, ["event_id"], ts_col="ts")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("stateful_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("stateful_dedup")
+        assert got.count() == ev.count()
+        assert got.select("event_id").distinct().count() == ev.count()
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
