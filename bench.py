@@ -65,6 +65,13 @@ HEADLINE = [
     "contamination_eval_overlap",
     "pack_sequences_lang",
     "corpus_assembly_pipeline",
+    # round-4 additions: fact-fact join shapes + curation breadth
+    "q7_nation_volume",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "quality_filter_pipeline",
+    "repeated_passages",
+    "corpus_shuffle_rank",
 ]
 
 

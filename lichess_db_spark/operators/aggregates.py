@@ -61,3 +61,33 @@ def horizontal_sum(*cols: str) -> Column:
         out = F.col(c) if out is None else out + F.col(c)
     assert out is not None
     return out
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """One-pass column profile: row count, nulls and exact distinct
+    counts per column, unpivoted to one row per column.
+
+    The single ``agg`` computes every statistic in one pass over the
+    data; multiple exact COUNT(DISTINCT)s make Catalyst plan an Expand
+    (one duplicated stream per distinct column), which is the right
+    trade at dims/EDA scale. For a 100 TB fact-table profile swap the
+    exact distincts for ``approx_count_distinct`` — same shape, no
+    Expand blow-up; the exact version stays because it is what the
+    DuckDB oracle can replay.
+    """
+    aggs = [F.count("*").alias("n_rows")]
+    for c in df.columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __nd_{c}" for c in df.columns
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(df.columns)}, {stack_args}) AS (col_name, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct")

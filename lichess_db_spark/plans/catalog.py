@@ -46,6 +46,7 @@ _TOUCHED_THIS_ROUND = (
     "repeated_passages",            # new: passage-level dup scan
     "corpus_shuffle_rank",          # new: deterministic training-order shuffle
     "quality_filter_pipeline",      # new: composed repetition+quality gate
+    "profile_documents",            # new: one-pass column profile (EDA)
     "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
     "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
     "dedup_simhash_portable",       # new: md5 hash-checked simhash twin

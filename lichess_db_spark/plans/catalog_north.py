@@ -1754,3 +1754,35 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "profile_documents",
+    """
+    SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS n_null,
+           COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+           COUNT(DISTINCT text) FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+           COUNT(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+           COUNT(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+           COUNT(DISTINCT n_chars) FROM documents
+    """,
+    "Dataset profile (the EDA first-look: reference eda.ipynb opens "
+    "with exactly these null/distinct scans): one row per column with "
+    "row/null/exact-distinct counts, computed in ONE pass + unpivoted "
+    "via stack(). The oracle needs five scans. At 100 TB swap the "
+    "exact distincts for approx_count_distinct (same plan minus the "
+    "Expand).",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"))
