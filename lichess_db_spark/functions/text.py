@@ -35,14 +35,28 @@ def n_tokens(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 5) -> Column:
     """n-gram word shingles -> array<string>; empty array for short docs.
 
-    Pure array ops (split/sequence/transform/slice) — stays in codegen.
+    Pure array ops — stays in codegen. Built as a zip_with fold over n
+    shifted slices of the token array, NOT a transform whose lambda
+    slices the array: any non-trivial expression inside a higher-order
+    -function lambda is re-evaluated PER ELEMENT, so the old
+    ``transform(idx, i -> array_join(slice(split(text),...)))`` shape
+    re-split the document once per shingle position — O(words²) per
+    doc (measured 7x on the quality gate at sf0.1). Here ``split`` is
+    referenced only outside lambda bodies (n+1 constant evaluations
+    per row) and every lambda touches lambda variables only.
     Used by MinHash/Jaccard dedup (SURVEY §2.10 north-star).
     """
     c = F.col(col) if isinstance(col, str) else col
     ts = F.split(c, " ")
-    idx = F.sequence(F.lit(0), F.size(ts) - n)
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(ts, i + 1, n), " "))
-    return F.when(F.size(ts) >= n, sh).otherwise(F.array().cast("array<string>"))
+    m = F.size(ts) - n + 1  # number of shingles
+    acc = F.slice(ts, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(ts, i + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(ts) >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(col: Column | str, n: int = 8) -> Column:
@@ -53,9 +67,13 @@ def char_ngrams(col: Column | str, n: int = 8) -> Column:
     return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def token_type_ratio(col: Column | str) -> Column:
-    """distinct tokens / total tokens — a repetition-quality signal."""
-    ts = tokens(col)
+def token_type_ratio(col: Column | str, ts: Column | None = None) -> Column:
+    """distinct tokens / total tokens — a repetition-quality signal.
+
+    Pass a pre-projected token-array column as ``ts`` when composing
+    several token statistics: each reference to an inline ``split``
+    re-materializes the array (see :func:`word_shingles`)."""
+    ts = tokens(col) if ts is None else ts
     return F.size(F.array_distinct(ts)) / F.size(ts)
 
 
@@ -65,9 +83,13 @@ def mean_token_len(col: Column | str) -> Column:
     return total / F.size(ts)
 
 
-def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(
+    col: Column | str,
+    stopwords: list[str] | None = None,
+    ts: Column | None = None,
+) -> Column:
     sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    ts = tokens(col)
+    ts = tokens(col) if ts is None else ts
     n_sw = F.size(F.filter(ts, lambda t: F.array_contains(sw, t)))
     return n_sw / F.size(ts)
 
@@ -89,17 +111,18 @@ def md5_fingerprint(col: Column | str, length: int = 16) -> Column:
     return F.substring(F.md5(F.lower(F.trim(c))), 1, length)
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, ts: Column | None = None) -> Column:
     """Composite [0,1] quality score: length, repetition, stopwords.
 
     A document scores high when it is long enough, non-repetitive,
     and has a natural-language stopword density — the standard cheap
-    pre-training quality gate shape.
+    pre-training quality gate shape. Pass a pre-projected token array
+    as ``ts`` when composing with other token statistics.
     """
     c = F.col(col) if isinstance(col, str) else col
     len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
-    rep_score = token_type_ratio(c)
-    sw = stopword_ratio(c)
+    rep_score = token_type_ratio(c, ts=ts)
+    sw = stopword_ratio(c, ts=ts)
     sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.4)) / F.lit(0.4)
     # unrounded: the components are ratios of small ints, which land
     # on .xxxx5 decimal boundaries where engines' round() modes

@@ -746,23 +746,45 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_shingles
 
     d = _t(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
 
-    def dup_frac(n: int) -> F.Column:
-        g = word_shingles("text", n)
+    # Pre-project the token/shingle arrays into named columns: each is
+    # referenced several times downstream, and CollapseProject keeps a
+    # multi-referenced non-cheap alias as its own Project inside the
+    # same codegen stage — so every array materializes ONCE per row
+    # instead of once per reference (measured 1.8x at sf0.1 on top of
+    # the word_shingles zip_with rewrite).
+    pre = d.select(
+        "doc_id",
+        F.split("text", " ").alias("__ts"),
+        word_shingles("text", 2).alias("__g2"),
+        word_shingles("text", 5).alias("__g5"),
+    )
+
+    def dup_frac(gc: str) -> F.Column:
+        g = F.col(gc)
         return F.when(
             F.size(g) > 0,
             F.lit(1) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
         )
 
-    uniq = F.array_distinct(ts)
-    hapax = F.size(
-        F.filter(uniq, lambda w: F.size(F.filter(ts, lambda t: t == w)) == 1)
-    )
-    return d.select(
+    # hapax via sorted-neighbor compare: a token occurs once iff it
+    # differs from both neighbors in the sorted array. The naive
+    # filter-inside-filter shape is O(uniq x tokens) AND re-evaluates
+    # the split per lambda element (the HOF re-evaluation trap — see
+    # functions/text.word_shingles); this is O(n log n) with every
+    # lambda touching lambda variables only.
+    uniq = F.array_distinct("__ts")
+    srt = F.array_sort("__ts")
+    m = F.size(srt)
+    nxt = F.concat(F.slice(srt, 2, m - 1), F.array(F.lit(None).cast("string")))
+    eq_next = F.zip_with(srt, nxt, lambda a, b: a.eqNullSafe(b))
+    eq_prev = F.concat(F.array(F.lit(False)), F.slice(eq_next, 1, m - 1))
+    dup_flags = F.zip_with(eq_next, eq_prev, lambda a, b: a | b)
+    hapax = F.size(F.filter(dup_flags, lambda x: ~x))
+    return pre.select(
         "doc_id",
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(5).alias("dup_5gram_frac"),
+        dup_frac("__g2").alias("dup_2gram_frac"),
+        dup_frac("__g5").alias("dup_5gram_frac"),
         F.when(
             F.size(uniq) > 0, hapax.cast("double") / F.size(uniq)
         ).alias("hapax_ratio"),
@@ -1738,19 +1760,26 @@ def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
-    g2 = T.word_shingles("text", 2)
+    # pre-project the arrays so each materializes once per row (the
+    # CollapseProject multi-reference rule — see text_repetition_stats)
+    pre = d.select(
+        "source",
+        "text",
+        F.split("text", " ").alias("__ts"),
+        T.word_shingles("text", 2).alias("__g2"),
+    )
+    g2 = F.col("__g2")
     dup2 = F.when(
         F.size(g2) > 0,
         F.lit(1) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2),
     )
     verdict = (
         F.when(dup2 > 0.05, "drop_repetition")
-        .when(T.quality_score("text") < 0.40, "drop_quality")
+        .when(T.quality_score("text", ts=F.col("__ts")) < 0.40, "drop_quality")
         .otherwise("keep")
     )
     return (
-        d.select("source", verdict.alias("verdict"))
+        pre.select("source", verdict.alias("verdict"))
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )
