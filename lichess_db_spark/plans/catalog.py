@@ -47,6 +47,9 @@ _TOUCHED_THIS_ROUND = (
     "corpus_shuffle_rank",          # new: deterministic training-order shuffle
     "quality_filter_pipeline",      # new: composed repetition+quality gate
     "profile_documents",            # new: one-pass column profile (EDA)
+    # q4_priority_late_orders / q11_important_part_values /
+    # q20_top_brand_suppliers are also new this round but the window is
+    # full (50); they rotate into the r5 gate, mirror-suite-checked now.
     "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
     "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
     "dedup_simhash_portable",       # new: md5 hash-checked simhash twin

@@ -614,3 +614,109 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q4_priority_late_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape (adapted: no commit/receipt dates, so 'late' means "
+    "any line shipped >60 days after the order date). EXISTS compiles "
+    "to a LEFT SEMI join on orderkey — the correlated date condition "
+    "rides the join as a residual, and each order is emitted at most "
+    "once regardless of how many lines are late (the distinct-ness a "
+    "plain inner join would get wrong).",
+)
+def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q11_important_part_values",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS v
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.0006 FROM val)
+    """,
+    "TPC-H Q11 shape (adapted: lineitem value per part stands in for "
+    "partsupp stock value). Group-vs-global-share: the global total is "
+    "a 1-row re-aggregate of the grouped values, broadcast back as the "
+    "filter threshold — the fact table shuffles once (on partkey); "
+    "both engines compare identical doubles derived from exact "
+    "decimal sums.",
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(30,4)")
+        ).alias("v")
+    )
+    thresh = val.agg(
+        (F.sum("v").cast("double") * F.lit(0.0006)).alias("threshold")
+    )
+    return (
+        val.join(F.broadcast(thresh))
+        .where(F.col("v").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q20_top_brand_suppliers",
+    """
+    WITH sv AS (
+      SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#5'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, sv.q AS brand_qty
+    FROM supplier JOIN sv ON s_suppkey = l_suppkey
+    WHERE sv.q > (SELECT SUM(q) * 0.012 FROM sv)
+    """,
+    "TPC-H Q20 shape (adapted: 'suppliers who ship a disproportionate "
+    "share of one brand' replaces the partsupp availability check). "
+    "Nested aggregate threshold over a filtered broadcast join; the "
+    "supplier dim joins broadcast onto the (≤|supplier|) rollup.",
+)
+def q20_top_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#5").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sv = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("q"))
+    )
+    thresh = sv.agg((F.sum("q") * F.lit(0.012)).alias("threshold"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sv.join(F.broadcast(thresh))
+        .where(F.col("q") > F.col("threshold"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("q").alias("brand_qty"))
+    )
