@@ -120,13 +120,31 @@ def _minhash_sig(sh: "F.Column", num_perms: int, portable: bool = False) -> "F.C
 
     @pandas_udf("array<bigint>")
     def _sig_udf(base: pd.Series) -> pd.Series:
-        out = []
-        for h in base:
-            if h is None or len(h) == 0:
+        # One affine matmul + segment-min for the WHOLE Arrow batch:
+        # flatten every doc's base hashes into one vector, apply all
+        # num_perms maps at memory bandwidth, then minimum.reduceat at
+        # the doc boundaries. The previous per-row loop paid numpy
+        # dispatch overhead (~50 small (|sh| x perms) kernels per ms)
+        # per document; this pays it once per batch. Integer-exact:
+        # identical signatures to the per-row form.
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in base), dtype=np.int64, count=len(base)
+        )
+        nonempty = [h for h in base if h is not None and len(h) > 0]
+        if not nonempty:
+            return pd.Series([None] * len(base), dtype=object)
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in nonempty])
+        sig_flat = (flat[:, None] * A + B) % _MERSENNE_P
+        pos = lens[lens > 0]
+        starts = np.concatenate(([0], np.cumsum(pos)[:-1]))
+        mins = np.minimum.reduceat(sig_flat, starts, axis=0)
+        out, j = [], 0
+        for n in lens:
+            if n == 0:
                 out.append(None)
-                continue
-            arr = np.asarray(h, dtype=np.int64)[:, None]
-            out.append(((arr * A + B) % _MERSENNE_P).min(axis=0))
+            else:
+                out.append(mins[j])
+                j += 1
         return pd.Series(out, dtype=object)
 
     if portable:
