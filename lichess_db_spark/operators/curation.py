@@ -252,3 +252,41 @@ def repeated_passages(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def quality_verdict(
+    text_col: str = "text",
+    dup2_threshold: float = 0.05,
+    quality_floor: float = 0.40,
+) -> "F.Column":
+    """The composed quality-gate verdict as a single map-only column:
+    'drop_repetition' (dup-2gram fraction over threshold), else
+    'drop_quality' (composite score under floor), else 'keep'.
+
+    Shared by the batch catalog entry (quality_filter_pipeline) and
+    the streaming curation sink so both paths apply bit-identical
+    rules. Callers should select from a projection that pre-projects
+    ``__ts`` (token array) and ``__g2`` (2-gram shingles) — see the
+    CollapseProject multi-reference rule in plans/catalog_north.py.
+    """
+    from ..functions.text import quality_score
+
+    g2 = F.col("__g2")
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.lit(1) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2),
+    )
+    return (
+        F.when(dup2 > dup2_threshold, "drop_repetition")
+        .when(quality_score(text_col, ts=F.col("__ts")) < quality_floor, "drop_quality")
+        .otherwise("keep")
+    )
+
+
+def curation_projection(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-project the arrays quality_verdict needs (once per row)."""
+    return df.select(
+        "*",
+        F.split(text_col, " ").alias("__ts"),
+        word_shingles(text_col, 2).alias("__g2"),
+    )

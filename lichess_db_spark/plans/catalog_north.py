@@ -1759,27 +1759,17 @@ def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression-level fusion at 100 TB.",
 )
 def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curation_projection, quality_verdict
+
     d = _t(spark, sf_dir, "documents")
-    # pre-project the arrays so each materializes once per row (the
-    # CollapseProject multi-reference rule — see text_repetition_stats)
-    pre = d.select(
-        "source",
-        "text",
-        F.split("text", " ").alias("__ts"),
-        T.word_shingles("text", 2).alias("__g2"),
-    )
-    g2 = F.col("__g2")
-    dup2 = F.when(
-        F.size(g2) > 0,
-        F.lit(1) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2),
-    )
-    verdict = (
-        F.when(dup2 > 0.05, "drop_repetition")
-        .when(T.quality_score("text", ts=F.col("__ts")) < 0.40, "drop_quality")
-        .otherwise("keep")
-    )
+    # curation_projection pre-projects the arrays so each materializes
+    # once per row (the CollapseProject multi-reference rule — see
+    # text_repetition_stats); the verdict column is shared with the
+    # streaming curation sink (streaming/ingest.stream_documents_curation)
+    # so both paths apply bit-identical rules.
+    pre = curation_projection(d.select("source", "text"))
     return (
-        pre.select("source", verdict.alias("verdict"))
+        pre.select("source", quality_verdict().alias("verdict"))
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )

@@ -21,6 +21,7 @@ idiomatic Spark translations:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -455,4 +456,86 @@ def stream_dedup(
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+def stream_documents_curation(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+):
+    """Streaming curation ingest: micro-batches of documents flow
+    through cross-batch exact dedup and the quality gate into an
+    append-only parquet corpus.
+
+    The composed end-to-end shape a training-data firehose needs
+    (reference parity: ingester.py's incremental month loop, but for
+    documents):
+
+    - **cross-batch dedup via a digest state table**, not streaming
+      dropDuplicates: documents carry no event time, so watermark-
+      bounded state cannot apply, and unbounded in-memory state is an
+      OOM at 100 TB/day. Instead each batch anti-joins the persisted
+      digest table (first arrival wins) — at scale that table is a
+      compact (digest)-only parquet, the join shuffles digests not
+      documents, and a bloom-filter pushdown is the natural upgrade.
+    - **intra-batch dedup** keeps the min doc_id per digest (a batch
+      can contain its own duplicates).
+    - **quality gate**: the same quality_verdict column the batch
+      catalog entry uses — bit-identical rules in both paths.
+    - digests of ALL batch docs (kept or dropped) append to the state
+      table, so later duplicates of a quality-dropped doc skip the
+      gate too.
+
+    Exactly-once: the checkpoint tracks source offsets; the two writes
+    per batch (corpus append, digest append) are idempotent only per
+    batch-rerun — the same batch replayed appends duplicate digests,
+    which is harmless (anti-join semantics) but means the corpus write
+    must come first so a crash between the writes re-filters instead
+    of re-appending.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.curation import curation_projection, quality_verdict
+
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    state_path = os.path.join(out_dir, "_digest_state")
+    docs_path = os.path.join(out_dir, "docs")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn(
+            "__digest", F.md5(F.lower(F.trim(F.col("text"))))
+        )
+        w = Window.partitionBy("__digest").orderBy("doc_id")
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = batch_df.sparkSession.read.parquet(state_path)
+            batch = batch.join(seen, "__digest", "left_anti")
+        except Exception:  # first batch: no state yet
+            pass
+        batch = batch.persist()
+        try:
+            kept = (
+                curation_projection(batch)
+                .where(quality_verdict() == "keep")
+                .select(*batch_df.columns)
+            )
+            kept.write.mode("append").parquet(docs_path)
+            batch.select("__digest").write.mode("append").parquet(state_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -261,3 +261,57 @@ def test_stream_dedup_within_watermark(spark, staged_events):
         assert got.select("event_id").distinct().count() == ev.count()
     finally:
         shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stream_documents_curation_matches_batch(spark, tmp_path):
+    """Two micro-batches with cross-batch duplicate texts: the
+    streaming curation sink keeps exactly one copy per distinct
+    content digest that passes the quality gate (order-invariant
+    assertion: digest sets, not ids), and the digest state table holds
+    each digest once."""
+    from lichess_db_spark.operators.curation import (
+        curation_projection,
+        quality_verdict,
+    )
+    from lichess_db_spark.streaming.ingest import stream_documents_curation
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    dupes = b1.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    b2 = docs.where(F.col("doc_id") >= 250).unionByName(dupes)
+    src = tmp_path / "src"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "out"
+    q = stream_documents_curation(
+        spark, str(src), str(out), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    got = spark.read.parquet(str(out / "docs"))
+    # batch twin: distinct digests whose text passes the quality gate
+    all_docs = b1.unionByName(b2)
+    want_digests = {
+        r.d
+        for r in curation_projection(all_docs)
+        .where(quality_verdict() == "keep")
+        .select(digest.alias("d"))
+        .distinct()
+        .collect()
+    }
+    got_digests = [r.d for r in got.select(digest.alias("d")).collect()]
+    assert len(got_digests) == len(set(got_digests))  # one copy per digest
+    assert set(got_digests) == want_digests
+    # state table: every distinct incoming digest exactly once
+    state = spark.read.parquet(str(out / "_digest_state"))
+    n_distinct = all_docs.select(digest.alias("d")).distinct().count()
+    assert state.count() == n_distinct
+    assert state.distinct().count() == n_distinct
