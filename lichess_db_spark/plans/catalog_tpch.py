@@ -720,3 +720,65 @@ def q20_top_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("q").alias("brand_qty"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+               AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    mn AS (
+      SELECT l_partkey AS pk, MIN(unit_price) AS min_price
+      FROM unit GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, unit_price
+    FROM unit
+      JOIN mn ON l_partkey = pk AND unit_price = min_price
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5
+    ORDER BY unit_price, p_partkey, s_suppkey LIMIT 50
+    """,
+    "TPC-H Q2 shape (adapted: observed average unit price from "
+    "lineitem replaces partsupp supply cost). Per-group ARGMIN via "
+    "min join-back: the per-(part,supplier) rollup re-aggregates to "
+    "per-part minima and equi-joins back on (part, price) — ties keep "
+    "every minimal supplier, deterministically. Both engines derive "
+    "the price from the same exact-decimal totals, so the double "
+    "equality join matches identically. The rollup and the min are "
+    "partkey-partitioned (one fact shuffle); part and supplier dims "
+    "broadcast onto the (≤ |part x supplier|) result.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double")
+        ).alias("unit_price")
+    )
+    mn = unit.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    argmin = unit.join(
+        mn,
+        (F.col("l_partkey") == F.col("pk"))
+        & (F.col("unit_price") == F.col("min_price")),
+    )
+    out = (
+        argmin.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_price")
+    )
+    return top_k(
+        out, 50, F.asc("unit_price"), F.asc("p_partkey"), F.asc("s_suppkey")
+    )
