@@ -782,3 +782,72 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(
         out, 50, F.asc("unit_price"), F.asc("p_partkey"), F.asc("s_suppkey")
     )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey AS ok, MAX(supp_last) AS order_last,
+             COUNT(*) AS n_supps
+      FROM per_supp GROUP BY l_orderkey
+    ),
+    at_last AS (
+      SELECT s.l_orderkey AS ok2, COUNT(*) AS n_at_last
+      FROM per_supp s JOIN per_order o ON s.l_orderkey = o.ok
+      WHERE s.supp_last = o.order_last
+      GROUP BY s.l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_supp s
+      JOIN per_order o ON s.l_orderkey = o.ok
+      JOIN at_last a ON s.l_orderkey = a.ok2
+      JOIN supplier ON s_suppkey = s.l_suppkey
+    WHERE o.n_supps >= 2 AND a.n_at_last = 1
+      AND s.supp_last = o.order_last
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "TPC-H Q21 shape (adapted: no receipt/commit dates, so the "
+    "'supplier who kept the order waiting' is the unique supplier "
+    "whose last shipment is the order's last, among multi-supplier "
+    "orders). The reference formulation is a double correlated "
+    "EXISTS/NOT-EXISTS; re-expressed as three orderkey-partitioned "
+    "aggregates joined back — ONE fact shuffle on (orderkey) feeds "
+    "every stage, the join-backs are co-partitioned, and the "
+    "correlated subqueries never execute per row.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("supp_last").alias("order_last"), F.count("*").alias("n_supps")
+    )
+    at_last = (
+        per_supp.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .where(F.col("supp_last") == F.col("order_last"))
+        .groupBy(F.col("l_orderkey").alias("ok2"))
+        .agg(F.count("*").alias("n_at_last"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        per_supp.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .join(at_last, F.col("l_orderkey") == F.col("ok2"))
+        .where(
+            (F.col("n_supps") >= 2)
+            & (F.col("n_at_last") == 1)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+    )
+    agg = (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return top_k(agg, 20, F.desc("numwait"), F.asc("s_name"))
