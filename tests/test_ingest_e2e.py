@@ -129,3 +129,48 @@ def test_parser_tolerates_malformed_input(spark):
         assert rows["https://lichess.org/tailgame"].White == "c"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_load_table_events_both_timestamp_encodings(spark, tmp_path):
+    """The driver fixtures have shipped events.ts as parquet
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across generations;
+    load_table must return identical TIMESTAMP_NTZ values for both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = [1704067200_000000, 1704067201_500000, 1704070000_123456]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    for unit, scale in (("us", 1), ("ns", 1000)):
+        d = tmp_path / f"enc_{unit}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": cols["event_id"],
+                "ts": pa.array(
+                    [v * scale for v in base], pa.timestamp(unit)
+                ),
+                "user_id": cols["user_id"],
+                "event_type": cols["event_type"],
+                "value": cols["value"],
+                "props": cols["props"],
+            }
+        )
+        pq.write_table(
+            tbl, str(d / "events.parquet"),
+            store_schema=False,  # force plain parquet logical types
+        )
+    from lichess_db_spark.io import load_table
+
+    got_us = load_table(spark, str(tmp_path / "enc_us"), "events")
+    got_ns = load_table(spark, str(tmp_path / "enc_ns"), "events")
+    assert str(got_us.schema["ts"].dataType) == str(got_ns.schema["ts"].dataType)
+    rows_us = sorted((r.event_id, r.ts) for r in got_us.collect())
+    rows_ns = sorted((r.event_id, r.ts) for r in got_ns.collect())
+    assert rows_us == rows_ns
+    assert len(rows_us) == 3
