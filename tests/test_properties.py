@@ -101,3 +101,28 @@ def test_greedy_packing_gapless_and_conserving(toks, seq_len):
     # STARTS inside it)
     for (a, b), n_prev in zip(zip(seq_ids, seq_ids[1:]), toks):
         assert 0 <= b - a <= n_prev // seq_len + 1
+
+
+def test_global_rank_invariant_to_partition_count(spark):
+    """The distributed global rank must be a pure function of the data
+    and the sort keys — NOT of the physical partition count. This is
+    the property a deployment depends on when executor counts change
+    between runs (3-task and 7-task layouts must give byte-identical
+    training order)."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.rank import global_rank
+
+    from .conftest import SF_SMALL
+
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-inv"))).alias("h"),
+    )
+    a = global_rank(d, F.col("h"), F.col("doc_id"), num_partitions=3)
+    b = global_rank(d, F.col("h"), F.col("doc_id"), num_partitions=7)
+    ra = {(r.doc_id, r.rn) for r in a.collect()}
+    rb = {(r.doc_id, r.rn) for r in b.collect()}
+    assert ra == rb
+    assert len(ra) == d.count()
