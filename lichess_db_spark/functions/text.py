@@ -130,17 +130,30 @@ def quality_score(col: Column | str, ts: Column | None = None) -> Column:
     return (len_score + rep_score + F.greatest(sw_score, F.lit(0.0))) / 3.0
 
 
-def lang_guess(col: Column | str) -> Column:
+def lang_guess(col: Column | str, ts: Column | None = None) -> Column:
     """Stopword-vote language ID over the STOPWORDS lists; 'und'
-    (undetermined) when nothing matches."""
+    (undetermined) when nothing matches. First-max-wins on ties
+    (dict order).
+
+    Single struct-array max instead of a when-chain fold: the fold
+    shape ``best = when(n_k > best, ...)`` re-embeds every earlier
+    vote count into each later branch (each count — a filter over the
+    token array — evaluated up to 2^k times), and each reference
+    re-materialized the inline split. Here every vote count appears
+    exactly once; ties resolve by the negated list index riding the
+    struct comparison. Pass a pre-projected LOWERCASED token array as
+    ``ts`` to share it with other statistics.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    ts = F.split(F.lower(c), " ")
-    best_lang = F.lit("und")
-    best_n = F.lit(0)
-    for lang, words in STOPWORDS.items():
+    ts = F.split(F.lower(c), " ") if ts is None else ts
+    votes = []
+    for idx, (lang, words) in enumerate(STOPWORDS.items()):
         sw = F.array(*[F.lit(w) for w in words])
         n = F.size(F.filter(ts, lambda t: F.array_contains(sw, t)))
-        take = n > best_n
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_n = F.when(take, n).otherwise(best_n)
-    return best_lang
+        votes.append(
+            F.struct(
+                n.alias("n"), F.lit(-idx).alias("ord"), F.lit(lang).alias("lang")
+            )
+        )
+    best = F.array_max(F.array(*votes))
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -631,8 +631,11 @@ SELECT lang, guess, COUNT(*) AS n FROM guessed GROUP BY lang, guess
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # pre-project the lowercased token array: all 4 vote counts share
+    # one materialization (CollapseProject multi-reference rule)
+    pre = d.select("lang", F.split(F.lower("text"), " ").alias("__lts"))
     return (
-        d.select("lang", T.lang_guess("text").alias("guess"))
+        pre.select("lang", T.lang_guess("text", ts=F.col("__lts")).alias("guess"))
         .groupBy("lang", "guess")
         .agg(F.count("*").alias("n"))
     )
