@@ -47,6 +47,9 @@ _TOUCHED_THIS_ROUND = (
     "corpus_shuffle_rank",          # new: deterministic training-order shuffle
     "quality_filter_pipeline",      # new: composed repetition+quality gate
     "profile_documents",            # new: one-pass column profile (EDA)
+    "text_lang_id",                 # changed: struct-max vote rewrite
+    "text_repetition_stats",        # changed: sorted-neighbor hapax + pre-projection
+    "dedup_simhash",                # changed: zip_with word_shingles path
     # q4_priority_late_orders / q11_important_part_values /
     # q20_top_brand_suppliers are also new this round but the window is
     # full (50); they rotate into the r5 gate, mirror-suite-checked now.
@@ -78,12 +81,12 @@ _TOUCHED_THIS_ROUND = (
     "knn_ivf_cosine",               # kernel-extraction refactor
     "knn_pq_cosine",                # PQIndex plumbing
 )
+# pared from 5 to 2 this round: every changed query must fit the
+# 50-slot window, and the mirror suite still gates the full core; the
+# two kept sentinels cover the scan-agg and top-k spines.
 _CORE_SENTINELS = (
     "a1_count",
-    "a5_j1_color_join",
-    "p1_computed_columns",
     "o3_topk_head",
-    "w1_running_count_by_type",
 )
 _VERIFIED_R3_MODULES = ("catalog_north", "catalog_formats")
 _VERIFIED_R3_NAMES = ("cube_type_day", "rollup_type_day", "o1_global_rank_scalable")
