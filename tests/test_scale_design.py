@@ -413,3 +413,53 @@ def test_quality_filter_pipeline_is_map_only(spark):
     plan = _plan(QUERIES["quality_filter_pipeline"].build(spark, SF_SMALL), "simple")
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+# Plan fingerprints at SF_SMALL: node counts that encode each query's
+# intended physical shape (how many shuffles, which join strategies,
+# window count, top-k short-circuit). These are REGRESSION GUARDS, not
+# scale claims by themselves — some joins legitimately flip between
+# broadcast and shuffle with input size (that scale behavior is pinned
+# separately, e.g. test_tpch_fact_fact_join_never_broadcasts). A
+# failure here means the physical plan drifted: re-derive the shape,
+# decide deliberately, and update the expected row.
+_PLAN_FINGERPRINTS = {
+    "q1_pricing_summary": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    "q3_shipping_priority": dict(exchanges=1, bhj=2, smj=0, windows=0, topk=1),
+    "q5_region_revenue": dict(exchanges=1, bhj=3, smj=0, windows=0, topk=0),
+    "q7_nation_volume": dict(exchanges=3, bhj=4, smj=1, windows=0, topk=0),
+    "q17_small_qty_revenue": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
+    "q18_large_orders": dict(exchanges=1, bhj=2, smj=0, windows=0, topk=1),
+    "quality_filter_pipeline": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    "text_repetition_stats": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
+    "text_lang_id": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    "asof_join_latest_order": dict(exchanges=2, bhj=0, smj=0, windows=1, topk=0),
+    "pack_sequences_lang": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
+    "tfidf_top_terms": dict(exchanges=5, bhj=1, smj=0, windows=3, topk=0),
+    "dedup_exact_groups": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    "corpus_shuffle_rank": dict(exchanges=4, bhj=1, smj=0, windows=1, topk=0),
+    "repeated_passages": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_FINGERPRINTS))
+def test_plan_fingerprint(spark, name):
+    from lichess_db_spark.plans import QUERIES
+
+    p = _plan(QUERIES[name].build(spark, SF_SMALL), "simple")
+    got = dict(
+        exchanges=(
+            p.count("Exchange hashpartitioning")
+            + p.count("Exchange rangepartitioning")
+            + p.count("Exchange RoundRobinPartitioning")
+            + p.count("Exchange SinglePartition")
+        ),
+        bhj=p.count("BroadcastHashJoin"),
+        smj=p.count("SortMergeJoin"),
+        windows=p.count("Window"),
+        topk=int("TakeOrderedAndProject" in p),
+    )
+    assert got == _PLAN_FINGERPRINTS[name], (
+        f"{name}: physical plan drifted.\nexpected {_PLAN_FINGERPRINTS[name]}"
+        f"\ngot      {got}\n{p}"
+    )
