@@ -731,3 +731,101 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .where(F.col("n") > 1)
         .select("simhash", "ids", "n")
     )
+
+
+def minhash_band_postings(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(band_idx, band_hash, id) posting list — the PERSISTABLE form of
+    the LSH index. Two docs are near-dup candidates iff they share a
+    posting key; materializing the postings (instead of the transient
+    bucket groups inside minhash_lsh_candidates) is what makes the
+    index incrementally maintainable: signatures of already-indexed
+    docs are never recomputed."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("signature"), b * rows_per_band + 1, rows_per_band
+                    ).cast("array<string>").cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    postings_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 128,
+    shingle_n: int = 5,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup candidates of an arriving batch against the archive —
+    the firehose complement of the batch pipeline, composing with
+    stream_documents_curation's exact-dedup tier.
+
+    Only the NEW docs are shingled and signed; the archive
+    participates through its persisted posting list (parquet at
+    ``postings_path``). Candidate pairs = new×archive and new×new docs
+    sharing any (band_idx, band_hash) key — identical keys to the
+    batch pipeline, so the union of per-batch candidates over any
+    arrival order equals the full-batch candidate set (uncapped;
+    verified by test). New postings are APPENDED after the pair scan,
+    keeping the call idempotent per batch only if the caller
+    checkpoints (same discipline as stream_documents_curation's state
+    table).
+
+    At 100 TB the postings table is (8B hash + id) x bands per doc —
+    ~3% of a text corpus — and the join shuffles only band keys, never
+    documents. Returns (doc_a, doc_b) with doc_a < doc_b; Jaccard
+    verification joins back to shingle sets exactly as
+    minhash_dedup_pairs does, touching only candidate ids.
+    """
+    spark = new_docs.sparkSession
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(
+        new_docs, text_col=text_col, id_col=id_col,
+        num_perms=num_perms, shingle_n=shingle_n,
+    )
+    new_post = minhash_band_postings(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    ).persist()
+    try:
+        try:
+            archive = spark.read.parquet(postings_path)
+        except Exception:  # first batch: empty archive
+            archive = None
+        other = (
+            new_post if archive is None
+            else new_post.unionByName(archive)
+        )
+        pairs = (
+            new_post.select("band_idx", "band_hash", F.col(id_col).alias("__new_id"))
+            .join(
+                other.select(
+                    "band_idx", "band_hash", F.col(id_col).alias("__other_id")
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .where(F.col("__new_id") != F.col("__other_id"))
+            .select(
+                F.least("__new_id", "__other_id").alias("doc_a"),
+                F.greatest("__new_id", "__other_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        out = pairs.persist()
+        out.count()  # materialize before the postings append mutates the read path
+        new_post.write.mode("append").parquet(postings_path)
+        return out
+    finally:
+        new_post.unpersist()

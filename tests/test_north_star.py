@@ -489,3 +489,38 @@ def test_embedding_lsh_hot_bucket_cap(spark):
     assert not any(a < 1000 and b < 1000 for a, b in pairs)  # flood capped
     assert obs.get["capped_buckets"] > 0
     assert obs.get["max_bucket_size_seen"] == 80
+
+
+def test_incremental_near_dup_equals_full_batch(spark, tmp_path):
+    """Two-batch incremental candidate generation (batch2 joined
+    against batch1's persisted postings) must union to exactly the
+    full-batch LSH candidate set — the property that lets a firehose
+    maintain the dedup index without ever recomputing archive
+    signatures."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    postings = str(tmp_path / "postings")
+
+    p1 = {(r.doc_a, r.doc_b) for r in incremental_near_dup(b1, postings).collect()}
+    p2 = {(r.doc_a, r.doc_b) for r in incremental_near_dup(b2, postings).collect()}
+
+    sigs = minhash_signatures(docs)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(sigs, max_bucket_size=None).collect()
+    }
+    assert p1 | p2 == full
+    # batches are disjoint halves, so batch-1 pairs never reappear
+    assert not (p1 & p2)
