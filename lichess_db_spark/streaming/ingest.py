@@ -465,6 +465,7 @@ def stream_documents_curation(
     out_dir: str,
     checkpoint_dir: str,
     schema: StructType | None = None,
+    near_dup: bool = False,
 ):
     """Streaming curation ingest: micro-batches of documents flow
     through cross-batch exact dedup and the quality gate into an
@@ -488,6 +489,18 @@ def stream_documents_curation(
     - digests of ALL batch docs (kept or dropped) append to the state
       table, so later duplicates of a quality-dropped doc skip the
       gate too.
+    - **optional near-dup tier** (``near_dup=True``): after exact
+      dedup, the batch runs incremental MinHash-LSH against the
+      persisted posting archive (operators/dedup.incremental_near_dup
+      — archive signatures never recomputed). Drop rule, greedy by
+      arrival then id: a doc drops if it is an LSH candidate of ANY
+      earlier-arrived doc (archive side — that doc is already written
+      and cannot be retracted), or of a smaller-id doc in its own
+      batch. Within one batch that is the keep-if-no-smaller-neighbor
+      rule — it can keep two non-neighboring members of one candidate
+      component (they are not near-dups of each other), unlike the
+      batch connected-components keep-one (dedup_keep_representatives);
+      both are valid policies, this one needs no iteration.
 
     Exactly-once: the checkpoint tracks source offsets; the two writes
     per batch (corpus append, digest append) are idempotent only per
@@ -504,6 +517,7 @@ def stream_documents_curation(
         schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
     state_path = os.path.join(out_dir, "_digest_state")
+    postings_path = os.path.join(out_dir, "_lsh_postings")
     docs_path = os.path.join(out_dir, "docs")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -521,17 +535,49 @@ def stream_documents_curation(
             batch = batch.join(seen, "__digest", "left_anti")
         except Exception:  # first batch: no state yet
             pass
-        batch = batch.persist()
+        staged = batch.persist()  # exact-dedup survivors: digest scope
+        batch = staged
         try:
+            if near_dup:
+                from ..operators.dedup import incremental_near_dup
+
+                pairs = incremental_near_dup(
+                    staged.select(*batch_df.columns), postings_path
+                )
+                ids = staged.select(F.col("doc_id").alias("__bid"))
+                # pair member(s) in this batch; archive members are not
+                both_in = pairs.join(
+                    ids, pairs["doc_a"] == ids["__bid"], "left_semi"
+                ).join(ids, F.col("doc_b") == ids["__bid"], "left_semi")
+                # both in batch -> greater id drops
+                drop_intra = both_in.select(F.col("doc_b").alias("__drop"))
+                # exactly one in batch -> that one drops (its partner
+                # arrived earlier and is already written)
+                a_only = (
+                    pairs.join(ids, pairs["doc_a"] == ids["__bid"], "left_semi")
+                    .join(ids, F.col("doc_b") == ids["__bid"], "left_anti")
+                    .select(F.col("doc_a").alias("__drop"))
+                )
+                b_only = (
+                    pairs.join(ids, pairs["doc_b"] == ids["__bid"], "left_semi")
+                    .join(ids, F.col("doc_a") == ids["__bid"], "left_anti")
+                    .select(F.col("doc_b").alias("__drop"))
+                )
+                drops = drop_intra.union(a_only).union(b_only).distinct()
+                batch = staged.join(
+                    drops, staged["doc_id"] == drops["__drop"], "left_anti"
+                )
             kept = (
                 curation_projection(batch)
                 .where(quality_verdict() == "keep")
                 .select(*batch_df.columns)
             )
             kept.write.mode("append").parquet(docs_path)
-            batch.select("__digest").write.mode("append").parquet(state_path)
+            # digests of ALL exact-dedup survivors — including near-dup
+            # drops — so later exact copies of a dropped doc skip too
+            staged.select("__digest").write.mode("append").parquet(state_path)
         finally:
-            batch.unpersist()
+            staged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_process)

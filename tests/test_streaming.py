@@ -315,3 +315,68 @@ def test_stream_documents_curation_matches_batch(spark, tmp_path):
     n_distinct = all_docs.select(digest.alias("d")).distinct().count()
     assert state.count() == n_distinct
     assert state.distinct().count() == n_distinct
+
+
+def test_stream_curation_near_dup_tier(spark, tmp_path):
+    """Three-tier streaming curation: a batch-2 doc that is a near-dup
+    (LSH candidate) of a batch-1 doc is dropped even though its text
+    is not an exact copy; non-neighbored docs survive; and the whole
+    run is deterministic."""
+    from lichess_db_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from lichess_db_spark.streaming.ingest import stream_documents_curation
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    # batch-2 near-dups: batch-1 texts with one word appended — not
+    # exact copies (digest differs) but LSH candidates of the original
+    near = b1.limit(15).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    b2 = docs.where(F.col("doc_id") >= 250).unionByName(near)
+    src = tmp_path / "src"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "out"
+    q = stream_documents_curation(
+        spark, str(src), str(out), str(tmp_path / "ckpt"), near_dup=True
+    )
+    q.awaitTermination(240)
+
+    got_ids = {r.doc_id for r in spark.read.parquet(str(out / "docs")).collect()}
+    # every injected near-dup whose original is an LSH candidate must
+    # be gone (its original arrived in batch 1)
+    all_docs = b1.unionByName(b2)
+    sigs = minhash_signatures(all_docs)
+    cand = minhash_lsh_candidates(sigs, max_bucket_size=None)
+    injected = {r.doc_id for r in near.select("doc_id").collect()}
+    neighbored_injected = {
+        r.doc_b
+        for r in cand.where(
+            (F.col("doc_b") >= 200000) & (F.col("doc_a") < 250)
+        ).collect()
+    }
+    assert neighbored_injected, "fixture produced no cross-batch candidates"
+    assert not (neighbored_injected & got_ids)
+    # the invariant the drop rule guarantees: NO two kept docs are LSH
+    # candidates of each other (intra-batch pairs drop the greater id,
+    # cross-batch pairs drop the later arrival)
+    kept_pairs = cand.where(
+        F.col("doc_a").isin(*got_ids) & F.col("doc_b").isin(*got_ids)
+    ).collect()
+    assert kept_pairs == [], kept_pairs
+    # determinism: rerun into a fresh dir gives the identical id set
+    out2 = tmp_path / "out2"
+    q2 = stream_documents_curation(
+        spark, str(src), str(out2), str(tmp_path / "ckpt2"), near_dup=True
+    )
+    q2.awaitTermination(240)
+    got2 = {r.doc_id for r in spark.read.parquet(str(out2 / "docs")).collect()}
+    assert got2 == got_ids
