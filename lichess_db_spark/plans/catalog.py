@@ -3,6 +3,9 @@ the shared registry (registry.QUERIES)."""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -11,97 +14,75 @@ from . import catalog_core, catalog_formats, catalog_north, catalog_tpch  # noqa
 from .registry import QUERIES, QueryDef  # noqa: F401
 
 # The driver's correctness gate checks the first 50 entries of
-# ``queries()`` in insertion order. Ordering policy (one static marker
-# per round, updated by hand):
+# ``queries()`` in insertion order.  Ordering policy (data-driven since
+# r5; tests/test_rotation.py enforces it against the committed
+# fingerprint snapshot):
 #
-# 0. Queries whose code changed THIS round — every change must earn a
-#    fresh driver row.
-# 1. Core sentinels — a fixed handful of catalog_core queries pinned
-#    inside the window so a core regression is caught by the grading
-#    driver itself, not only the local mirror suite
-#    (tests/test_catalog_oracle.py).
-# 2. Least-recently-verified first: the core block's driver rows are
-#    from rounds 1-2, the north/formats block's from round 3, so core
-#    rotates back into the window this round.
-#
-# Verification history: r1/r2 -> catalog_core (48 hash-green rows);
-# r3 -> catalog_north + catalog_formats + cube/rollup/global-rank (all
-# remaining 32, 0 failures). Union: every registered query has a
-# driver row.
-_ROUND = 4
+# 0. Queries whose code changed THIS round (manual marker below) —
+#    every change must earn a fresh driver row.
+# 1. Queries with no green driver row in any committed
+#    CORRECTNESS_r*.json — never verified, or last row was red.
+#    Computed from the files, not curated by hand.
+# 2. Core sentinels — pinned inside the window so a core regression is
+#    caught by the grading driver itself, not only the local mirror
+#    suite (tests/test_catalog_oracle.py).
+# 3. Everything else, least-recently-driver-verified first (ascending
+#    last-green round, registration order as tiebreaker).
+_ROUND = 5
 _TOUCHED_THIS_ROUND = (
-    "q7_nation_volume",             # new: TPC-H Q7 breadth batch (catalog_tpch)
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_top_customers",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_balance",
-    "lang_temperature_resample",    # new: temperature rebalancing (curation)
-    "repeated_passages",            # new: passage-level dup scan
-    "corpus_shuffle_rank",          # new: deterministic training-order shuffle
-    "quality_filter_pipeline",      # new: composed repetition+quality gate
-    "profile_documents",            # new: one-pass column profile (EDA)
-    "text_lang_id",                 # changed: struct-max vote rewrite
-    "text_repetition_stats",        # changed: sorted-neighbor hapax + pre-projection
-    "dedup_simhash",                # changed: zip_with word_shingles path
-    # q4_priority_late_orders / q11_important_part_values /
-    # q20_top_brand_suppliers are also new this round but the window is
-    # full (50); they rotate into the r5 gate, mirror-suite-checked now.
-    "dedup_embedding_lsh",          # new: hash-checked LSH embedding near-dup
-    "znorm_user_values_expr",       # new: codegen twin of the pandas znorm
-    "dedup_simhash_portable",       # new: md5 hash-checked simhash twin
-    "knn_lsh_cosine_portable",      # new: hash-checked ANN (portable LSH)
-    "mix_sample_sources",           # new: domain mixing (curation.py)
-    "contamination_eval_overlap",   # new: benchmark contamination scan
-    "pack_sequences_lang",          # new: greedy sequence packing
-    "stratified_sample_langs",      # new: fixed-N per-group hash sample
-    "corpus_assembly_pipeline",     # new: composed dedup->mix->split flagship
-    "mm_frame_sample",              # new: data-dependent frame sampling
-    "mm_feature_extract",           # new: byte-class feature kernel
-    "asof_join_latest_order",       # struct-carry + null-key semantics
-    "dedup_minhash_pairs_portable",  # new: md5-portable, full oracle
-    "dedup_minhash_pairs",          # portable-flag plumbing in shared code
-    "dedup_simhash",                # spread() call-site (barrier variant)
-    "tfidf_top_terms",              # spread() call-site
-    "mm_decode_stub",               # PIL-if-available gate
-    "mm_binary_meta",
-    "text_repetition_stats",        # new: C4/Gopher repetition filters
-    "dedup_keep_representatives",   # new: dedup decision applied
-    "format_roundtrip_orc",         # new: ORC columnar round-trip
-    "salted_join_event_segments",   # new: skew salting, result-invisible
-    "split_train_test",             # new: portable-hash split
-    "dedup_ngram_jaccard_capped",   # window-count cap rewrite
-    "dedup_ngram_jaccard",
-    "knn_ivf_cosine",               # kernel-extraction refactor
-    "knn_pq_cosine",                # PQIndex plumbing
+    # The five r4-new TPC-H entries that missed the r4 window (VERDICT
+    # item 1) lead; they are also auto-rank-1, listed here for the
+    # typo-guard in tests/test_rotation.py.
+    "q2_min_cost_supplier",
+    "q4_priority_late_orders",
+    "q11_important_part_values",
+    "q20_top_brand_suppliers",
+    "q21_waiting_supplier",
 )
-# pared from 5 to 2 this round: every changed query must fit the
-# 50-slot window, and the mirror suite still gates the full core; the
-# two kept sentinels cover the scan-agg and top-k spines.
 _CORE_SENTINELS = (
     "a1_count",
     "o3_topk_head",
 )
-_VERIFIED_R3_MODULES = ("catalog_north", "catalog_formats")
-_VERIFIED_R3_NAMES = ("cube_type_day", "rollup_type_day", "o1_global_rank_scalable")
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> latest driver round with a green (or rows-only-by-design)
+    row, from the committed CORRECTNESS_r*.json files.  A row counts as
+    green when the hash matched, or when the driver recorded the weaker
+    rows-only check (err == "no_oracle") for an entry that registers no
+    oracle by design."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _ordered() -> list[QueryDef]:
-    def rank(q: QueryDef) -> int:
+    last_green = _last_green_round()
+
+    def rank(q: QueryDef) -> tuple[int, int]:
         if q.name in _TOUCHED_THIS_ROUND:
-            return 0
+            return (0, _TOUCHED_THIS_ROUND.index(q.name))
+        if q.name not in last_green:
+            return (1, 0)
         if q.name in _CORE_SENTINELS:
-            return 1
-        mod = q.build.__module__.rsplit(".", 1)[-1]
-        if mod in _VERIFIED_R3_MODULES or q.name in _VERIFIED_R3_NAMES:
-            return 3  # freshest driver rows -> rotate out
-        return 2  # verified r1/r2 -> rotate back in
+            return (2, 0)
+        return (3, last_green[q.name])
 
     # sorted() is stable: registration order is preserved within each group.
     return sorted(QUERIES.values(), key=rank)

@@ -1,0 +1,94 @@
+"""Mechanized driver-window rotation invariant (VERDICT r4 item 2).
+
+The grading driver verifies only the first 50 entries of
+``queries()``.  The manual ``_TOUCHED_THIS_ROUND`` discipline in
+``plans/catalog.py`` worked in r3-r4 but was one forgotten edit away
+from silently-unverified code.  These tests make the invariant
+executable:
+
+1. every catalog entry whose builder source changed since the last
+   driver round (fingerprint differs from the committed snapshot, or
+   the entry is new) must sit inside the first-50 window;
+2. every entry with no green driver row in any committed
+   CORRECTNESS_r*.json must sit inside the window;
+3. the core sentinels must sit inside the window;
+4. the ``_TOUCHED_THIS_ROUND`` names must all resolve (typo guard).
+
+The snapshot (``plans/catalog_fingerprints.json``) is refreshed once
+per round boundary via ``python tools/catalog_fingerprint.py --write``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_fingerprint_tool():
+    spec = importlib.util.spec_from_file_location(
+        "catalog_fingerprint", os.path.join(REPO, "tools", "catalog_fingerprint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _catalog():
+    sys.path.insert(0, REPO)
+    from lichess_db_spark.plans import catalog
+
+    return catalog
+
+
+def test_touched_names_resolve():
+    catalog = _catalog()
+    unknown = [n for n in catalog._TOUCHED_THIS_ROUND if n not in catalog.QUERIES]
+    assert not unknown, f"_TOUCHED_THIS_ROUND contains unregistered names: {unknown}"
+    unknown_sent = [n for n in catalog._CORE_SENTINELS if n not in catalog.QUERIES]
+    assert not unknown_sent, f"_CORE_SENTINELS contains unregistered names: {unknown_sent}"
+
+
+def test_window_contains_touched_unverified_and_sentinels():
+    catalog = _catalog()
+    window = set(list(catalog.queries_map())[:50])
+
+    missing_touched = [n for n in catalog._TOUCHED_THIS_ROUND if n not in window]
+    assert not missing_touched, f"touched entries outside driver window: {missing_touched}"
+
+    last_green = catalog._last_green_round()
+    never = [n for n in catalog.QUERIES if n not in last_green]
+    missing_never = [n for n in never if n not in window]
+    assert not missing_never, f"never-driver-verified entries outside window: {missing_never}"
+
+    missing_sent = [n for n in catalog._CORE_SENTINELS if n not in window]
+    assert not missing_sent, f"core sentinels outside window: {missing_sent}"
+
+
+def test_changed_builders_reenter_window():
+    """Any entry whose builder source drifted from the committed
+    snapshot must be in the first-50 window (add it to
+    _TOUCHED_THIS_ROUND), or the snapshot must be refreshed if the
+    driver already verified the new source."""
+    catalog = _catalog()
+    tool = _load_fingerprint_tool()
+    snap = tool.load_snapshot()
+    current = tool.current_fingerprints()
+
+    changed = [n for n, h in current.items() if snap.get(n) != h]
+    window = set(list(catalog.queries_map())[:50])
+    escaped = [n for n in changed if n not in window]
+    assert not escaped, (
+        f"builder source changed since last driver round but entry is outside "
+        f"the first-50 window: {escaped} — add to _TOUCHED_THIS_ROUND in plans/catalog.py"
+    )
+
+
+def test_ordering_is_deterministic():
+    catalog = _catalog()
+    a = list(catalog.queries_map())
+    b = list(catalog.queries_map())
+    assert a == b
+    assert len(a) == len(set(a))
