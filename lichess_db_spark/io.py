@@ -31,6 +31,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence check via the Hadoop FileSystem API
+    (file:, hdfs:, s3a:, viewfs: all dispatch through the same call).
+
+    Use this instead of ``try: spark.read.parquet(p) except: ...`` for
+    first-run/empty-state probes: a bare except treats ANY read failure
+    (permissions, corrupt footer, transient storage error) as "no state
+    yet" and silently drops whatever the state was guarding (ADVICE r4).
+    With an explicit probe, a missing path is the only soft case — real
+    I/O errors on an existing path propagate and fail the batch, so a
+    checkpointed caller retries instead of corrupting state.
+    """
+    jvm = spark._jvm  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return bool(fs.exists(p))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table (S6).
 
@@ -40,20 +58,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs
     TIMESTAMP_NTZ with *integer* division (the data is µs-grained, so
     this is lossless; float division would lose precision at 1e18 ns).
-    MICROS arrives as TIMESTAMP_NTZ already and passes through. DuckDB's
-    TIMESTAMP is also µs, so both engines see identical values either way.
+    MICROS arrives either as TIMESTAMP_NTZ (isAdjustedToUTC=false —
+    passes through) or as TIMESTAMP_LTZ (isAdjustedToUTC=true). For the
+    LTZ case a plain ``cast("timestamp_ntz")`` is session-timezone-
+    dependent (the cast renders the instant in the session zone —
+    ADVICE r4), so we convert explicitly: cast then
+    ``convert_timezone(current_timezone(), 'UTC', ...)`` — the session
+    zone cancels, yielding the UTC wall clock DuckDB's naive read sees,
+    under ANY session timezone. DuckDB's TIMESTAMP is also µs, so both
+    engines see identical values in every case.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
                 "ts",
                 F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
             )
-        else:
+        elif isinstance(df.schema["ts"].dataType, TimestampType):
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "convert_timezone(current_timezone(), 'UTC',"
+                    " CAST(ts AS TIMESTAMP_NTZ))"
+                ),
+            )
+        else:  # already TIMESTAMP_NTZ
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))

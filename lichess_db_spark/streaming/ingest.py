@@ -494,20 +494,31 @@ def stream_documents_curation(
       persisted posting archive (operators/dedup.incremental_near_dup
       — archive signatures never recomputed). Drop rule, greedy by
       arrival then id: a doc drops if it is an LSH candidate of ANY
-      earlier-arrived doc (archive side — that doc is already written
-      and cannot be retracted), or of a smaller-id doc in its own
-      batch. Within one batch that is the keep-if-no-smaller-neighbor
-      rule — it can keep two non-neighboring members of one candidate
-      component (they are not near-dups of each other), unlike the
-      batch connected-components keep-one (dedup_keep_representatives);
+      earlier-arrived doc (archive side), or of a smaller-id doc in
+      its own batch. Postings are archived for every exact-dedup
+      survivor — including docs the near-dup or quality gate then
+      drops — so an arriving doc can be dropped as a candidate of a
+      previously SEEN doc that never reached the corpus (a transitive
+      "ghost" drop). That is the deliberate conservative policy: the
+      drop horizon is everything seen, not everything written; the
+      alternative (archive postings only for written docs) lets
+      near-dup chains re-enter the corpus one hop at a time. Within
+      one batch the rule is keep-if-no-smaller-neighbor — it can keep
+      two non-neighboring members of one candidate component (they are
+      not near-dups of each other), unlike the batch
+      connected-components keep-one (dedup_keep_representatives);
       both are valid policies, this one needs no iteration.
 
-    Exactly-once: the checkpoint tracks source offsets; the two writes
-    per batch (corpus append, digest append) are idempotent only per
-    batch-rerun — the same batch replayed appends duplicate digests,
-    which is harmless (anti-join semantics) but means the corpus write
-    must come first so a crash between the writes re-filters instead
-    of re-appending.
+    Exactly-once: the checkpoint tracks source offsets, and every
+    per-batch write (corpus, digest state, LSH postings) is scoped to
+    a ``batch=<id>`` subdirectory written with OVERWRITE semantics —
+    the standard foreachBatch idempotency recipe. A crash anywhere in
+    the batch replays it against the previous batches' state (the
+    current batch's own partial output is excluded from the state
+    reads and then overwritten), so replay rewrites identical content
+    instead of appending duplicates (ADVICE r4: with plain appends, a
+    crash between the corpus and digest writes duplicated the batch's
+    corpus rows on replay).
     """
     from pyspark.sql import Window
 
@@ -521,6 +532,9 @@ def stream_documents_curation(
     docs_path = os.path.join(out_dir, "docs")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..io import path_exists
+
+        sess = batch_df.sparkSession
         batch = batch_df.withColumn(
             "__digest", F.md5(F.lower(F.trim(F.col("text"))))
         )
@@ -530,11 +544,17 @@ def stream_documents_curation(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
-            seen = batch_df.sparkSession.read.parquet(state_path)
-            batch = batch.join(seen, "__digest", "left_anti")
-        except Exception:  # first batch: no state yet
-            pass
+        # Explicit existence probe (ADVICE r4): only a MISSING state
+        # table means "first batch" — a real read error fails the batch
+        # so the checkpoint retries it, instead of silently disabling
+        # cross-batch dedup for this batch.
+        if path_exists(sess, state_path):
+            seen = sess.read.parquet(state_path)
+            if "batch" in seen.columns:  # exclude own partial replay output
+                seen = seen.where(F.col("batch") != F.lit(batch_id))
+            batch = batch.join(
+                seen.select("__digest"), "__digest", "left_anti"
+            )
         staged = batch.persist()  # exact-dedup survivors: digest scope
         batch = staged
         try:
@@ -542,7 +562,9 @@ def stream_documents_curation(
                 from ..operators.dedup import incremental_near_dup
 
                 pairs = incremental_near_dup(
-                    staged.select(*batch_df.columns), postings_path
+                    staged.select(*batch_df.columns),
+                    postings_path,
+                    batch_id=batch_id,
                 )
                 ids = staged.select(F.col("doc_id").alias("__bid"))
                 # pair member(s) in this batch; archive members are not
@@ -572,10 +594,15 @@ def stream_documents_curation(
                 .where(quality_verdict() == "keep")
                 .select(*batch_df.columns)
             )
-            kept.write.mode("append").parquet(docs_path)
+            # batch-scoped overwrite => replay rewrites, never appends
+            kept.write.mode("overwrite").parquet(
+                os.path.join(docs_path, f"batch={batch_id}")
+            )
             # digests of ALL exact-dedup survivors — including near-dup
             # drops — so later exact copies of a dropped doc skip too
-            staged.select("__digest").write.mode("append").parquet(state_path)
+            staged.select("__digest").write.mode("overwrite").parquet(
+                os.path.join(state_path, f"batch={batch_id}")
+            )
         finally:
             staged.unpersist()
 

@@ -167,6 +167,26 @@ def test_load_table_events_both_timestamp_encodings(spark, tmp_path):
         )
     from lichess_db_spark.io import load_table
 
+    # isAdjustedToUTC=true variant: Spark reads this as TIMESTAMP_LTZ,
+    # where a plain NTZ cast would shift by the session timezone
+    # (ADVICE r4); load_table must yield the same UTC wall clock as the
+    # non-adjusted encodings under ANY session timezone.
+    d = tmp_path / "enc_adj"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": cols["event_id"],
+            "ts": pa.array(base, pa.timestamp("us", tz="UTC")),
+            "user_id": cols["user_id"],
+            "event_type": cols["event_type"],
+            "value": cols["value"],
+            "props": cols["props"],
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"), store_schema=False)
+
+    from lichess_db_spark.io import load_table
+
     got_us = load_table(spark, str(tmp_path / "enc_us"), "events")
     got_ns = load_table(spark, str(tmp_path / "enc_ns"), "events")
     assert str(got_us.schema["ts"].dataType) == str(got_ns.schema["ts"].dataType)
@@ -174,3 +194,13 @@ def test_load_table_events_both_timestamp_encodings(spark, tmp_path):
     rows_ns = sorted((r.event_id, r.ts) for r in got_ns.collect())
     assert rows_us == rows_ns
     assert len(rows_us) == 3
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got_adj = load_table(spark, str(d), "events")
+        assert str(got_adj.schema["ts"].dataType) == str(got_us.schema["ts"].dataType)
+        rows_adj = sorted((r.event_id, r.ts) for r in got_adj.collect())
+        assert rows_adj == rows_us
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

@@ -317,6 +317,48 @@ def test_stream_documents_curation_matches_batch(spark, tmp_path):
     assert state.distinct().count() == n_distinct
 
 
+def test_stream_curation_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r4: a crash-replay used to re-append the batch's corpus
+    rows. Every per-batch write is now a batch_id-scoped overwrite, so
+    the harshest replay — wiping the checkpoint and re-running every
+    batch against the existing output — must leave the corpus (and the
+    digest state) byte-count-identical, with zero duplicate digests."""
+    import shutil as _shutil
+
+    from lichess_db_spark.streaming.ingest import stream_documents_curation
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250)
+    src = tmp_path / "src"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    q = stream_documents_curation(spark, str(src), str(out), str(ckpt))
+    q.awaitTermination(180)
+
+    ids_before = sorted(
+        r.doc_id for r in spark.read.parquet(str(out / "docs")).collect()
+    )
+    state_before = spark.read.parquet(str(out / "_digest_state")).count()
+
+    # simulate total checkpoint loss: every batch replays over the
+    # existing output directories
+    _shutil.rmtree(str(ckpt))
+    q2 = stream_documents_curation(spark, str(src), str(out), str(ckpt))
+    q2.awaitTermination(180)
+
+    ids_after = sorted(
+        r.doc_id for r in spark.read.parquet(str(out / "docs")).collect()
+    )
+    assert ids_after == ids_before  # no re-appended duplicates
+    state = spark.read.parquet(str(out / "_digest_state"))
+    assert state.count() == state_before
+    assert state.select("__digest").distinct().count() == state_before
+
+
 def test_stream_curation_near_dup_tier(spark, tmp_path):
     """Three-tier streaming curation: a batch-2 doc that is a near-dup
     (LSH candidate) of a batch-1 doc is dropped even though its text
