@@ -38,6 +38,8 @@ _TOUCHED_THIS_ROUND = (
     "q11_important_part_values",
     "q20_top_brand_suppliers",
     "q21_waiting_supplier",
+    "text_stats",           # changed: pre-projected __ts (one split/row)
+    "text_quality_score",   # changed: pre-projected __ts (one split/row)
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -550,9 +550,14 @@ def knn_lsh_cosine_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
+    # pre-project the token array: five references below share ONE
+    # materialization per row (CollapseProject keeps non-cheap
+    # multi-referenced aliases as their own Project) instead of five
+    # re-splits — the HOF re-evaluation lesson (ROADMAP)
+    pre = d.select("doc_id", F.split("text", " ").alias("__ts"))
+    ts = F.col("__ts")
     total_len = F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))
-    return d.select(
+    return pre.select(
         "doc_id",
         F.size(ts).cast("bigint").alias("n_tokens"),
         (F.size(F.array_distinct(ts)).cast("double") / F.size(ts)).alias("type_token_ratio"),
@@ -586,7 +591,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", T.quality_score("text").alias("quality"))
+    # pre-projected token array shared by the TTR and stopword
+    # components (one split per row, not three — ROADMAP HOF lesson)
+    pre = d.select("doc_id", "text", F.split("text", " ").alias("__ts"))
+    return pre.select(
+        "doc_id", T.quality_score("text", ts=F.col("__ts")).alias("quality")
+    )
 
 
 _LANG_LISTS_SQL = {
