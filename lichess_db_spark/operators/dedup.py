@@ -597,6 +597,23 @@ def portable_qcos_udf():
     return _qcos.asNondeterministic()
 
 
+def auto_n_planes(
+    n: int, target_bucket: int = 16, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count sized to the corpus: smallest ``p`` with
+    ``target_bucket * 2^p >= n`` (so the EXPECTED bucket holds about
+    ``target_bucket`` vectors), clamped to [lo, hi].
+
+    Pure-integer derivation on purpose: the oracle twin computes the
+    same ``MIN(p) WHERE target * (1 << p) >= COUNT(*)`` in SQL, and
+    integer shifts compare identically in every engine, where a
+    ``ceil(log2(n/target))`` float path risks a 1-ulp disagreement at
+    the boundaries. ``hi`` stays below 31 so the packed sign-bit
+    bucket fits an int32."""
+    p = next((p for p in range(hi + 1) if (target_bucket << p) >= n), hi)
+    return min(hi, max(lo, p))
+
+
 def embedding_lsh_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -604,7 +621,8 @@ def embedding_lsh_dedup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     n_tables: int = 8,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
+    target_bucket: int = 16,
     max_bucket_size: int | None = None,
     observation=None,
 ) -> DataFrame:
@@ -638,7 +656,18 @@ def embedding_lsh_dedup_pairs(
     pairing, and ``observation`` (a ``pyspark.sql.Observation``)
     reports ``capped_buckets`` / ``max_bucket_size_seen`` riding the
     candidate job — the same silent-recall guard as MinHash's cap.
+
+    ``n_planes=None`` auto-scales bucket width to the corpus via
+    :func:`auto_n_planes` (one count aggregate — the same class of
+    small driver-side sizing action as IVF's training pass): a fixed
+    plane count that gives tidy buckets at 2k vectors floods at 2M
+    (bucket occupancy ~n/2^planes per table), which at sf0.1 measured
+    40% of all pairs colliding somewhere. The derivation is
+    engine-portable, so the DuckDB oracle reproduces the width — and
+    the hash check stays exact — at every scale.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count(), target_bucket=target_bucket)
     _buckets = portable_bucket_udf(dim, n_tables, n_planes)
     _qcos = portable_qcos_udf()
 

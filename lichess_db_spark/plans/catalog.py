@@ -40,6 +40,7 @@ _TOUCHED_THIS_ROUND = (
     "q21_waiting_supplier",
     "text_stats",           # changed: pre-projected __ts (one split/row)
     "text_quality_score",   # changed: pre-projected __ts (one split/row)
+    "dedup_embedding_lsh",  # changed: auto-scaled n_planes (corpus-sized buckets)
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -1314,12 +1314,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_lsh",
     """
-    WITH planes AS (
+    WITH params AS (
+        -- auto-scaled plane count: smallest p with 16 * 2^p >= n,
+        -- clamped to [4, 24] — integer-for-integer the same derivation
+        -- as operators.dedup.auto_n_planes
+        SELECT LEAST(24, GREATEST(4, COALESCE(
+            (SELECT MIN(p.p) FROM range(0, 25) p(p)
+             WHERE 16 * (1::BIGINT << p.p)
+                   >= (SELECT COUNT(*) FROM embeddings)), 24))) AS np
+    ),
+    planes AS (
         SELECT t.t AS t, p.p AS p, d.d AS d,
                (('0x' || substr(md5(CAST(t.t AS VARCHAR) || '-' ||
                     CAST(p.p AS VARCHAR) || '-' || CAST(d.d AS VARCHAR)),
                     1, 8))::BIGINT % 2000000) - 1000000 AS c
-        FROM range(0, 8) t(t), range(0, 4) p(p), range(0, 64) d(d)
+        FROM range(0, 8) t(t), range(0, 24) p(p), range(0, 64) d(d)
+        WHERE p.p < (SELECT np FROM params)
     ),
     v AS (
         SELECT vec_id, g.i - 1 AS d,
@@ -1369,11 +1379,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine, so the approximation itself is oracle-verified, not just "
     "rows-only. Candidates are an id-only equi-join on (table, bucket): "
     "O(docs x 8) shuffle rows; bucket signatures and the pair verify "
-    "are each one int64 matmul/einsum per Arrow batch.",
+    "are each one int64 matmul/einsum per Arrow batch. Plane count "
+    "auto-scales to the corpus (auto_n_planes: smallest p with "
+    "16*2^p >= n, clamped [4,24]) so buckets stay ~16-occupant at any "
+    "scale; the oracle derives the identical width in SQL.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_lsh_dedup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=None
     )
 
 

@@ -180,6 +180,83 @@ def test_embedding_lsh_subset_and_recall(spark, emb):
         assert recall >= 0.5, (recall, len(exact_pairs))
 
 
+@pytest.mark.parametrize(
+    "sf_dir,expect_np,recall_floor",
+    [
+        ("/root/testdata/sf0.01", 5, 0.5),
+        ("/root/testdata/sf0.1", 7, 0.25),
+    ],
+)
+def test_embedding_lsh_autoscale_recall_and_volume(
+    spark, sf_dir, expect_np, recall_floor
+):
+    """VERDICT r4 item 5: n_planes derives from the corpus count
+    (auto_n_planes) so expected bucket occupancy stays ~constant at
+    any scale. Pinned at both driver SFs: the derived width, a recall
+    floor at the operator's 0.4 threshold (re-pinned for the wider
+    buckets; the fixture's pairs all sit in the flat 0.4-0.6 band of
+    the s-curve), subset-correctness, and — the point of the change —
+    candidate volume: with ~target_bucket occupancy per bucket, each
+    doc meets O(tables * target_bucket) candidates regardless of
+    corpus size, so total candidates grow O(n), not O(n^2) (the fixed
+    4-plane width at sf0.1 made ~40% of ALL pairs candidates —
+    ~400 per doc and quadratic in n)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        n = emb.count()
+        assert dd.auto_n_planes(n) == expect_np
+
+        # brute-force twin over the SAME quantized-int cosine the
+        # operator verifies with (Arrow einsum kernel — the
+        # interpreted cosine_exact takes minutes on sf0.1's 2M pairs)
+        qcos = dd.portable_qcos_udf()
+        exact = (
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+                ),
+                F.col("vec_a") < F.col("vec_b"),
+            )
+            .select("vec_a", "vec_b", qcos("ea", "eb").alias("cosine"))
+            .where(F.col("cosine") >= 0.4)
+        )
+        exact_pairs = {(r.vec_a, r.vec_b) for r in exact.collect()}
+        lsh_pairs = {
+            (r.vec_a, r.vec_b)
+            for r in dd.embedding_lsh_dedup_pairs(
+                emb, threshold=0.4, n_planes=None
+            ).collect()
+        }
+        assert lsh_pairs <= exact_pairs  # exact verify -> no false positives
+        assert exact_pairs, "fixture should contain >=0.4 pairs"
+        recall = len(lsh_pairs) / len(exact_pairs)
+        assert recall >= recall_floor, (recall, len(exact_pairs))
+
+        # candidate volume stays bounded as the corpus grows
+        buckets = emb.select(
+            "vec_id",
+            F.posexplode(
+                dd.portable_bucket_udf(64, 8, dd.auto_n_planes(n))("embedding")
+            ).alias("table", "bucket"),
+        )
+        a = buckets.select(F.col("vec_id").alias("va"), "table", "bucket")
+        b = buckets.select(F.col("vec_id").alias("vb"), "table", "bucket")
+        n_cand = (
+            a.join(b, ["table", "bucket"])
+            .where(F.col("va") < F.col("vb"))
+            .select("va", "vb")
+            .distinct()
+            .count()
+        )
+        # measured ~58 candidates/doc at BOTH SFs (4x corpus growth,
+        # flat per-doc volume); 150 leaves slack without admitting the
+        # quadratic regime (~400/doc at sf0.1 with fixed 4 planes)
+        assert n_cand / n < 150
+    finally:
+        emb.unpersist()
+
+
 def test_frame_sample_offsets_in_bounds(spark):
     """Data-dependent frame sampling: per-blob frame count is
     min(max_frames, 1 + bytes//stride) and every byte_offset is a valid
