@@ -292,6 +292,58 @@ def curation_projection(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def export_plan(
+    df: DataFrame,
+    *,
+    rates: dict[str, float] | None = None,
+    seq_len: int = 2048,
+    train_pct: int = 90,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str = "source",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """The export's logical plan — everything ``export_training_shards``
+    computes before the write (dedup → mixing → split tag → sequence
+    ids). Split out so the physical shape is plan-fingerprintable
+    (tests/test_scale_design.py): the write side of a sink has no
+    .explain surface, and a silently added exchange here multiplies at
+    every rerun of the export."""
+    keep = df.groupBy(F.md5(text_col).alias("__dg")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    base = df.join(keep.select(id_col), id_col)
+    if rates is not None:
+        base = sample_to_rates(base, rates, key_col=key_col, id_col=id_col).drop(
+            "rate_bp"
+        )
+    split_bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit("-split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    tagged = base.withColumn(
+        "split", F.when(split_bucket < train_pct, "train").otherwise("test")
+    )
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy("split", stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tagged.withColumn("n_tok", n_tok).withColumn(
+        "seq_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / seq_len).cast("bigint"),
+    )
+
+
 def export_training_shards(
     df: DataFrame,
     out_dir: str,
@@ -327,38 +379,15 @@ def export_training_shards(
     export's own verification.
     """
     spark = df.sparkSession
-    keep = df.groupBy(F.md5(text_col).alias("__dg")).agg(
-        F.min(id_col).alias(id_col)
-    )
-    base = df.join(keep.select(id_col), id_col)
-    if rates is not None:
-        base = sample_to_rates(base, rates, key_col=key_col, id_col=id_col).drop(
-            "rate_bp"
-        )
-    split_bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit("-split"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(100),
-    )
-    tagged = base.withColumn(
-        "split", F.when(split_bucket < train_pct, "train").otherwise("test")
-    )
-    n_tok = F.size(F.split(F.col(text_col), " "))
-    w = (
-        Window.partitionBy("split", stream_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = tagged.withColumn("n_tok", n_tok).withColumn(
-        "seq_id",
-        ((F.sum("n_tok").over(w) - F.col("n_tok")) / seq_len).cast("bigint"),
+    staged = export_plan(
+        df,
+        rates=rates,
+        seq_len=seq_len,
+        train_pct=train_pct,
+        id_col=id_col,
+        text_col=text_col,
+        key_col=key_col,
+        stream_col=stream_col,
     )
     (
         staged.write.mode("overwrite")

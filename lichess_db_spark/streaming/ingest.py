@@ -459,6 +459,33 @@ def stream_dedup(
     )
 
 
+def curation_batch_plan(
+    batch_df: DataFrame, seen: DataFrame | None = None
+) -> DataFrame:
+    """One micro-batch's exact-dedup tier as a plan-fingerprintable
+    DataFrame (tests/test_scale_design.py): digest, keep min doc_id
+    per digest within the batch, anti-join the cross-batch digest
+    state. The shuffle budget per micro-batch is the streaming
+    scale-killer surface — this plan must cost exactly two exchanges
+    (the digest window; the state side of the anti-join, whose batch
+    side REUSES the window's hashpartitioning on __digest), and the
+    downstream quality gate zero."""
+    from pyspark.sql import Window
+
+    batch = batch_df.withColumn(
+        "__digest", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    w = Window.partitionBy("__digest").orderBy("doc_id")
+    batch = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if seen is not None:
+        batch = batch.join(seen.select("__digest"), "__digest", "left_anti")
+    return batch
+
+
 def stream_documents_curation(
     spark: SparkSession,
     src_dir: str,
@@ -535,26 +562,16 @@ def stream_documents_curation(
         from ..io import path_exists
 
         sess = batch_df.sparkSession
-        batch = batch_df.withColumn(
-            "__digest", F.md5(F.lower(F.trim(F.col("text"))))
-        )
-        w = Window.partitionBy("__digest").orderBy("doc_id")
-        batch = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
         # Explicit existence probe (ADVICE r4): only a MISSING state
         # table means "first batch" — a real read error fails the batch
         # so the checkpoint retries it, instead of silently disabling
         # cross-batch dedup for this batch.
+        seen = None
         if path_exists(sess, state_path):
             seen = sess.read.parquet(state_path)
             if "batch" in seen.columns:  # exclude own partial replay output
                 seen = seen.where(F.col("batch") != F.lit(batch_id))
-            batch = batch.join(
-                seen.select("__digest"), "__digest", "left_anti"
-            )
+        batch = curation_batch_plan(batch_df, seen)
         staged = batch.persist()  # exact-dedup survivors: digest scope
         batch = staged
         try:

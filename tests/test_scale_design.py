@@ -442,6 +442,83 @@ _PLAN_FINGERPRINTS = {
 }
 
 
+def _fingerprint(p: str) -> dict:
+    return dict(
+        exchanges=(
+            p.count("Exchange hashpartitioning")
+            + p.count("Exchange rangepartitioning")
+            + p.count("Exchange RoundRobinPartitioning")
+            + p.count("Exchange SinglePartition")
+        ),
+        bhj=p.count("BroadcastHashJoin"),
+        smj=p.count("SortMergeJoin"),
+        windows=p.count("Window ["),
+        topk=int("TakeOrderedAndProject" in p),
+    )
+
+
+def test_export_training_shards_plan_fingerprint(spark):
+    """VERDICT r4 item 7: the shard export's pre-write plan, pinned
+    under fact-sized stats (1KB broadcast threshold). Expected shape:
+    dedup digest aggregate (1 exchange), survivor id join as SMJ with
+    one exchange per side (fact-fact — must NOT broadcast the keep
+    side, it is O(corpus) rows), the mixing-rates config join as
+    broadcast (tiny dim), and ONE window for sequence ids
+    (hashpartitioned on (split, stream) — a silently added exchange
+    here multiplies at every export rerun)."""
+    from lichess_db_spark.operators.curation import export_plan
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try:
+        p = _plan(
+            export_plan(docs, rates={"web": 0.5, "books": 1.0}), "simple"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert _fingerprint(p) == dict(
+        exchanges=4, bhj=1, smj=1, windows=1, topk=0
+    ), p
+
+
+def test_stream_curation_batch_plan_fingerprint(spark):
+    """VERDICT r4 item 7: one micro-batch of stream_documents_curation
+    (exact-dedup tier + quality gate), pinned under fact-sized stats.
+    Per-batch shuffle budget is the streaming scale-killer surface —
+    expected: TWO exchanges only (the per-digest window; the digest
+    state's side of the anti-join, whose batch side reuses the
+    window's hashpartitioning on __digest), anti-join as SMJ (state is
+    O(all digests ever) — must not broadcast), quality gate map-only
+    (zero additional exchanges)."""
+    from lichess_db_spark.operators.curation import (
+        curation_projection,
+        quality_verdict,
+    )
+    from lichess_db_spark.streaming.ingest import curation_batch_plan
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    seen = docs.where(F.col("doc_id") < 50).select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("__digest")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try:
+        kept = (
+            curation_projection(curation_batch_plan(docs, seen))
+            .where(quality_verdict() == "keep")
+            .select(*docs.columns)
+        )
+        p = _plan(kept, "simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert _fingerprint(p) == dict(
+        exchanges=2, bhj=0, smj=1, windows=1, topk=0
+    ), p
+    # the batch side of the anti-join rides the window's partitioning:
+    # both shuffle on __digest, plus the state side — never the corpus
+    # twice
+    assert p.count("Exchange hashpartitioning(__digest") == 2, p
+
+
 @pytest.mark.parametrize("name", sorted(_PLAN_FINGERPRINTS))
 def test_plan_fingerprint(spark, name):
     from lichess_db_spark.plans import QUERIES
