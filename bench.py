@@ -72,6 +72,10 @@ HEADLINE = [
     "quality_filter_pipeline",
     "repeated_passages",
     "corpus_shuffle_rank",
+    # round-5 additions: corpus statistics family
+    "token_rarity_score",
+    "bigram_lift_topk",
+    "vocab_overlap_sources",
 ]
 
 

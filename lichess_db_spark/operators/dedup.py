@@ -963,7 +963,10 @@ def compact_postings(
     # batch-scoped writes don't mix flat files with partition dirs,
     # which breaks parquet partition discovery
     batched_layout = "batch" in raw.columns
-    archive = raw.select("band_idx", "band_hash", id_col)
+    # dropDuplicates self-heals the one replay corner: a batch replayed
+    # after a compaction consumed its postings re-writes rows that
+    # batch=-1 already holds
+    archive = raw.select("band_idx", "band_hash", id_col).dropDuplicates()
     if live_ids is not None:
         keep = live_ids.select(F.col(live_ids.columns[0]).alias(id_col))
         archive = archive.join(keep, id_col, "left_semi")

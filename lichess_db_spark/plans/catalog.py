@@ -41,6 +41,9 @@ _TOUCHED_THIS_ROUND = (
     "text_stats",           # changed: pre-projected __ts (one split/row)
     "text_quality_score",   # changed: pre-projected __ts (one split/row)
     "dedup_embedding_lsh",  # changed: auto-scaled n_planes (corpus-sized buckets)
+    "token_rarity_score",   # new: vocab-build + score-join (n-gram-LM skeleton)
+    "bigram_lift_topk",     # new: collocation extraction, exact integer lift
+    "vocab_overlap_sources",  # new: domain-similarity vocabulary matrix
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -1255,6 +1255,175 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_rarity_score",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(f.tf) AS BIGINT) AS sum_tf,
+           CAST(SUM(f.tf) AS DOUBLE) / COUNT(*) AS avg_tok_freq
+    FROM tok t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    """,
+    "Corpus-frequency rarity score: build a unigram frequency table "
+    "over the whole corpus, then score each document by the mean "
+    "corpus frequency of its tokens — the 2-pass vocab-build + "
+    "score-join skeleton of every n-gram-LM quality filter (low score "
+    "= rare-token/gibberish-heavy doc). Exact throughout: counts are "
+    "bigint, one IEEE division at the end. The token join shuffles on "
+    "the token (vocabulary is unbounded at 100 TB — never broadcast); "
+    "per-doc recombination shuffles on doc_id.",
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tf").alias("sum_tf"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_tf",
+            (F.col("sum_tf").cast("double") / F.col("n_tokens")).alias(
+                "avg_tok_freq"
+            ),
+        )
+    )
+
+
+@register(
+    "bigram_lift_topk",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS total FROM tok),
+    bg AS (
+        SELECT w1 || ' ' || w2 AS bigram, COUNT(*) AS cxy FROM (
+            SELECT ts[g.i] AS w1, ts[g.i + 1] AS w2
+            FROM (SELECT string_split(text, ' ') AS ts FROM documents),
+                 range(1, 10000) AS g(i)
+            WHERE g.i <= len(ts) - 1
+        ) GROUP BY w1 || ' ' || w2
+    )
+    SELECT bigram, cxy,
+           CAST(cxy * n.total AS DOUBLE) / (u1.c * u2.c) AS lift
+    FROM bg
+    JOIN uni u1 ON u1.tok = split_part(bigram, ' ', 1)
+    JOIN uni u2 ON u2.tok = split_part(bigram, ' ', 2)
+    CROSS JOIN n
+    WHERE cxy >= 5
+    ORDER BY lift DESC, bigram LIMIT 20
+    """,
+    "Collocation extraction: top-20 bigrams by lift "
+    "P(xy)/(P(x)P(y)) — the association score behind phrase mining "
+    "and tokenizer-merge candidates. Lift is the exact rational "
+    "(cxy * N) / (cx * cy) — one IEEE division of exact bigints (no "
+    "transcendental PMI log: same ranking, bit-portable). Bigrams "
+    "come from the zip_with shingle fold (no per-element re-split); "
+    "the two unigram joins shuffle on the token; top-k is "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("total"))
+    bg = (
+        d.select(F.explode(T.word_shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cxy"))
+        .where(F.col("cxy") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("__t1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("tok").alias("__t2"), F.col("c").alias("__c2"))
+    scored = (
+        bg.join(u1, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("__t1"))
+        .join(u2, F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == F.col("__t2"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "cxy",
+            (
+                (F.col("cxy") * F.col("total")).cast("double")
+                / (F.col("__c1") * F.col("__c2"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(20)
+
+
+@register(
+    "vocab_overlap_sources",
+    """
+    WITH v AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS ni
+        FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.ni AS n_shared,
+           CAST(i.ni AS DOUBLE) / (sa.nv + sb.nv - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    "Pairwise source-vocabulary Jaccard — the domain-similarity "
+    "matrix a mixture designer reads before setting sampling rates "
+    "(near-duplicate domains waste mixture weight). Per-source "
+    "vocabularies come from one distinct aggregate (shuffle on "
+    "(source, token)); the intersection self-join shuffles token "
+    "keys only; Jaccard is one IEEE division of exact bigints. "
+    "Output rows = source-pairs — tiny at any corpus size.",
+)
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").alias("nv"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("nv").alias("__na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("nv").alias("__nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ni").alias("n_shared"),
+            (
+                F.col("ni").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 _EMB_COSINE_ORACLE = """
 WITH pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

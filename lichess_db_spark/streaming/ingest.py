@@ -493,6 +493,7 @@ def stream_documents_curation(
     checkpoint_dir: str,
     schema: StructType | None = None,
     near_dup: bool = False,
+    compact_every: int | None = None,
 ):
     """Streaming curation ingest: micro-batches of documents flow
     through cross-batch exact dedup and the quality gate into an
@@ -546,6 +547,16 @@ def stream_documents_curation(
     instead of appending duplicates (ADVICE r4: with plain appends, a
     crash between the corpus and digest writes duplicated the batch's
     corpus rows on replay).
+
+    ``compact_every=N`` (with ``near_dup``): every N batches the LSH
+    posting archive is compacted in-place (operators/dedup.
+    compact_postings — small-file merge; the stream keeps every seen
+    doc's postings per the ghost-drop policy, so no live-id filter).
+    A crash between the compaction and the checkpoint commit replays
+    the batch against the already-compacted archive; the batch's
+    re-written postings briefly duplicate rows inside ``batch=-1``,
+    which the candidate join's distinct absorbs and the next
+    compaction's dropDuplicates reclaims — idempotency holds.
     """
     from pyspark.sql import Window
 
@@ -620,6 +631,10 @@ def stream_documents_curation(
             staged.select("__digest").write.mode("overwrite").parquet(
                 os.path.join(state_path, f"batch={batch_id}")
             )
+            if near_dup and compact_every and (batch_id + 1) % compact_every == 0:
+                from ..operators.dedup import compact_postings
+
+                compact_postings(sess, postings_path)
         finally:
             staged.unpersist()
 

@@ -414,11 +414,24 @@ def test_stream_curation_near_dup_tier(spark, tmp_path):
         F.col("doc_a").isin(*got_ids) & F.col("doc_b").isin(*got_ids)
     ).collect()
     assert kept_pairs == [], kept_pairs
-    # determinism: rerun into a fresh dir gives the identical id set
+    # determinism AND compaction-transparency: rerun into a fresh dir
+    # with the posting archive compacted after every batch — identical
+    # id set (compaction must never change candidate semantics), and
+    # the archive ends as one merged batch=-1 file set instead of one
+    # directory per batch
+    import glob as _glob
+
     out2 = tmp_path / "out2"
     q2 = stream_documents_curation(
-        spark, str(src), str(out2), str(tmp_path / "ckpt2"), near_dup=True
+        spark,
+        str(src),
+        str(out2),
+        str(tmp_path / "ckpt2"),
+        near_dup=True,
+        compact_every=1,
     )
     q2.awaitTermination(240)
     got2 = {r.doc_id for r in spark.read.parquet(str(out2 / "docs")).collect()}
     assert got2 == got_ids
+    post_dirs = _glob.glob(str(out2 / "_lsh_postings" / "batch=*"))
+    assert post_dirs and all(d.endswith("batch=-1") for d in post_dirs), post_dirs
