@@ -715,6 +715,141 @@ def embedding_lsh_dedup_pairs(
     )
 
 
+def incremental_embedding_near_dup(
+    new_vecs: DataFrame,
+    postings_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int | None = None,
+    target_corpus: int | None = None,
+    target_bucket: int = 16,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Embedding twin of :func:`incremental_near_dup`: candidate pairs
+    of an arriving vector batch against the archived hyperplane-bucket
+    posting list — near-dup maintenance for a vector firehose without
+    ever re-bucketing the archive.
+
+    **The index parameters freeze at creation** (the FAISS
+    add-with-frozen-quantizer rule): bucket keys are only comparable
+    under identical planes, so the first batch derives ``n_planes``
+    (from ``target_corpus`` if given — size for the corpus you EXPECT,
+    not the first batch — else :func:`auto_n_planes` of the batch) and
+    persists ``(dim, n_tables, n_planes)`` beside the postings at
+    ``<postings_path>__config`` (a sibling, not inside: the postings
+    directory must stay absent until the first posting write so the
+    first-batch probe stays trivial, and compaction's delete-and-swap
+    of the postings directory must not touch the config). Later
+    batches load and reuse the frozen config; explicit ``n_planes``
+    must match it.
+
+    Same scale mechanics as the MinHash twin: archive participates as
+    (table, bucket, id) postings only, the join shuffles bucket keys,
+    per-key ``max_bucket_size`` bounds the hot-bucket pair bomb, and
+    ``batch_id`` scopes the posting write for idempotent replay.
+    Returns id-only (vec_a, vec_b) candidates — verify with
+    :func:`embedding_pairs_cosine` against the corpus-so-far.
+    """
+    from ..io import path_exists
+
+    spark = new_vecs.sparkSession
+    config_path = postings_path.rstrip("/") + "__config"
+    if path_exists(spark, config_path):
+        cfg = spark.read.parquet(config_path).collect()[0]
+        if (dim, n_tables) != (cfg["dim"], cfg["n_tables"]):
+            raise ValueError(
+                f"index built with dim={cfg['dim']} n_tables={cfg['n_tables']}; "
+                f"got dim={dim} n_tables={n_tables}"
+            )
+        if n_planes is not None and n_planes != cfg["n_planes"]:
+            raise ValueError(
+                f"index frozen at n_planes={cfg['n_planes']}; got {n_planes}"
+            )
+        n_planes = cfg["n_planes"]
+    else:
+        if n_planes is None:
+            n = target_corpus if target_corpus is not None else new_vecs.count()
+            n_planes = auto_n_planes(n, target_bucket=target_bucket)
+        spark.createDataFrame(
+            [(dim, n_tables, n_planes)], "dim int, n_tables int, n_planes int"
+        ).coalesce(1).write.mode("overwrite").parquet(config_path)
+
+    _buckets = portable_bucket_udf(dim, n_tables, n_planes)
+    new_post = spread(new_vecs.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+    ).persist()
+    try:
+        archive = None
+        if path_exists(spark, postings_path):
+            archive = spark.read.parquet(postings_path)
+            if batch_id is not None and "batch" in archive.columns:
+                archive = archive.where(F.col("batch") != F.lit(batch_id))
+            archive = archive.select("table", "bucket", id_col)
+        other = (
+            new_post if archive is None
+            else new_post.select("table", "bucket", id_col).unionByName(archive)
+        )
+        if max_bucket_size is not None:
+            hot = (
+                other.groupBy("table", "bucket")
+                .agg(F.count("*").alias("__bc"))
+                .where(F.col("__bc") > max_bucket_size)
+                .select("table", "bucket")
+            )
+            other = other.join(hot, ["table", "bucket"], "left_anti")
+        pairs = (
+            new_post.select("table", "bucket", F.col(id_col).alias("__new_id"))
+            .join(
+                other.select("table", "bucket", F.col(id_col).alias("__other_id")),
+                ["table", "bucket"],
+            )
+            .where(F.col("__new_id") != F.col("__other_id"))
+            .select(
+                F.least("__new_id", "__other_id").alias("vec_a"),
+                F.greatest("__new_id", "__other_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        out = pairs.persist()
+        out.count()  # materialize before the postings write mutates the read path
+        if batch_id is not None:
+            new_post.write.mode("overwrite").parquet(
+                f"{postings_path}/batch={batch_id}"
+            )
+        else:
+            new_post.write.mode("append").parquet(postings_path)
+        return out
+    finally:
+        new_post.unpersist()
+
+
+def embedding_pairs_cosine(
+    pairs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact quantized-int cosine verification of id-only candidate
+    pairs against a vector table — the verify stage shared by the
+    batch (:func:`embedding_lsh_dedup_pairs` inlines the same shape)
+    and incremental embedding near-dup tiers. Joins touch candidate
+    ids only; the kernel is one Arrow einsum per batch."""
+    _qcos = portable_qcos_udf()
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", _qcos("ea", "eb").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
@@ -929,6 +1064,7 @@ def compact_postings(
     live_ids: DataFrame | None = None,
     id_col: str = "doc_id",
     rows_per_file: int = 4_000_000,
+    key_cols: tuple[str, str] = ("band_idx", "band_hash"),
 ) -> dict:
     """Compact the incremental near-dup posting archive (VERDICT r4
     item 4): the archive grows by one directory (or appended file set)
@@ -966,7 +1102,7 @@ def compact_postings(
     # dropDuplicates self-heals the one replay corner: a batch replayed
     # after a compaction consumed its postings re-writes rows that
     # batch=-1 already holds
-    archive = raw.select("band_idx", "band_hash", id_col).dropDuplicates()
+    archive = raw.select(*key_cols, id_col).dropDuplicates()
     if live_ids is not None:
         keep = live_ids.select(F.col(live_ids.columns[0]).alias(id_col))
         archive = archive.join(keep, id_col, "left_semi")
