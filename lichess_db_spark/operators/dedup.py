@@ -715,6 +715,36 @@ def embedding_lsh_dedup_pairs(
     )
 
 
+def load_embedding_index_config(spark, postings_path: str):
+    """Frozen index params persisted beside a hyperplane posting
+    archive (``<postings_path>__config``), or None before creation."""
+    from ..io import path_exists
+
+    config_path = postings_path.rstrip("/") + "__config"
+    if not path_exists(spark, config_path):
+        return None
+    row = spark.read.parquet(config_path).collect()[0]
+    return {"dim": row["dim"], "n_tables": row["n_tables"], "n_planes": row["n_planes"]}
+
+
+def embedding_bucket_postings(
+    emb: DataFrame,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(table, bucket, id) posting rows for a vector set under a FIXED
+    plane config — the persistable unit of the embedding LSH index
+    (hyperplane twin of minhash_band_postings)."""
+    _buckets = portable_bucket_udf(dim, n_tables, n_planes)
+    return spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+    )
+
+
 def incremental_embedding_near_dup(
     new_vecs: DataFrame,
     postings_path: str,
@@ -727,6 +757,7 @@ def incremental_embedding_near_dup(
     target_bucket: int = 16,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     batch_id: int | None = None,
+    write_postings: bool = True,
 ) -> DataFrame:
     """Embedding twin of :func:`incremental_near_dup`: candidate pairs
     of an arriving vector batch against the archived hyperplane-bucket
@@ -752,13 +783,17 @@ def incremental_embedding_near_dup(
     ``batch_id`` scopes the posting write for idempotent replay.
     Returns id-only (vec_a, vec_b) candidates — verify with
     :func:`embedding_pairs_cosine` against the corpus-so-far.
+    ``write_postings=False`` runs the pair scan without archiving the
+    batch — for callers that archive a filtered subset themselves via
+    :func:`embedding_bucket_postings` (e.g. the streaming sink's
+    kept-only policy).
     """
     from ..io import path_exists
 
     spark = new_vecs.sparkSession
     config_path = postings_path.rstrip("/") + "__config"
-    if path_exists(spark, config_path):
-        cfg = spark.read.parquet(config_path).collect()[0]
+    cfg = load_embedding_index_config(spark, postings_path)
+    if cfg is not None:
         if (dim, n_tables) != (cfg["dim"], cfg["n_tables"]):
             raise ValueError(
                 f"index built with dim={cfg['dim']} n_tables={cfg['n_tables']}; "
@@ -777,10 +812,8 @@ def incremental_embedding_near_dup(
             [(dim, n_tables, n_planes)], "dim int, n_tables int, n_planes int"
         ).coalesce(1).write.mode("overwrite").parquet(config_path)
 
-    _buckets = portable_bucket_udf(dim, n_tables, n_planes)
-    new_post = spread(new_vecs.select(id_col, vec_col)).select(
-        F.col(id_col),
-        F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+    new_post = embedding_bucket_postings(
+        new_vecs, dim, n_tables, n_planes, id_col=id_col, vec_col=vec_col
     ).persist()
     try:
         archive = None
@@ -816,12 +849,13 @@ def incremental_embedding_near_dup(
         )
         out = pairs.persist()
         out.count()  # materialize before the postings write mutates the read path
-        if batch_id is not None:
-            new_post.write.mode("overwrite").parquet(
-                f"{postings_path}/batch={batch_id}"
-            )
-        else:
-            new_post.write.mode("append").parquet(postings_path)
+        if write_postings:
+            if batch_id is not None:
+                new_post.write.mode("overwrite").parquet(
+                    f"{postings_path}/batch={batch_id}"
+                )
+            else:
+                new_post.write.mode("append").parquet(postings_path)
         return out
     finally:
         new_post.unpersist()

@@ -459,6 +459,153 @@ def stream_dedup(
     )
 
 
+def stream_embeddings_curation(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+    threshold: float = 0.4,
+    target_corpus: int | None = None,
+    compact_every: int | None = None,
+):
+    """Streaming vector curation: micro-batches of embeddings flow
+    through exact dedup and incremental LSH near-dup (with EXACT
+    cosine verification) into an append-only vector corpus — the
+    embedding twin of :func:`stream_documents_curation`.
+
+    Tiers per batch:
+
+    - **exact**: digest = md5 of the vector rendered as text (Spark-
+      internal key, never crosses engines); intra-batch keep-min-id,
+      then anti-join the persisted digest state.
+    - **near-dup**: candidates from ``incremental_embedding_near_dup``
+      (frozen plane config, sized by ``target_corpus``), then exact
+      quantized-int cosine VERIFICATION of every candidate — a vector
+      drops only when a verified pair (cosine >= threshold) links it
+      to an earlier-arrived kept vector or a smaller-id batch member.
+
+    **Postings archive kept vectors only** — the OPPOSITE policy from
+    the text tier's ghost drops, forced by verification: a candidate
+    can only be cosine-verified if its partner's vector is readable,
+    and dropped vectors are never written. Consequence (documented
+    trade): a chain A≈B≈C where B dropped for A can admit C if C is
+    not a verified neighbor of A — near-dup chains re-enter one hop at
+    a time, but every drop is exact-verified, never ghost-candidacy.
+
+    Same exactly-once discipline as the text sink: every write
+    (corpus, digest state, postings) is a batch_id-scoped overwrite;
+    state reads exclude the current batch's partial output; optional
+    ``compact_every`` compacts the posting archive in place.
+    """
+    from ..operators.dedup import (
+        embedding_bucket_postings,
+        embedding_pairs_cosine,
+        incremental_embedding_near_dup,
+        load_embedding_index_config,
+    )
+    from ..io import path_exists
+
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    state_path = os.path.join(out_dir, "_digest_state")
+    postings_path = os.path.join(out_dir, "_lsh_postings")
+    vecs_path = os.path.join(out_dir, "vecs")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        sess = batch_df.sparkSession
+        digest = F.md5(F.col("embedding").cast("array<string>").cast("string"))
+        batch = batch_df.withColumn("__digest", digest)
+        w = Window.partitionBy("__digest").orderBy("vec_id")
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if path_exists(sess, state_path):
+            seen = sess.read.parquet(state_path)
+            if "batch" in seen.columns:
+                seen = seen.where(F.col("batch") != F.lit(batch_id))
+            batch = batch.join(seen.select("__digest"), "__digest", "left_anti")
+        staged = batch.persist()
+        try:
+            pairs = incremental_embedding_near_dup(
+                staged.select(*batch_df.columns),
+                postings_path,
+                target_corpus=target_corpus,
+                batch_id=batch_id,
+                write_postings=False,
+            )
+            # vectors for verification: this batch + the written corpus
+            have = staged.select("vec_id", "embedding")
+            if path_exists(sess, vecs_path):
+                corpus = sess.read.parquet(vecs_path)
+                if "batch" in corpus.columns:
+                    corpus = corpus.where(F.col("batch") != F.lit(batch_id))
+                have = have.unionByName(corpus.select("vec_id", "embedding"))
+            verified = embedding_pairs_cosine(
+                pairs, have, threshold=threshold
+            ).persist()
+            try:
+                ids = staged.select(F.col("vec_id").alias("__bid"))
+                both_in = verified.join(
+                    ids, verified["vec_a"] == ids["__bid"], "left_semi"
+                ).join(ids, F.col("vec_b") == ids["__bid"], "left_semi")
+                drop_intra = both_in.select(F.col("vec_b").alias("__drop"))
+                a_only = (
+                    verified.join(ids, verified["vec_a"] == ids["__bid"], "left_semi")
+                    .join(ids, F.col("vec_b") == ids["__bid"], "left_anti")
+                    .select(F.col("vec_a").alias("__drop"))
+                )
+                b_only = (
+                    verified.join(ids, verified["vec_b"] == ids["__bid"], "left_semi")
+                    .join(ids, F.col("vec_a") == ids["__bid"], "left_anti")
+                    .select(F.col("vec_b").alias("__drop"))
+                )
+                drops = drop_intra.union(a_only).union(b_only).distinct()
+                kept = staged.join(
+                    drops, staged["vec_id"] == drops["__drop"], "left_anti"
+                ).select(*batch_df.columns).persist()
+                try:
+                    kept.write.mode("overwrite").parquet(
+                        os.path.join(vecs_path, f"batch={batch_id}")
+                    )
+                    cfg = load_embedding_index_config(sess, postings_path)
+                    embedding_bucket_postings(
+                        kept, cfg["dim"], cfg["n_tables"], cfg["n_planes"]
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(postings_path, f"batch={batch_id}")
+                    )
+                    staged.select("__digest").write.mode("overwrite").parquet(
+                        os.path.join(state_path, f"batch={batch_id}")
+                    )
+                    if compact_every and (batch_id + 1) % compact_every == 0:
+                        from ..operators.dedup import compact_postings
+
+                        compact_postings(
+                            sess,
+                            postings_path,
+                            id_col="vec_id",
+                            key_cols=("table", "bucket"),
+                        )
+                finally:
+                    kept.unpersist()
+            finally:
+                verified.unpersist()
+        finally:
+            staged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curation_batch_plan(
     batch_df: DataFrame, seen: DataFrame | None = None
 ) -> DataFrame:

@@ -439,6 +439,14 @@ _PLAN_FINGERPRINTS = {
     "dedup_exact_groups": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
     "corpus_shuffle_rank": dict(exchanges=4, bhj=1, smj=0, windows=1, topk=0),
     "repeated_passages": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
+    # r5 corpus-statistics family, pinned at SF_SMALL default conf where
+    # the vocab-side joins broadcast (under fact-sized stats they flip
+    # to SMJ on the token key — the legitimate scale behavior, per the
+    # comment above). vocab_overlap's static count includes the
+    # tripled distinct-vocab subtree; ReuseExchange dedupes at runtime.
+    "token_rarity_score": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
+    "bigram_lift_topk": dict(exchanges=4, bhj=2, smj=0, windows=0, topk=1),
+    "vocab_overlap_sources": dict(exchanges=7, bhj=3, smj=0, windows=0, topk=0),
 }
 
 

@@ -317,6 +317,85 @@ def test_stream_documents_curation_matches_batch(spark, tmp_path):
     assert state.distinct().count() == n_distinct
 
 
+def test_stream_embeddings_curation(spark, tmp_path):
+    """Embedding twin of the streaming curation sink: a batch-2 vector
+    that is a verified cosine near-dup of a kept batch-1 vector is
+    dropped (small perturbation -> digest differs, cosine ~1); exact
+    duplicates die in the digest tier; rerun with per-batch archive
+    compaction is identical (compaction transparency)."""
+    import glob as _glob
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from lichess_db_spark.streaming.ingest import stream_embeddings_curation
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    # near-dups of batch-1 vectors: first coordinate nudged -> new
+    # digest, cosine ~0.9999
+    near = b1.limit(10).select(
+        (F.col("vec_id") + 700000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.001)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).cast(ArrayType(FloatType())).alias("embedding"),
+        "label",
+    )
+    # exact duplicates of batch-1 vectors -> digest tier
+    exact = b1.limit(5).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "embedding", "label"
+    )
+    b2 = (
+        emb.where(F.col("vec_id") % 2 == 1)
+        .unionByName(near)
+        .unionByName(exact)
+    )
+    src = tmp_path / "esrc"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "eout"
+    q = stream_embeddings_curation(
+        spark,
+        str(src),
+        str(out),
+        str(tmp_path / "eckpt"),
+        threshold=0.9,
+        target_corpus=600,
+    )
+    q.awaitTermination(240)
+
+    kept = spark.read.parquet(str(out / "vecs"))
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    injected_near = {r.vec_id for r in near.select("vec_id").collect()}
+    injected_exact = {r.vec_id for r in exact.select("vec_id").collect()}
+    # their batch-1 originals were kept (arrived first), so every
+    # injected copy must be gone — near via verified cosine, exact via
+    # the digest tier
+    assert not (kept_ids & injected_near)
+    assert not (kept_ids & injected_exact)
+    # originals survive
+    originals = {r.vec_id for r in b1.limit(10).select("vec_id").collect()}
+    assert originals <= kept_ids
+
+    # determinism + compaction transparency
+    out2 = tmp_path / "eout2"
+    q2 = stream_embeddings_curation(
+        spark,
+        str(src),
+        str(out2),
+        str(tmp_path / "eckpt2"),
+        threshold=0.9,
+        target_corpus=600,
+        compact_every=1,
+    )
+    q2.awaitTermination(240)
+    kept2 = {r.vec_id for r in spark.read.parquet(str(out2 / "vecs")).collect()}
+    assert kept2 == kept_ids
+    post_dirs = _glob.glob(str(out2 / "_lsh_postings" / "batch=*"))
+    assert post_dirs and all(d.endswith("batch=-1") for d in post_dirs), post_dirs
+
+
 def test_stream_curation_replay_is_idempotent(spark, tmp_path):
     """ADVICE r4: a crash-replay used to re-append the batch's corpus
     rows. Every per-batch write is now a batch_id-scoped overwrite, so
