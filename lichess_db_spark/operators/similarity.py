@@ -152,6 +152,77 @@ def lsh_topk_portable(
     )
 
 
+def lsh_archive_topk(
+    queries: DataFrame,
+    postings_path: str,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served FROM the incrementally-maintained posting
+    archive (operators/dedup.incremental_embedding_near_dup /
+    stream_embeddings_curation): queries bucket under the archive's
+    FROZEN plane config, probe the persisted (table, bucket, id)
+    postings, and exact-rerank the recalled candidates — the query
+    half of the build-incrementally/search-many lifecycle (FAISS
+    add-then-search, Spark-shaped).
+
+    The corpus table supplies candidate vectors by id (the postings
+    hold ids only); at scale that is the curated corpus the archive
+    indexes. Candidate generation joins broadcast query buckets
+    against a postings SCAN — no signature recompute for any archived
+    vector, and adding batches to the archive never touches past
+    postings. Scoring/ranking matches lsh_topk_portable (exact
+    quantized-int cosine, rank window over candidates only).
+    """
+    from .dedup import (
+        embedding_bucket_postings,
+        load_embedding_index_config,
+        portable_qcos_udf,
+    )
+
+    spark = queries.sparkSession
+    cfg = load_embedding_index_config(spark, postings_path)
+    if cfg is None:
+        raise ValueError(f"no index config beside {postings_path}")
+    qb = F.broadcast(
+        embedding_bucket_postings(
+            queries, cfg["dim"], cfg["n_tables"], cfg["n_planes"],
+            id_col=id_col, vec_col=vec_col,
+        ).select(
+            F.col(id_col).alias("query_id"), "table", "bucket"
+        )
+    )
+    postings = spark.read.parquet(postings_path).select(
+        F.col(id_col).alias("neighbor_id"), "table", "bucket"
+    )
+    cands = (
+        postings.join(qb, ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    _qcos = portable_qcos_udf()
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _qcos("q_vec", "c_vec").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 class IVFIndex:
     """A trained IVF coarse quantizer: the (n_lists, dim) centroid
     matrix. Persistable as a tiny parquet dataset so the

@@ -718,6 +718,45 @@ def test_incremental_embedding_near_dup(spark, emb, tmp_path):
     assert p3.count() >= 0
 
 
+def test_lsh_archive_topk_matches_oneshot(spark, emb, tmp_path):
+    """The query half of the incremental index lifecycle: top-k served
+    from a two-batch-built posting archive must EQUAL lsh_topk_portable
+    over the same corpus at the archive's frozen width — proof that
+    incremental maintenance loses nothing vs a one-shot index build."""
+    from lichess_db_spark.operators.dedup import (
+        incremental_embedding_near_dup,
+        load_embedding_index_config,
+    )
+    from lichess_db_spark.operators.similarity import (
+        lsh_archive_topk,
+        lsh_topk_portable,
+    )
+
+    postings = str(tmp_path / "qpost")
+    incremental_embedding_near_dup(
+        emb.where(F.col("vec_id") % 2 == 0), postings,
+        target_corpus=emb.count(), batch_id=0,
+    )
+    incremental_embedding_near_dup(
+        emb.where(F.col("vec_id") % 2 == 1), postings, batch_id=1
+    )
+    cfg = load_embedding_index_config(spark, postings)
+
+    queries = emb.where(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in lsh_archive_topk(queries, postings, emb, k=5).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in lsh_topk_portable(
+            emb, queries, k=5, n_planes=cfg["n_planes"]
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous
+
+
 def test_compact_postings_bounds_archive_growth(spark, tmp_path):
     """VERDICT r4 item 4: N small batches must not leave the posting
     archive unboundedly worse than one big batch. After compaction the
