@@ -83,6 +83,23 @@ def test_portable_planes_deterministic_bounded(t, p, dim):
     assert (C == C2).all()
 
 
+@given(st.integers(0, 10**12), st.integers(1, 1024))
+def test_auto_n_planes_properties(n, target):
+    """The derived plane count actually delivers the occupancy bound
+    it promises: target * 2^np >= n (unless clamped at the int32-safe
+    ceiling), stays in [4, 24], and is monotone in n."""
+    from lichess_db_spark.operators.dedup import auto_n_planes
+
+    np_ = auto_n_planes(n, target_bucket=target)
+    assert 4 <= np_ <= 24
+    if np_ < 24:
+        assert target * (2 ** np_) >= n
+    if np_ > 4:
+        # minimality: one fewer plane would under-deliver
+        assert target * (2 ** (np_ - 1)) < n
+    assert auto_n_planes(n + 1, target_bucket=target) >= np_
+
+
 @given(st.lists(st.integers(0, 5000), min_size=1, max_size=200),
        st.integers(1, 4096))
 @settings(max_examples=200)
