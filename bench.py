@@ -72,10 +72,11 @@ HEADLINE = [
     "quality_filter_pipeline",
     "repeated_passages",
     "corpus_shuffle_rank",
-    # round-5 additions: corpus statistics family
+    # round-5 additions: corpus statistics + model-inference family
     "token_rarity_score",
     "bigram_lift_topk",
     "vocab_overlap_sources",
+    "classifier_margin_select",
 ]
 
 

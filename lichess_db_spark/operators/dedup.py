@@ -884,6 +884,38 @@ def embedding_pairs_cosine(
     )
 
 
+def linear_margin_udf(dim: int, seed: str = "w"):
+    """Pandas UDF: exact int64 classifier margin of each vector against
+    a fixed md5-derived weight vector — broadcast linear-model
+    inference (the FastText-style quality-classifier scoring pass of a
+    training-data pipeline), shaped like every other kernel here: the
+    weights live in ONE numpy array inside the UDF closure, the margin
+    is one einsum per Arrow batch, and both quantization and weights
+    are engine-portable so an oracle reproduces the margins
+    bit-for-bit. The margin (not a sigmoid probability) is the output
+    on purpose: exp() is not bit-portable across engines, and
+    thresholding/sorting on the margin is order-equivalent."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    w = np.empty(dim, dtype=np.int64)
+    for d in range(dim):
+        h = int(hashlib.md5(f"{seed}-{d}".encode()).hexdigest()[:8], 16)
+        w[d] = h % 2_000_000 - 1_000_000
+
+    @pandas_udf(LongType())
+    def _margin(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = _quant_vectors(vecs)
+        return pd.Series(V @ w)
+
+    return _margin
+
+
 def simhash_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:

@@ -44,6 +44,7 @@ _TOUCHED_THIS_ROUND = (
     "token_rarity_score",   # new: vocab-build + score-join (n-gram-LM skeleton)
     "bigram_lift_topk",     # new: collocation extraction, exact integer lift
     "vocab_overlap_sources",  # new: domain-similarity vocabulary matrix
+    "classifier_margin_select",  # new: broadcast linear-model inference
 )
 _CORE_SENTINELS = (
     "a1_count",

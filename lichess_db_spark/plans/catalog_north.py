@@ -1424,6 +1424,53 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "classifier_margin_select",
+    """
+    WITH w AS (
+        SELECT d.d AS d,
+               (('0x' || substr(md5('w-' || CAST(d.d AS VARCHAR)), 1, 8))::BIGINT
+                    % 2000000) - 1000000 AS wv
+        FROM range(0, 64) d(d)
+    ),
+    v AS (
+        SELECT vec_id, g.i - 1 AS d,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) AS g(i)
+    ),
+    margins AS (
+        SELECT v.vec_id, CAST(SUM(v.x * w.wv) AS BIGINT) AS margin
+        FROM v JOIN w ON w.d = v.d GROUP BY v.vec_id
+    )
+    SELECT vec_id, margin,
+           CASE WHEN margin >= 0 THEN true ELSE false END AS selected
+    FROM margins
+    """,
+    "Broadcast linear-classifier inference over the embedding corpus — "
+    "the quality-classifier scoring pass (FastText-style) of a "
+    "training-data pipeline, HASH-CHECKED: md5-derived integer weights "
+    "+ floor(x*2^20) quantization make the margin an exact int64 "
+    "reproduced bit-for-bit by the oracle. Margin, not sigmoid: exp() "
+    "is not bit-portable, and selection thresholds/rankings on the "
+    "margin are order-equivalent. Map-only scan, one einsum per Arrow "
+    "batch; weights ride the UDF closure (at cluster scale, one "
+    "broadcast of a dim-sized array).",
+)
+def classifier_margin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import linear_margin_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _margin = linear_margin_udf(64)
+    return emb.select(
+        "vec_id",
+        _margin("embedding").alias("margin"),
+    ).select(
+        "vec_id",
+        "margin",
+        (F.col("margin") >= 0).alias("selected"),
+    )
+
+
 _EMB_COSINE_ORACLE = """
 WITH pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
