@@ -72,14 +72,21 @@ def main() -> int:
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--json", default=None, help="write per-query results to this path")
     ap.add_argument("--skip-smoke", action="store_true")
+    ap.add_argument(
+        "--partitions",
+        type=int,
+        default=8,
+        help="shuffle partitions / cores — vary (e.g. 3, 17) to flush "
+        "out order-dependent accumulations the fixed driver conf hides",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{args.partitions}]")
         .appName("driver-sim")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", str(args.partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
