@@ -74,6 +74,12 @@ def synth_pgn(n_games: int, out_dir: str, chunks: int) -> None:
 
 def run_scaling(games: int, chunk_counts: list[int], out_path: str | None) -> None:
     """Parse-only throughput at each chunk count, one JSON line."""
+    # MUST precede get_spark(): session.py reads the env var at JVM
+    # launch. 32 concurrent parse tasks share ONE local-mode heap; at
+    # the default 8g, 8x50MB chunks measured GC-thrash inverse scaling.
+    # Real clusters give each executor its own heap.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+
     from pyspark.sql import functions as F
 
     from lichess_db_spark.session import get_spark
@@ -96,12 +102,6 @@ def run_scaling(games: int, chunk_counts: list[int], out_path: str | None) -> No
 
     import gc
     import statistics
-
-    # 32 concurrent parse tasks share ONE local-mode heap; at the
-    # default 8g, 8x50MB chunks measured GC-thrash inverse scaling.
-    # Real clusters give each executor its own heap, so size the
-    # local stand-in accordingly.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
     results = {}
     warmed = False

@@ -756,9 +756,11 @@ def incremental_embedding_near_dup(
     target_corpus: int | None = None,
     target_bucket: int = 16,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
     batch_id: int | None = None,
     write_postings: bool = True,
-) -> DataFrame:
+    return_postings: bool = False,
+):
     """Embedding twin of :func:`incremental_near_dup`: candidate pairs
     of an arriving vector batch against the archived hyperplane-bucket
     posting list — near-dup maintenance for a vector firehose without
@@ -784,12 +786,12 @@ def incremental_embedding_near_dup(
     Returns id-only (vec_a, vec_b) candidates — verify with
     :func:`embedding_pairs_cosine` against the corpus-so-far.
     ``write_postings=False`` runs the pair scan without archiving the
-    batch — for callers that archive a filtered subset themselves via
-    :func:`embedding_bucket_postings` (e.g. the streaming sink's
-    kept-only policy).
+    batch; ``return_postings=True`` additionally returns the batch's
+    still-cached posting DataFrame as ``(pairs, postings)`` so a
+    caller archiving a filtered subset (the streaming sink's kept-only
+    policy) reuses the signature kernel output instead of re-running
+    it — the caller then owns both unpersists.
     """
-    from ..io import path_exists
-
     spark = new_vecs.sparkSession
     config_path = postings_path.rstrip("/") + "__config"
     cfg = load_embedding_index_config(spark, postings_path)
@@ -814,51 +816,19 @@ def incremental_embedding_near_dup(
 
     new_post = embedding_bucket_postings(
         new_vecs, dim, n_tables, n_planes, id_col=id_col, vec_col=vec_col
-    ).persist()
-    try:
-        archive = None
-        if path_exists(spark, postings_path):
-            archive = spark.read.parquet(postings_path)
-            if batch_id is not None and "batch" in archive.columns:
-                archive = archive.where(F.col("batch") != F.lit(batch_id))
-            archive = archive.select("table", "bucket", id_col)
-        other = (
-            new_post if archive is None
-            else new_post.select("table", "bucket", id_col).unionByName(archive)
-        )
-        if max_bucket_size is not None:
-            hot = (
-                other.groupBy("table", "bucket")
-                .agg(F.count("*").alias("__bc"))
-                .where(F.col("__bc") > max_bucket_size)
-                .select("table", "bucket")
-            )
-            other = other.join(hot, ["table", "bucket"], "left_anti")
-        pairs = (
-            new_post.select("table", "bucket", F.col(id_col).alias("__new_id"))
-            .join(
-                other.select("table", "bucket", F.col(id_col).alias("__other_id")),
-                ["table", "bucket"],
-            )
-            .where(F.col("__new_id") != F.col("__other_id"))
-            .select(
-                F.least("__new_id", "__other_id").alias("vec_a"),
-                F.greatest("__new_id", "__other_id").alias("vec_b"),
-            )
-            .distinct()
-        )
-        out = pairs.persist()
-        out.count()  # materialize before the postings write mutates the read path
-        if write_postings:
-            if batch_id is not None:
-                new_post.write.mode("overwrite").parquet(
-                    f"{postings_path}/batch={batch_id}"
-                )
-            else:
-                new_post.write.mode("append").parquet(postings_path)
-        return out
-    finally:
-        new_post.unpersist()
+    )
+    return _incremental_posting_pairs(
+        new_post,
+        postings_path,
+        key_cols=("table", "bucket"),
+        id_col=id_col,
+        out_cols=("vec_a", "vec_b"),
+        max_per_key=max_bucket_size,
+        observation=observation,
+        batch_id=batch_id,
+        write_postings=write_postings,
+        return_postings=return_postings,
+    )
 
 
 def embedding_pairs_cosine(
@@ -990,6 +960,147 @@ def minhash_band_postings(
     )
 
 
+def _restore_interrupted_swap(spark, postings_path: str) -> None:
+    """Self-heal compact_postings' one crash window: if the archive is
+    missing but its ``__old`` rename-aside survives, rename it back.
+    Called by compaction and by every incremental reader, so an
+    interrupted swap is repaired on the next touch instead of being
+    silently mistaken for an empty first-batch archive."""
+    from ..io import path_exists
+
+    old_path = postings_path.rstrip("/") + "__old"
+    if path_exists(spark, postings_path) or not path_exists(spark, old_path):
+        return
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(postings_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    if not fs.rename(hpath(old_path), hpath(postings_path)):
+        raise IOError(
+            f"could not restore interrupted compaction: {old_path} -> {postings_path}"
+        )
+
+
+def _incremental_posting_pairs(
+    new_post: DataFrame,
+    postings_path: str,
+    key_cols: tuple[str, str],
+    id_col: str,
+    out_cols: tuple[str, str],
+    max_per_key: int | None,
+    observation,
+    batch_id: int | None,
+    write_postings: bool,
+    return_postings: bool = False,
+):
+    """Shared core of the incremental near-dup tiers (MinHash bands and
+    hyperplane buckets differ ONLY in how ``new_post`` is built and in
+    the key/output column names): archive read with replay exclusion
+    and layout guard, per-key hot cap with optional Observation
+    metrics, the posting equi-join, canonical (least, greatest)
+    distinct pairs, and the idempotent posting write.
+
+    ``return_postings=True`` skips both the write and the unpersist
+    and returns ``(pairs, new_post)`` with ``new_post`` still cached —
+    for callers that archive a filtered subset themselves (e.g. the
+    streaming sinks' kept-only policy) without re-running the
+    signature kernel. The caller owns both unpersists.
+    """
+    from ..io import path_exists
+
+    spark = new_post.sparkSession
+    ka, kb = key_cols
+    new_post = new_post.persist()
+    done = False
+    try:
+        _restore_interrupted_swap(spark, postings_path)
+        # Explicit existence probe (ADVICE r4): only a MISSING archive
+        # means "first batch". A read error on an existing archive
+        # propagates, so a checkpointed caller retries the batch
+        # instead of silently losing every archive candidate while
+        # still appending postings.
+        archive = None
+        if path_exists(spark, postings_path):
+            archive = spark.read.parquet(postings_path)
+            has_batch = "batch" in archive.columns
+            # Layout guard: parquet partition discovery cannot mix flat
+            # files with batch= dirs — fail fast with the migration
+            # story instead of a cryptic 'conflicting directory
+            # structures' crash on the NEXT read.
+            if batch_id is not None and not has_batch:
+                raise ValueError(
+                    f"{postings_path} holds a flat (appended) posting layout; "
+                    "batch_id-scoped writes would mix batch= dirs into it. "
+                    "Either keep calling with batch_id=None, or migrate by "
+                    "rebuilding the archive batch-scoped."
+                )
+            if batch_id is None and has_batch:
+                raise ValueError(
+                    f"{postings_path} is batch=-partitioned; a flat append "
+                    "would break partition discovery. Pass a batch_id."
+                )
+            if has_batch:
+                archive = archive.where(F.col("batch") != F.lit(batch_id))
+            archive = archive.select(ka, kb, id_col)
+        other = (
+            new_post if archive is None
+            else new_post.select(ka, kb, id_col).unionByName(archive)
+        )
+        if max_per_key is not None or observation is not None:
+            key_counts = other.groupBy(ka, kb).agg(F.count("*").alias("__kc"))
+            if observation is not None:
+                # Metrics ride a DEDICATED aggregate job here, unlike
+                # the batch tier's free piggyback: a CollectMetrics
+                # node under this plan's candidate distinct() gets
+                # dropped by runtime re-planning when AQE propagates an
+                # empty relation through the join (measured — obs.get
+                # then fails with an empty-row assertion). One small
+                # extra pass over posting keys buys reliable metrics.
+                over = (
+                    F.col("__kc") > max_per_key
+                    if max_per_key is not None
+                    else F.lit(False)
+                )
+                key_counts.observe(
+                    observation,
+                    F.count(F.when(over, 1)).alias("capped_keys"),
+                    F.max("__kc").alias("max_postings_seen"),
+                ).count()
+            if max_per_key is not None:
+                hot = key_counts.where(F.col("__kc") > max_per_key).select(ka, kb)
+                other = other.join(hot, [ka, kb], "left_anti")
+        pairs = (
+            new_post.select(ka, kb, F.col(id_col).alias("__new_id"))
+            .join(
+                other.select(ka, kb, F.col(id_col).alias("__other_id")),
+                [ka, kb],
+            )
+            .where(F.col("__new_id") != F.col("__other_id"))
+            .select(
+                F.least("__new_id", "__other_id").alias(out_cols[0]),
+                F.greatest("__new_id", "__other_id").alias(out_cols[1]),
+            )
+            .distinct()
+        )
+        out = pairs.persist()
+        out.count()  # materialize before the postings write mutates the read path
+        if return_postings:
+            done = True  # caller owns both unpersists
+            return out, new_post
+        if write_postings:
+            if batch_id is not None:
+                new_post.write.mode("overwrite").parquet(
+                    f"{postings_path}/batch={batch_id}"
+                )
+            else:
+                new_post.write.mode("append").parquet(postings_path)
+        return out
+    finally:
+        if not done:
+            new_post.unpersist()
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     postings_path: str,
@@ -1040,9 +1151,6 @@ def incremental_near_dup(
     verification joins back to shingle sets exactly as
     minhash_dedup_pairs does, touching only candidate ids.
     """
-    from ..io import path_exists
-
-    spark = new_docs.sparkSession
     rows_per_band = num_perms // bands
     sigs = minhash_signatures(
         new_docs, text_col=text_col, id_col=id_col,
@@ -1050,78 +1158,18 @@ def incremental_near_dup(
     )
     new_post = minhash_band_postings(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
-    ).persist()
-    try:
-        # Explicit existence probe (ADVICE r4): only a MISSING archive
-        # means "first batch". A read error on an existing archive
-        # propagates, so a checkpointed caller retries the batch
-        # instead of silently losing every archive candidate while
-        # still appending postings.
-        archive = None
-        if path_exists(spark, postings_path):
-            archive = spark.read.parquet(postings_path)
-            if batch_id is not None and "batch" in archive.columns:
-                archive = archive.where(
-                    F.col("batch") != F.lit(batch_id)
-                )
-            archive = archive.select("band_idx", "band_hash", id_col)
-        other = (
-            new_post if archive is None
-            else new_post.select("band_idx", "band_hash", id_col).unionByName(archive)
-        )
-        if max_postings_per_key is not None or observation is not None:
-            key_counts = other.groupBy("band_idx", "band_hash").agg(
-                F.count("*").alias("__kc")
-            )
-            if observation is not None:
-                # Metrics ride a DEDICATED aggregate job here, unlike
-                # the batch tier's free piggyback: a CollectMetrics
-                # node under this plan's candidate distinct() gets
-                # dropped by runtime re-planning when AQE propagates an
-                # empty relation through the join (measured — obs.get
-                # then fails with an empty-row assertion). One small
-                # extra pass over posting keys buys reliable metrics.
-                over = (
-                    F.col("__kc") > max_postings_per_key
-                    if max_postings_per_key is not None
-                    else F.lit(False)
-                )
-                key_counts.observe(
-                    observation,
-                    F.count(F.when(over, 1)).alias("capped_keys"),
-                    F.max("__kc").alias("max_postings_seen"),
-                ).count()
-            if max_postings_per_key is not None:
-                hot = key_counts.where(
-                    F.col("__kc") > max_postings_per_key
-                ).select("band_idx", "band_hash")
-                other = other.join(hot, ["band_idx", "band_hash"], "left_anti")
-        pairs = (
-            new_post.select("band_idx", "band_hash", F.col(id_col).alias("__new_id"))
-            .join(
-                other.select(
-                    "band_idx", "band_hash", F.col(id_col).alias("__other_id")
-                ),
-                ["band_idx", "band_hash"],
-            )
-            .where(F.col("__new_id") != F.col("__other_id"))
-            .select(
-                F.least("__new_id", "__other_id").alias("doc_a"),
-                F.greatest("__new_id", "__other_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        out = pairs.persist()
-        out.count()  # materialize before the postings write mutates the read path
-        if batch_id is not None:
-            new_post.write.mode("overwrite").parquet(
-                f"{postings_path}/batch={batch_id}"
-            )
-        else:
-            new_post.write.mode("append").parquet(postings_path)
-        return out
-    finally:
-        new_post.unpersist()
+    )
+    return _incremental_posting_pairs(
+        new_post,
+        postings_path,
+        key_cols=("band_idx", "band_hash"),
+        id_col=id_col,
+        out_cols=("doc_a", "doc_b"),
+        max_per_key=max_postings_per_key,
+        observation=observation,
+        batch_id=batch_id,
+        write_postings=True,
+    )
 
 
 def compact_postings(
@@ -1144,12 +1192,18 @@ def compact_postings(
       the real unbounded-growth axis for a per-batch-appending layout
       (N tiny batches -> N file sets, each a scan task at read time).
 
-    Write-then-swap: the compacted set lands in ``<path>__compact``,
-    the old archive directory is removed, and the new one renamed into
-    place via the Hadoop FileSystem API (scheme-portable). Crash
-    between remove and rename loses only the INDEX, not data — the
-    caller re-seeds it by re-signing the corpus (or restores from the
-    sibling dir, which the crash leaves intact).
+    Write-then-swap, crash-safe: the compacted set lands in
+    ``<path>__compact``, the live archive is renamed ASIDE to
+    ``<path>__old`` (never deleted first), the compacted set renamed
+    into place, and only then is the old set deleted. Every Hadoop
+    ``rename`` return value is checked (the FileSystem API reports
+    failure as False, not an exception). The one crash window —
+    between the two renames — leaves the archive path empty with
+    ``__old`` intact, and ``_restore_interrupted_swap`` (called here
+    and by every incremental reader) renames it back on the next
+    touch, so an interrupted compaction can never be mistaken for an
+    empty first-batch archive (the silent-recall class ADVICE r4's
+    explicit probes were added to kill).
 
     Returns {"rows": n, "files": k} for the compacted archive.
     """
@@ -1157,6 +1211,7 @@ def compact_postings(
 
     from ..io import path_exists
 
+    _restore_interrupted_swap(spark, postings_path)
     if not path_exists(spark, postings_path):
         return {"rows": 0, "files": 0}
     raw = spark.read.parquet(postings_path)
@@ -1175,6 +1230,7 @@ def compact_postings(
     n = archive.count()
     files = max(1, math.ceil(n / rows_per_file))
     tmp_path = postings_path.rstrip("/") + "__compact"
+    old_path = postings_path.rstrip("/") + "__old"
     jvm = spark._jvm  # noqa: SLF001
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(postings_path).getFileSystem(
@@ -1183,6 +1239,12 @@ def compact_postings(
     fs.delete(hpath(tmp_path), True)  # stale partial from a crashed compaction
     target = f"{tmp_path}/batch=-1" if batched_layout else tmp_path
     archive.repartition(files).write.mode("overwrite").parquet(target)
-    fs.delete(hpath(postings_path), True)
-    fs.rename(hpath(tmp_path), hpath(postings_path))
+    fs.delete(hpath(old_path), True)  # stale aside from a crashed swap
+    if not fs.rename(hpath(postings_path), hpath(old_path)):
+        raise IOError(f"compact_postings: rename {postings_path} -> {old_path} failed")
+    if not fs.rename(hpath(tmp_path), hpath(postings_path)):
+        # restore the archive before surfacing the failure
+        fs.rename(hpath(old_path), hpath(postings_path))
+        raise IOError(f"compact_postings: rename {tmp_path} -> {postings_path} failed")
+    fs.delete(hpath(old_path), True)
     return {"rows": n, "files": files}

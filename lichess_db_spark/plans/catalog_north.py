@@ -1309,12 +1309,13 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
     n AS (SELECT COUNT(*) AS total FROM tok),
     bg AS (
-        SELECT w1 || ' ' || w2 AS bigram, COUNT(*) AS cxy FROM (
-            SELECT ts[g.i] AS w1, ts[g.i + 1] AS w2
-            FROM (SELECT string_split(text, ' ') AS ts FROM documents),
-                 range(1, 10000) AS g(i)
-            WHERE g.i <= len(ts) - 1
-        ) GROUP BY w1 || ' ' || w2
+        -- list_zip of the two shifted slices: exact for ANY document
+        -- length (a fixed range(1, N) bound would silently drop
+        -- bigrams past position N on long docs)
+        SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*) AS cxy FROM (
+            SELECT unnest(list_zip(ts[1:len(ts) - 1], ts[2:len(ts)])) AS p
+            FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+        ) GROUP BY p[1] || ' ' || p[2]
     )
     SELECT bigram, cxy,
            CAST(cxy * n.total AS DOUBLE) / (u1.c * u2.c) AS lift

@@ -466,6 +466,9 @@ def stream_embeddings_curation(
     checkpoint_dir: str,
     schema: StructType | None = None,
     threshold: float = 0.4,
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int | None = None,
     target_corpus: int | None = None,
     compact_every: int | None = None,
 ):
@@ -499,10 +502,8 @@ def stream_embeddings_curation(
     ``compact_every`` compacts the posting archive in place.
     """
     from ..operators.dedup import (
-        embedding_bucket_postings,
         embedding_pairs_cosine,
         incremental_embedding_near_dup,
-        load_embedding_index_config,
     )
     from ..io import path_exists
 
@@ -514,30 +515,33 @@ def stream_embeddings_curation(
     vecs_path = os.path.join(out_dir, "vecs")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         sess = batch_df.sparkSession
-        digest = F.md5(F.col("embedding").cast("array<string>").cast("string"))
-        batch = batch_df.withColumn("__digest", digest)
-        w = Window.partitionBy("__digest").orderBy("vec_id")
-        batch = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        seen = None
         if path_exists(sess, state_path):
             seen = sess.read.parquet(state_path)
             if "batch" in seen.columns:
                 seen = seen.where(F.col("batch") != F.lit(batch_id))
-            batch = batch.join(seen.select("__digest"), "__digest", "left_anti")
-        staged = batch.persist()
+        staged = curation_batch_plan(
+            batch_df,
+            seen,
+            digest=F.md5(F.col("embedding").cast("array<string>").cast("string")),
+            order_col="vec_id",
+        ).persist()
+        pairs = batch_post = None
         try:
-            pairs = incremental_embedding_near_dup(
+            # return_postings: the batch's bucket signatures come back
+            # still cached, so the kept-only archive write below reuses
+            # them instead of re-running the plane kernel over kept rows
+            pairs, batch_post = incremental_embedding_near_dup(
                 staged.select(*batch_df.columns),
                 postings_path,
+                dim=dim,
+                n_tables=n_tables,
+                n_planes=n_planes,
                 target_corpus=target_corpus,
                 batch_id=batch_id,
                 write_postings=False,
+                return_postings=True,
             )
             # vectors for verification: this batch + the written corpus
             have = staged.select("vec_id", "embedding")
@@ -573,9 +577,10 @@ def stream_embeddings_curation(
                     kept.write.mode("overwrite").parquet(
                         os.path.join(vecs_path, f"batch={batch_id}")
                     )
-                    cfg = load_embedding_index_config(sess, postings_path)
-                    embedding_bucket_postings(
-                        kept, cfg["dim"], cfg["n_tables"], cfg["n_planes"]
+                    # kept-only postings, cut from the batch's cached
+                    # signatures (no second plane-kernel pass)
+                    batch_post.join(
+                        kept.select("vec_id"), "vec_id", "left_semi"
                     ).write.mode("overwrite").parquet(
                         os.path.join(postings_path, f"batch={batch_id}")
                     )
@@ -596,6 +601,10 @@ def stream_embeddings_curation(
             finally:
                 verified.unpersist()
         finally:
+            if pairs is not None:
+                pairs.unpersist()
+            if batch_post is not None:
+                batch_post.unpersist()
             staged.unpersist()
 
     return (
@@ -607,22 +616,27 @@ def stream_embeddings_curation(
 
 
 def curation_batch_plan(
-    batch_df: DataFrame, seen: DataFrame | None = None
+    batch_df: DataFrame,
+    seen: DataFrame | None = None,
+    digest=None,
+    order_col: str = "doc_id",
 ) -> DataFrame:
     """One micro-batch's exact-dedup tier as a plan-fingerprintable
-    DataFrame (tests/test_scale_design.py): digest, keep min doc_id
-    per digest within the batch, anti-join the cross-batch digest
-    state. The shuffle budget per micro-batch is the streaming
-    scale-killer surface — this plan must cost exactly two exchanges
-    (the digest window; the state side of the anti-join, whose batch
-    side REUSES the window's hashpartitioning on __digest), and the
-    downstream quality gate zero."""
+    DataFrame (tests/test_scale_design.py): digest, keep min id per
+    digest within the batch, anti-join the cross-batch digest state.
+    The shuffle budget per micro-batch is the streaming scale-killer
+    surface — this plan must cost exactly two exchanges (the digest
+    window; the state side of the anti-join, whose batch side REUSES
+    the window's hashpartitioning on __digest), and the downstream
+    quality gate zero. ``digest``/``order_col`` generalize the tier to
+    non-text batches (the embedding sink digests the vector
+    rendering)."""
     from pyspark.sql import Window
 
-    batch = batch_df.withColumn(
-        "__digest", F.md5(F.lower(F.trim(F.col("text"))))
-    )
-    w = Window.partitionBy("__digest").orderBy("doc_id")
+    if digest is None:
+        digest = F.md5(F.lower(F.trim(F.col("text"))))
+    batch = batch_df.withColumn("__digest", digest)
+    w = Window.partitionBy("__digest").orderBy(order_col)
     batch = (
         batch.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -732,6 +746,7 @@ def stream_documents_curation(
         batch = curation_batch_plan(batch_df, seen)
         staged = batch.persist()  # exact-dedup survivors: digest scope
         batch = staged
+        pairs = None
         try:
             if near_dup:
                 from ..operators.dedup import incremental_near_dup
@@ -783,6 +798,11 @@ def stream_documents_curation(
 
                 compact_postings(sess, postings_path)
         finally:
+            # pairs comes back persisted from incremental_near_dup; a
+            # long-running stream must release each batch's cache or
+            # storage memory accumulates across micro-batches
+            if pairs is not None:
+                pairs.unpersist()
             staged.unpersist()
 
     return (

@@ -718,6 +718,60 @@ def test_incremental_embedding_near_dup(spark, emb, tmp_path):
     assert p3.count() >= 0
 
 
+def test_interrupted_compaction_swap_self_heals(spark, tmp_path):
+    """compact_postings' one crash window (between rename-aside and
+    rename-in) leaves the archive path missing with __old intact; the
+    next incremental call must restore it instead of treating the
+    archive as empty (silent total recall loss)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.dedup import incremental_near_dup
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 100)
+    postings = str(tmp_path / "swap_postings")
+    incremental_near_dup(docs.where(F.col("doc_id") % 2 == 0), postings, batch_id=0)
+    # simulate the crash: archive renamed aside, rename-in never happened
+    os.rename(postings, postings + "__old")
+
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    incremental_near_dup(b2, postings, batch_id=1)
+    # the archive was restored (not recreated empty): batch 0's
+    # postings are back under the original path alongside batch 1's
+    assert not os.path.exists(postings + "__old")
+    batches = {
+        r.batch for r in spark.read.parquet(postings).select("batch").distinct().collect()
+    }
+    assert batches == {0, 1}, batches
+
+
+def test_incremental_layout_guard(spark, tmp_path):
+    """Mixing flat appends with batch= dirs breaks parquet partition
+    discovery on the NEXT read; the guard fails fast at write time
+    with a migration message instead."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.dedup import incremental_near_dup
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 60)
+    flat = str(tmp_path / "flat_postings")
+    incremental_near_dup(docs, flat)  # flat append
+    with pytest.raises(ValueError, match="flat"):
+        incremental_near_dup(docs, flat, batch_id=1)
+
+    batched = str(tmp_path / "batched_postings")
+    incremental_near_dup(docs, batched, batch_id=0)
+    with pytest.raises(ValueError, match="batch"):
+        incremental_near_dup(docs, batched)
+
+
 def test_lsh_archive_topk_matches_oneshot(spark, emb, tmp_path):
     """The query half of the incremental index lifecycle: top-k served
     from a two-batch-built posting archive must EQUAL lsh_topk_portable
