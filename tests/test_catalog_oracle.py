@@ -47,7 +47,11 @@ def test_rows_only_runs(spark, name):
 
 
 HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
-         "dedup_ngram_jaccard", "w1_running_count_by_type", "events_session_windows"]
+         "dedup_ngram_jaccard", "w1_running_count_by_type", "events_session_windows",
+         # r5: corpus-stats joins + auto-scaled LSH have size-dependent
+         # plans — pin parity at the larger SF too
+         "token_rarity_score", "bigram_lift_topk", "dedup_embedding_lsh",
+         "classifier_margin_select"]
 
 
 @pytest.mark.parametrize("name", [n for n in HEAVY if n in ORACLE_QUERIES])
