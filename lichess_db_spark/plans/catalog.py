@@ -45,6 +45,8 @@ _TOUCHED_THIS_ROUND = (
     "bigram_lift_topk",     # new: collocation extraction, exact integer lift
     "vocab_overlap_sources",  # new: domain-similarity vocabulary matrix
     "classifier_margin_select",  # new: broadcast linear-model inference
+    "pack_efficiency_profile",  # new: padding-waste metric per stream
+    "dedup_rate_by_source",     # new: per-source exact-dup rate
 )
 _CORE_SENTINELS = (
     "a1_count",

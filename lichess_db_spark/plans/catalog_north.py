@@ -960,6 +960,92 @@ def pack_sequences_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_efficiency_profile",
+    """
+    WITH t AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM t
+    ),
+    seqs AS (
+        SELECT lang, CAST((cum_end - n_tok) // 2048 AS BIGINT) AS seq_id,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM c GROUP BY lang, seq_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tokens >= 2048 THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_seqs,
+           CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * 2048) AS utilization
+    FROM seqs GROUP BY lang
+    """,
+    "Packing-efficiency profile per stream: sequences produced, token "
+    "utilization vs 2048-capacity, full-sequence count — the padding-"
+    "waste metric a training-prep job watches (low utilization = "
+    "wasted step compute downstream). Same single-window packing plan "
+    "as pack_sequences_lang plus one tiny per-stream aggregate; "
+    "utilization is one IEEE division of exact bigints.",
+)
+def pack_efficiency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pack_sequences
+
+    seqs = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048)
+    return seqs.groupBy("lang").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") >= 2048, 1).otherwise(0)).alias(
+            "full_seqs"
+        ),
+    ).select(
+        "lang",
+        "n_seqs",
+        "total_tokens",
+        "full_seqs",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_seqs") * F.lit(2048))
+        ).alias("utilization"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+               AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    "Exact-duplicate rate per source — the first number a curation "
+    "run reports (which domain is flooding the corpus with copies). "
+    "Distinct-count on the 16-byte digest, never the document; one "
+    "IEEE division of exact counts.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_rate"),
+    )
+
+
+@register(
     "corpus_assembly_pipeline",
     """
     WITH keep AS (
