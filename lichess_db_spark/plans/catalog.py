@@ -47,6 +47,7 @@ _TOUCHED_THIS_ROUND = (
     "classifier_margin_select",  # new: broadcast linear-model inference
     "pack_efficiency_profile",  # new: padding-waste metric per stream
     "dedup_rate_by_source",     # new: per-source exact-dup rate
+    "format_roundtrip_xml",     # new: Spark-4 built-in XML round-trip
 )
 _CORE_SENTINELS = (
     "a1_count",

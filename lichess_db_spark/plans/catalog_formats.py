@@ -118,3 +118,42 @@ def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         decimal_sum("l_extendedprice", 2, "total_price"),
     )
+
+
+@register(
+    "format_roundtrip_xml",
+    """
+    SELECT n_regionkey,
+           COUNT(*) AS n,
+           CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_len_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+    "Hierarchical-format portability via Spark 4's BUILT-IN XML "
+    "datasource (spark-xml folded into core in 4.0): nation -> XML "
+    "(rowTag records) -> schema'd read-back -> grouped aggregate, "
+    "oracle on the ORIGINAL parquet. XML is the interchange format "
+    "B2B/legacy feeds still arrive in; the schema'd read avoids "
+    "sampling inference drift. Values are value-faithful for the "
+    "long/string columns exercised (floats would round-trip through "
+    "decimal text — kept out of this entry on purpose).",
+)
+def format_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, sf_dir, "nation")
+    path = _scratch(sf_dir, "xml_nation")
+    (
+        na.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(na.schema)
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("n_name")).alias("name_len_sum"),
+    )
