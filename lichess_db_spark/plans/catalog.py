@@ -48,6 +48,7 @@ _TOUCHED_THIS_ROUND = (
     "pack_efficiency_profile",  # new: padding-waste metric per stream
     "dedup_rate_by_source",     # new: per-source exact-dup rate
     "format_roundtrip_xml",     # new: Spark-4 built-in XML round-trip
+    "json_variant_agg",         # new: Spark-4 VARIANT semi-structured path
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -1512,6 +1512,35 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant_agg",
+    """
+    SELECT event_type,
+           COUNT(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+    "Semi-structured extraction via Spark 4's VARIANT type: "
+    "parse_json once into a binary-encoded variant column, "
+    "variant_get typed paths out — the modern replacement for "
+    "repeated get_json_object string parsing (one parse per row "
+    "regardless of how many fields are read; the existing "
+    "json_extract_props entry keeps the classic JSON-path twin). "
+    "Exact bigint aggregate; nulls where the key is absent, matching "
+    "the oracle's JSON extraction.",
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_sum"),
+    )
+
+
+@register(
     "classifier_margin_select",
     """
     WITH w AS (
