@@ -49,6 +49,7 @@ _TOUCHED_THIS_ROUND = (
     "dedup_rate_by_source",     # new: per-source exact-dup rate
     "format_roundtrip_xml",     # new: Spark-4 built-in XML round-trip
     "json_variant_agg",         # new: Spark-4 VARIANT semi-structured path
+    "text_passage_chunks",      # new: RAG overlapping-window chunker
 )
 _CORE_SENTINELS = (
     "a1_count",

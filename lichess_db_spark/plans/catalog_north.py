@@ -1512,6 +1512,65 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_passage_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    par AS (
+        SELECT doc_id, ts,
+               GREATEST(CAST(CEIL((len(ts) - 100) / 50.0) AS BIGINT), 0)
+                   AS smax
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id, ts, unnest(range(0, smax + 1)) AS chunk_idx
+        FROM par
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(ts[chunk_idx * 50 + 1 : chunk_idx * 50 + 100], ' ')
+               AS chunk,
+           CAST(len(ts[chunk_idx * 50 + 1 : chunk_idx * 50 + 100]) AS INT)
+               AS n_tokens
+    FROM chunks
+    """,
+    "RAG-style passage chunking: overlapping 100-word windows at "
+    "stride 50 per document, with chunk index and token count — the "
+    "retrieval-corpus preparation step between curation and embedding. "
+    "Pure array expressions: ONE split per row (pre-projected __ts), "
+    "chunk starts from a sequence, slices inside the transform touch "
+    "only cheap column refs (the HOF re-evaluation rule), one "
+    "posexplode — map-only, no shuffle. The oracle builds the same "
+    "starts with DuckDB's list-valued range (no fixed positional "
+    "bound: exact for any document length).",
+)
+def text_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pre = d.select("doc_id", F.split("text", " ").alias("__ts"))
+    ts = F.col("__ts")
+    smax = F.greatest(
+        F.ceil((F.size(ts) - F.lit(100)) / F.lit(50.0)).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    chunks = pre.select(
+        "doc_id",
+        "__ts",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), smax),
+                lambda s: F.slice(ts, (s * 50 + 1).cast("int"), 100),
+            )
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk"),
+        F.size("__chunk").alias("n_tokens"),
+    )
+
+
+@register(
     "json_variant_agg",
     """
     SELECT event_type,

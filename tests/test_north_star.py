@@ -718,6 +718,54 @@ def test_incremental_embedding_near_dup(spark, emb, tmp_path):
     assert p3.count() >= 0
 
 
+def test_passage_chunks_overlap_reference(spark):
+    """The driver fixture's docs are shorter than one window, so the
+    multi-chunk path (overlap, stride, truncated tail) is pinned here
+    against a Python reference on a long synthetic doc."""
+    words = [f"w{i}" for i in range(237)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+
+    # same expressions as the catalog builder, applied to the probe doc
+    from pyspark.sql import functions as F
+
+    pre = df.select("doc_id", F.split("text", " ").alias("__ts"))
+    ts = F.col("__ts")
+    smax = F.greatest(
+        F.ceil((F.size(ts) - F.lit(100)) / F.lit(50.0)).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    chunks = pre.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), smax),
+                lambda s: F.slice(ts, (s * 50 + 1).cast("int"), 100),
+            )
+        ).alias("chunk_idx", "__chunk"),
+    ).select(
+        "chunk_idx",
+        F.concat_ws(" ", "__chunk").alias("chunk"),
+        F.size("__chunk").alias("n_tokens"),
+    )
+    got = {r.chunk_idx: (r.chunk, r.n_tokens) for r in chunks.collect()}
+
+    # Python reference: starts every 50 words until the window would
+    # start past ceil((n-100)/50)*50
+    import math
+
+    n = len(words)
+    smax_ref = max(math.ceil((n - 100) / 50.0), 0)
+    want = {}
+    for s in range(smax_ref + 1):
+        w = words[s * 50 : s * 50 + 100]
+        want[s] = (" ".join(w), len(w))
+    assert got == want
+    assert len(got) == 4  # 237 words -> starts 0,50,100,150
+    assert got[3][1] == 87  # truncated tail
+    # overlap: second half of chunk 0 == first half of chunk 1
+    assert got[0][0].split()[50:] == got[1][0].split()[:50]
+
+
 def test_interrupted_compaction_swap_self_heals(spark, tmp_path):
     """compact_postings' one crash window (between rename-aside and
     rename-in) leaves the archive path missing with __old intact; the
