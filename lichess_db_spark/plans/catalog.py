@@ -50,6 +50,7 @@ _TOUCHED_THIS_ROUND = (
     "format_roundtrip_xml",     # new: Spark-4 built-in XML round-trip
     "json_variant_agg",         # new: Spark-4 VARIANT semi-structured path
     "text_passage_chunks",      # new: RAG overlapping-window chunker
+    "text_passage_chunks_udtf",  # new: Python UDTF twin, same oracle
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -1511,9 +1511,7 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_passage_chunks",
-    """
+_PASSAGE_CHUNKS_ORACLE = """
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents
     ),
@@ -1533,7 +1531,12 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(ts[chunk_idx * 50 + 1 : chunk_idx * 50 + 100]) AS INT)
                AS n_tokens
     FROM chunks
-    """,
+    """
+
+
+@register(
+    "text_passage_chunks",
+    _PASSAGE_CHUNKS_ORACLE,
     "RAG-style passage chunking: overlapping 100-word windows at "
     "stride 50 per document, with chunk index and token count — the "
     "retrieval-corpus preparation step between curation and embedding. "
@@ -1567,6 +1570,41 @@ def text_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.concat_ws(" ", F.col("__chunk")).alias("chunk"),
         F.size("__chunk").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_passage_chunks_udtf",
+    _PASSAGE_CHUNKS_ORACLE,
+    "The SAME passage chunker as a Python UDTF (SURVEY §2.10 D2 — the "
+    "table-valued escape hatch, Spark 3.5+/4 API), hash-checked "
+    "against the identical oracle: the one catalog pair proving the "
+    "UDTF surface end-to-end. Like the znorm applyInPandas/codegen "
+    "pair, the array-expression twin (text_passage_chunks) is the "
+    "production path — this one pays a Python worker round trip per "
+    "partition and exists to pin the API's exactness, not to win.",
+)
+def text_passage_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int")
+    class _PassageChunker:
+        def eval(self, doc_id, text):
+            words = text.split(" ")
+            smax = int(max(math.ceil((len(words) - 100) / 50.0), 0))
+            for s in range(smax + 1):
+                w = words[s * 50 : s * 50 + 100]
+                yield doc_id, s, " ".join(w), len(w)
+
+    spark.udtf.register("__passage_chunker", _PassageChunker)
+    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "__docs_for_chunks"
+    )
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM __docs_for_chunks d, LATERAL __passage_chunker(d.doc_id, d.text) c"
     )
 
 
