@@ -77,6 +77,10 @@ HEADLINE = [
     "bigram_lift_topk",
     "vocab_overlap_sources",
     "classifier_margin_select",
+    # RAG chunker + its UDTF twin (the measured Python-vs-codegen gap)
+    "text_passage_chunks",
+    "text_passage_chunks_udtf",
+    "json_variant_agg",
 ]
 
 
