@@ -51,6 +51,9 @@ _TOUCHED_THIS_ROUND = (
     "json_variant_agg",         # new: Spark-4 VARIANT semi-structured path
     "text_passage_chunks",      # new: RAG overlapping-window chunker
     "text_passage_chunks_udtf",  # new: Python UDTF twin, same oracle
+    "events_trailing_rate",     # new: time-RANGE window frame
+    "retention_cohorts",        # new: cohort matrix
+    "session_top_paths",        # new: funnel path mining
 )
 _CORE_SENTINELS = (
     "a1_count",

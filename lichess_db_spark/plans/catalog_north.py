@@ -2020,6 +2020,172 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trailing_rate",
+    """
+    SELECT event_id,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+               AS n_trailing_10min
+    FROM events
+    """,
+    "Time-RANGE window frame (a distinct frame capability from the "
+    "ROWS-frame W family): per event, how many same-type events "
+    "arrived in the trailing 10 minutes — the rolling-rate signal "
+    "behind alerting and rate limiting. The frame bound is epoch "
+    "MICROSECONDS on both engines; RANGE includes all equal-timestamp "
+    "peers per the SQL standard, so ties need no ordering tiebreak. "
+    "One shuffle on event_type.",
+)
+def events_trailing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # unix_micros needs an instant; the NTZ->TIMESTAMP cast shifts by a
+    # CONSTANT session offset, and a range frame depends only on
+    # DIFFERENCES, so the count is session-timezone-independent
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", F.count("*").over(w).alias("n_trailing_10min")
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first f USING (user_id)
+    )
+    SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS INT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM act GROUP BY cohort, day_offset
+    """,
+    "Retention cohort matrix: users grouped by first-seen day, counted "
+    "on each later activity-day offset — the classic product-analytics "
+    "triangle. Two aggregates and one join on user_id (the cohort "
+    "table is per-user — broadcastable at dim scale, free to shuffle "
+    "at 100 TB); date keys emitted as strings per the determinism "
+    "rules.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "day_offset").agg(
+        F.count("*").alias("n_users")
+    ).select(
+        F.col("cohort").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_users",
+    )
+
+
+@register(
+    "session_top_paths",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+    "Funnel mining: top-10 within-session event-type paths (30-min "
+    "gap sessions). Gaps-and-islands numbering (lag + running sum, "
+    "fully tiebroken on (ts, event_id)), per-session path via "
+    "sort_array(collect_list(struct)) -> transform -> array_join — "
+    "order comes from the struct sort, not from any window "
+    "accumulation order — then a count and TakeOrderedAndProject.",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        # micro-resolution gap: a seconds-floor cast would disagree
+        # with the oracle's exact INTERVAL comparison on sub-second
+        # timestamps (constant session-tz offset cancels in the diff)
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(wo).cast("timestamp"))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            "->",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@register(
     "asof_join_latest_order",
     """
     WITH orders_daily AS (
