@@ -54,6 +54,7 @@ _TOUCHED_THIS_ROUND = (
     "events_trailing_rate",     # new: time-RANGE window frame
     "retention_cohorts",        # new: cohort matrix
     "session_top_paths",        # new: funnel path mining
+    "funnel_conversion",        # new: ordered step conversion counts
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -2186,6 +2186,65 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    "Ordered funnel conversion (view -> click -> purchase): each step "
+    "counts users whose step event STRICTLY FOLLOWS their first "
+    "completion of the previous step — the sequence-matching shape "
+    "behind every conversion dashboard. Three filtered per-user "
+    "aggregates chained by user-key joins (each stage's survivor set "
+    "only shrinks; the filters push to the scan), then three 1-row "
+    "counts cross-joined — no window, no self-join blow-up.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_full_funnel"))))
+    )
+
+
+@register(
     "asof_join_latest_order",
     """
     WITH orders_daily AS (
