@@ -81,6 +81,11 @@ HEADLINE = [
     "text_passage_chunks",
     "text_passage_chunks_udtf",
     "json_variant_agg",
+    # r5 continuation: blocklist / PII / retrieval / event compaction
+    "blocklist_filter_docs",
+    "pii_redact_scan",
+    "bm25_keyword_search",
+    "dedup_consecutive_events",
 ]
 
 

@@ -55,6 +55,10 @@ _TOUCHED_THIS_ROUND = (
     "retention_cohorts",        # new: cohort matrix
     "session_top_paths",        # new: funnel path mining
     "funnel_conversion",        # new: ordered step conversion counts
+    "blocklist_filter_docs",    # new: C4-style banned-term gate
+    "pii_redact_scan",          # new: regex PII detect + redact kernel
+    "bm25_keyword_search",      # new: rational-idf BM25 retrieval
+    "dedup_consecutive_events", # new: consecutive-duplicate compaction
 )
 _CORE_SENTINELS = (
     "a1_count",

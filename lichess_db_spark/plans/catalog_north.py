@@ -2485,3 +2485,291 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import profile_table
 
     return profile_table(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# curation: blocklist / PII / search / event compaction (r5 continuation)
+# --------------------------------------------------------------------------
+
+_BLOCKLIST_TERMS = ("slow", "error", "big")
+_BLOCKLIST_MIN_HITS = 3
+
+
+@register(
+    "blocklist_filter_docs",
+    """
+    WITH hits AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('slow', 'error', 'big'))) AS n_hits
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN n_hits >= 3 THEN 'drop_blocklist' ELSE 'keep' END AS verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits
+    FROM hits GROUP BY source, verdict
+    """,
+    "Dictionary blocklist gate (the C4-style banned-term filter every "
+    "web-corpus pipeline runs before training): count occurrences of a "
+    "broadcast term list per document, drop docs over the hit "
+    "threshold, account per source. Spark side is MAP-ONLY — the term "
+    "list is a literal IN inside an array filter lambda (no join, no "
+    "shuffle before the tiny verdict agg), which is exactly how a "
+    "~10k-term list should ship to 1000 executors: as task-closure "
+    "bytes, never as a join side.",
+)
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_hits = F.size(
+        F.filter(
+            F.split("text", " "), lambda t: t.isin(*_BLOCKLIST_TERMS)
+        )
+    )
+    return (
+        d.select("source", n_hits.alias("n_hits"))
+        .select(
+            "source",
+            F.when(F.col("n_hits") >= _BLOCKLIST_MIN_HITS, "drop_blocklist")
+            .otherwise("keep")
+            .alias("verdict"),
+            "n_hits",
+        )
+        .groupBy("source", "verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_hits").alias("total_hits"),
+        )
+    )
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[a-z][a-z]+"
+_PII_PHONE_RE = r"\d\d\d-\d\d\d\d"
+
+
+@register(
+    "pii_redact_scan",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || doc_id
+                         || '@mail.example.com or 555-0'
+                         || CAST(100 + doc_id % 900 AS VARCHAR)
+                    ELSE text END AS t2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2,
+               '[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[a-z][a-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '\d\d\d-\d\d\d\d')) AS INT) AS n_phones,
+           md5(regexp_replace(
+               regexp_replace(t2,
+                   '[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+               '\d\d\d-\d\d\d\d', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    WHERE len(regexp_extract_all(t2,
+              '[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[a-z][a-z]+'))
+          + len(regexp_extract_all(t2, '\d\d\d-\d\d\d\d')) > 0
+    """,
+    "PII scrub kernel: regex detection counts + redaction "
+    "(email/phone -> placeholder tokens), emitting only documents that "
+    "contained PII, with an md5 of the redacted text so the oracle "
+    "checks the full rewritten string. The fixture corpus is synthetic "
+    "word-salad with no organic PII, so the query deterministically "
+    "seeds one email + one phone into every 7th document BEFORE "
+    "scanning (mirrored in the oracle) — the redaction path is "
+    "exercised on real matches, not vacuously green. Map-only "
+    "codegen (regexp_extract_all / regexp_replace are JVM "
+    "expressions); patterns are restricted to the regex subset with "
+    "identical semantics in Java regex and DuckDB's RE2.",
+)
+def pii_redact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-0"),
+                (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    n_emails = F.size(F.regexp_extract_all("t2", F.lit(_PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("t2", F.lit(_PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t2", _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        seeded.select(
+            "doc_id",
+            n_emails.cast("int").alias("n_emails"),
+            n_phones.cast("int").alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .where(F.col("n_emails") + F.col("n_phones") > 0)
+    )
+
+
+_BM25_QUERY_TERMS = ("spark", "merge", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "bm25_keyword_search",
+    """
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN ('spark', 'merge', 'vector')
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    contrib AS (
+        SELECT t.doc_id,
+               CAST(ROUND(((c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * ((t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * (d.dl / c.avgdl))))
+                    * 1e12) AS BIGINT) AS sc
+        FROM tf t
+        JOIN dfreq f USING (tok)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN corpus c
+    )
+    SELECT doc_id, score_scaled,
+           CAST(score_scaled AS DOUBLE) / 1e12 AS score,
+           rnk
+    FROM (
+        SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS score_scaled,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST(SUM(sc) AS BIGINT) DESC, doc_id) AS INT) AS rnk
+        FROM contrib GROUP BY doc_id
+    ) WHERE rnk <= 20
+    """,
+    "BM25 keyword retrieval (k1=1.2, b=0.75) over the corpus for a "
+    "fixed query-term set: per-term contributions use the rational "
+    "Lucene-style idf (N - df + 0.5)/(df + 0.5) — no transcendental "
+    "log, so every intermediate is bit-portable IEEE arithmetic — and "
+    "per-doc totals are summed as ROUND(x*1e12) BIGINTs so the "
+    "cross-term addition is order-free (double += is not associative; "
+    "a distributed sum must not depend on term arrival order). "
+    "avgdl sums integer-valued doubles (exact at any partitioning). "
+    "Scale shape: tf is filtered to the query terms BEFORE the "
+    "groupBy (the explode never shuffles non-query tokens), df and "
+    "the corpus constants are 1-row/3-row broadcasts, and the only "
+    "corpus-wide shuffle is the per-doc tf agg. Top-k via "
+    "rank-with-tiebreak on the exact scaled score.",
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok").isin(*_BM25_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    k1 = F.lit(_BM25_K1)
+    contrib = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                 / (F.col("df") + F.lit(0.5)))
+                * ((F.col("tf") * F.lit(_BM25_K1 + 1.0))
+                   / (F.col("tf")
+                      + k1 * (F.lit(1.0 - _BM25_B)
+                              + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl")))))
+                * F.lit(1e12)
+            )
+            .cast("bigint")
+            .alias("sc"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("sc").cast("bigint").alias("score_scaled")
+    )
+    # Global top-k via TakeOrderedAndProject (per-partition k-row heaps,
+    # k rows per partition cross the wire) — never a corpus-wide
+    # single-partition row_number window.  The rank column is attached
+    # AFTER the limit, so its window sorts exactly k rows.
+    from ..operators.topk import top_k
+
+    w = Window.orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+    return (
+        top_k(scored, _BM25_TOPK, F.desc("score_scaled"), F.asc("doc_id"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            "doc_id",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(1e12)).alias("score"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "dedup_consecutive_events",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE prev IS NULL OR prev <> event_type)
+                AS BIGINT) AS n_kept
+    FROM ordered GROUP BY event_type
+    """,
+    "Consecutive-duplicate compaction (stream change-detection): per "
+    "user, an event is kept only when its type differs from the "
+    "previous event's — the standard signal-compression pass before "
+    "sessionized modeling, with per-type kept/total accounting. One "
+    "hash-partitioned window on user_id (no global sort; ties broken "
+    "by event_id so the result is total-order deterministic), then a "
+    "tiny agg. At 100 TB the lag window shuffles once on user_id and "
+    "each partition sorts locally — the same shape Kafka-compaction "
+    "jobs use.",
+)
+def dedup_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    kept = F.when(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+    ).otherwise(0)
+    return ordered.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+    )

@@ -655,6 +655,7 @@ def stream_documents_curation(
     schema: StructType | None = None,
     near_dup: bool = False,
     compact_every: int | None = None,
+    partition_state: bool = False,
 ):
     """Streaming curation ingest: micro-batches of documents flow
     through cross-batch exact dedup and the quality gate into an
@@ -718,6 +719,22 @@ def stream_documents_curation(
     re-written postings briefly duplicate rows inside ``batch=-1``,
     which the candidate join's distinct absorbs and the next
     compaction's dropDuplicates reclaims — idempotency holds.
+
+    ``partition_state=True`` lays the digest state out as
+    ``batch=<id>/p=<2-hex-prefix>/`` hive partitions (256 buckets of
+    md5's first byte). Each batch then reads only the state partitions
+    whose prefixes actually occur in the batch: the batch's distinct
+    prefix set (bounded at 256 values by construction — a tiny,
+    size-capped collect, not a data-dependent one) becomes a literal
+    IN filter that prunes the state scan at file-listing time. This is
+    the trickle-batch regime's win: a 1000-row batch touches ≲256 of
+    the state's partitions no matter how many billions of digests the
+    corpus has accumulated, so the anti-join's state side scales with
+    the BATCH's prefix coverage, not the corpus. Full-size batches
+    cover all 256 prefixes and read everything — same cost as the flat
+    layout, which is why the flat layout stays the default. The two
+    layouts are mutually exclusive per state dir (mixing them would
+    silently un-prune; a layout guard raises instead).
     """
     from pyspark.sql import Window
 
@@ -741,8 +758,36 @@ def stream_documents_curation(
         seen = None
         if path_exists(sess, state_path):
             seen = sess.read.parquet(state_path)
+            if partition_state and "p" not in seen.columns:
+                raise ValueError(
+                    f"digest state at {state_path} has a flat layout; "
+                    "it cannot be read with partition_state=True "
+                    "(pruning filters on the absent 'p' partition would "
+                    "silently match nothing)"
+                )
+            if not partition_state and "p" in seen.columns:
+                raise ValueError(
+                    f"digest state at {state_path} is prefix-partitioned; "
+                    "read it with partition_state=True"
+                )
             if "batch" in seen.columns:  # exclude own partial replay output
                 seen = seen.where(F.col("batch") != F.lit(batch_id))
+            if partition_state:
+                # The batch's prefix set is capped at 256 values by
+                # construction (first md5 byte), so this collect is a
+                # bounded-size pruning step, not a data-size-dependent
+                # driver loop.  Literal IN => partition pruning at
+                # file-listing time on the state scan.
+                prefixes = [
+                    r[0]
+                    for r in batch_df.select(
+                        F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 2)
+                        .alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                seen = seen.where(F.col("p").isin(prefixes))
         batch = curation_batch_plan(batch_df, seen)
         staged = batch.persist()  # exact-dedup survivors: digest scope
         batch = staged
@@ -790,9 +835,16 @@ def stream_documents_curation(
             )
             # digests of ALL exact-dedup survivors — including near-dup
             # drops — so later exact copies of a dropped doc skip too
-            staged.select("__digest").write.mode("overwrite").parquet(
-                os.path.join(state_path, f"batch={batch_id}")
-            )
+            if partition_state:
+                staged.select(
+                    "__digest", F.substring("__digest", 1, 2).alias("p")
+                ).write.partitionBy("p").mode("overwrite").parquet(
+                    os.path.join(state_path, f"batch={batch_id}")
+                )
+            else:
+                staged.select("__digest").write.mode("overwrite").parquet(
+                    os.path.join(state_path, f"batch={batch_id}")
+                )
             if near_dup and compact_every and (batch_id + 1) % compact_every == 0:
                 from ..operators.dedup import compact_postings
 
