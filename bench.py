@@ -86,6 +86,8 @@ HEADLINE = [
     "pii_redact_scan",
     "bm25_keyword_search",
     "dedup_consecutive_events",
+    "hll_sketch_union_estimate",
+    "approx_topk_terms",
 ]
 
 

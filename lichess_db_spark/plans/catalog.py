@@ -59,6 +59,8 @@ _TOUCHED_THIS_ROUND = (
     "pii_redact_scan",          # new: regex PII detect + redact kernel
     "bm25_keyword_search",      # new: rational-idf BM25 retrieval
     "dedup_consecutive_events", # new: consecutive-duplicate compaction
+    "hll_sketch_union_estimate",  # new: mergeable HLL rollup (rows-only)
+    "approx_topk_terms",          # new: Spark-4 top-k sketch, capacity-exact
 )
 _CORE_SENTINELS = (
     "a1_count",

@@ -2773,3 +2773,87 @@ def dedup_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.sum(kept).cast("bigint").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-4 sketch aggregates: mergeable HLL + top-k sketch
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hll_sketch_union_estimate",
+    None,
+    "Mergeable distinct-count rollup via Apache DataSketches HLL "
+    "(Spark 3.5+ hll_sketch_agg / hll_union_agg): per-type user "
+    "sketches, then a sketch UNION for the global row — the estimate "
+    "comes from merging the per-group sketches, never from rescanning "
+    "rows. This is the 100 TB distinct-count pattern the plain "
+    "approx_count_distinct (a2) can't give you: persist per-day/ "
+    "per-source sketch tables (a few KB each) and answer any "
+    "cross-slice distinct question by sketch union alone. Rows-only "
+    "by design: the HLL register layout is engine-specific, so DuckDB "
+    "cannot reproduce the bytes; tests/test_north_star.py pins the "
+    "semantics instead (±2% of exact, and union-of-groups == "
+    "direct whole-corpus sketch, which also proves merge "
+    "order-insensitivity across partitionings).",
+)
+def hll_sketch_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
+    return per_est.unionByName(total)
+
+
+_APPROX_TOPK_CAPACITY = 100
+_APPROX_TOPK_K = 10
+
+
+@register(
+    "approx_topk_terms",
+    """
+    SELECT term, n, rnk FROM (
+        SELECT tok AS term, COUNT(*) AS n,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS INT)
+                   AS rnk
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ) WHERE rnk <= 10
+    """,
+    "Heavy-hitter terms via the Spark 4 approx_top_k sketch. The "
+    "sketch is requested with capacity 100 >> the fixture vocabulary, "
+    "and within capacity its counts are EXACT — so the entry is fully "
+    "hash-checkable against the exact top-10 oracle (the same "
+    "capacity-exactness argument as the portable MinHash twins). The "
+    "deterministic rank/tiebreak is applied by re-sorting the "
+    "returned (item,count) pairs, never trusting the sketch's "
+    "internal tie order. At 100 TB vocabulary the same plan stays "
+    "one partial-sketch-per-partition + single merge — no shuffle of "
+    "token rows at all, unlike the exact groupBy twin — at the price "
+    "of approximation once items exceed capacity. The post-sketch "
+    "window sorts <= capacity rows (bounded by construction).",
+)
+def approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    sketch = toks.agg(
+        F.expr(f"approx_top_k(tok, {_APPROX_TOPK_CAPACITY})").alias("tk")
+    )
+    pairs = sketch.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"), F.col("e.count").alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _APPROX_TOPK_K)
+    )

@@ -913,3 +913,40 @@ def test_compact_postings_bounds_archive_growth(spark, tmp_path):
     )
     pairs = incremental_near_dup(extra, postings, batch_id=99)
     assert pairs.count() >= 0  # runs end-to-end against compacted layout
+
+
+def test_hll_sketch_union_semantics(spark):
+    """The HLL rollup's estimates sit within 2% of exact distincts, and
+    the ALL row (union of per-type sketches) equals a direct
+    whole-corpus sketch estimate — mergeability: combining group
+    sketches must reproduce the one-pass sketch regardless of how rows
+    were partitioned into groups."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.plans import QUERIES
+
+    from .conftest import SF_SMALL
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["hll_sketch_union_estimate"]
+        .build(spark, SF_SMALL)
+        .collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])
+
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert got["ALL"] == direct
