@@ -88,6 +88,8 @@ HEADLINE = [
     "dedup_consecutive_events",
     "hll_sketch_union_estimate",
     "approx_topk_terms",
+    "events_hourly_gapfill",
+    "running_distinct_users",
 ]
 
 

@@ -61,6 +61,8 @@ _TOUCHED_THIS_ROUND = (
     "dedup_consecutive_events", # new: consecutive-duplicate compaction
     "hll_sketch_union_estimate",  # new: mergeable HLL rollup (rows-only)
     "approx_topk_terms",          # new: Spark-4 top-k sketch, capacity-exact
+    "events_hourly_gapfill",      # new: time-spine gap fill + LOCF
+    "running_distinct_users",     # new: windowed distinct via collect_set
 )
 _CORE_SENTINELS = (
     "a1_count",
