@@ -90,6 +90,7 @@ HEADLINE = [
     "approx_topk_terms",
     "events_hourly_gapfill",
     "running_distinct_users",
+    "dq_expectations_report",
 ]
 
 

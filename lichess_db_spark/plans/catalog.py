@@ -63,6 +63,7 @@ _TOUCHED_THIS_ROUND = (
     "approx_topk_terms",          # new: Spark-4 top-k sketch, capacity-exact
     "events_hourly_gapfill",      # new: time-spine gap fill + LOCF
     "running_distinct_users",     # new: windowed distinct via collect_set
+    "dq_expectations_report",     # new: declarative data-quality gate
 )
 _CORE_SENTINELS = (
     "a1_count",

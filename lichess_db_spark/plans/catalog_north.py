@@ -2984,3 +2984,115 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_distinct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# data-quality expectations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations_report",
+    """
+    SELECT 'orders.pk_unique' AS rule,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem.fk_orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.qty_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+            FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem.discount_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+            FROM lineitem)
+    UNION ALL
+    SELECT 'customer.name_not_null',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) - COUNT(c_name) FROM customer)
+    """,
+    "Declarative data-quality gate (the Great Expectations / dbt-test "
+    "/ Delta-constraint role): a rule set — primary-key uniqueness, "
+    "referential integrity, value ranges, null "
+    "contract — evaluated into one (rule, n_checked, n_violations) "
+    "report. Execution shape: all row-local rules on one table fuse "
+    "into a SINGLE scan of conditional aggregates (the oracle spells "
+    "them as separate subqueries; Spark computes lineitem's three "
+    "rules in one pass), the pk rule is a digest-style groupBy on the "
+    "key only, and the fk rule is a left-anti join that AQE can "
+    "broadcast when the dimension fits. At 100 TB this is the nightly "
+    "contract job: one scan per fact table + one join per fk, nothing "
+    "quadratic, report size = number of rules.",
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def row(rule: str, n_checked, n_violations) -> DataFrame:
+        return n_checked.crossJoin(n_violations).select(
+            F.lit(rule).alias("rule"), "n_checked", "n_violations"
+        )
+
+    o_n = orders.agg(F.count("*").alias("n_checked"))
+    pk_dupes = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count("*").alias("n_violations"))
+    )
+
+    li_stats = li.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).alias("v_disc"),
+    ).persist()
+    li_n = li_stats.select("n_checked")
+    fk_orphans = (
+        li.join(orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+
+    c_stats = cust.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.count("c_name")).alias("n_violations"),
+    )
+
+    return (
+        row("orders.pk_unique", o_n, pk_dupes)
+        .unionByName(row("lineitem.fk_orders", li_n, fk_orphans))
+        .unionByName(
+            li_stats.select(
+                F.lit("lineitem.qty_range").alias("rule"),
+                "n_checked",
+                F.col("v_qty").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            li_stats.select(
+                F.lit("lineitem.discount_range").alias("rule"),
+                "n_checked",
+                F.col("v_disc").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            c_stats.select(F.lit("customer.name_not_null").alias("rule"),
+                           "n_checked", "n_violations")
+        )
+    )
