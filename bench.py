@@ -91,6 +91,7 @@ HEADLINE = [
     "events_hourly_gapfill",
     "running_distinct_users",
     "dq_expectations_report",
+    "pagerank_part_affinity",
 ]
 
 

@@ -64,6 +64,7 @@ _TOUCHED_THIS_ROUND = (
     "events_hourly_gapfill",      # new: time-spine gap fill + LOCF
     "running_distinct_users",     # new: windowed distinct via collect_set
     "dq_expectations_report",     # new: declarative data-quality gate
+    "pagerank_part_affinity",     # new: iterative integer-exact PageRank
 )
 _CORE_SENTINELS = (
     "a1_count",
