@@ -447,6 +447,23 @@ _PLAN_FINGERPRINTS = {
     "token_rarity_score": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
     "bigram_lift_topk": dict(exchanges=4, bhj=2, smj=0, windows=0, topk=1),
     "vocab_overlap_sources": dict(exchanges=7, bhj=3, smj=0, windows=0, topk=0),
+    # r5 continuation family. blocklist/pii are map-only before their
+    # final (or no) agg; bm25's only corpus-wide shuffle set is the tf
+    # agg + doc_id join (dfreq and corpus constants broadcast; the rank
+    # window sorts <= k rows post-limit); gapfill's single window is
+    # the LOCF scan; dq's exchanges are the per-rule 1-row aggregates
+    # (SinglePartition) plus the pk group; pagerank's count is the
+    # 3-superstep unrolled DAG over the persisted edge list.
+    "blocklist_filter_docs": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    "pii_redact_scan": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
+    "bm25_keyword_search": dict(exchanges=5, bhj=2, smj=0, windows=1, topk=1),
+    "dedup_consecutive_events": dict(exchanges=2, bhj=0, smj=0, windows=1, topk=0),
+    "approx_topk_terms": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=1),
+    "events_hourly_gapfill": dict(exchanges=3, bhj=1, smj=0, windows=1, topk=0),
+    "running_distinct_users": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
+    "dq_expectations_report": dict(exchanges=8, bhj=1, smj=0, windows=0, topk=0),
+    "pagerank_part_affinity": dict(exchanges=33, bhj=11, smj=6, windows=1, topk=1),
+    "hll_sketch_union_estimate": dict(exchanges=3, bhj=0, smj=0, windows=0, topk=0),
 }
 
 
