@@ -460,7 +460,7 @@ _PLAN_FINGERPRINTS = {
     "dedup_consecutive_events": dict(exchanges=2, bhj=0, smj=0, windows=1, topk=0),
     "approx_topk_terms": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=1),
     "events_hourly_gapfill": dict(exchanges=3, bhj=1, smj=0, windows=1, topk=0),
-    "running_distinct_users": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
+    "running_distinct_users": dict(exchanges=2, bhj=0, smj=0, windows=2, topk=0),
     "dq_expectations_report": dict(exchanges=8, bhj=1, smj=0, windows=0, topk=0),
     "pagerank_part_affinity": dict(exchanges=33, bhj=11, smj=6, windows=1, topk=1),
     "hll_sketch_union_estimate": dict(exchanges=3, bhj=0, smj=0, windows=0, topk=0),
