@@ -92,6 +92,7 @@ HEADLINE = [
     "running_distinct_users",
     "dq_expectations_report",
     "pagerank_part_affinity",
+    "scd2_user_state_history",
 ]
 
 

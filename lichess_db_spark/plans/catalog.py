@@ -65,6 +65,7 @@ _TOUCHED_THIS_ROUND = (
     "running_distinct_users",     # new: windowed distinct via collect_set
     "dq_expectations_report",     # new: declarative data-quality gate
     "pagerank_part_affinity",     # new: iterative integer-exact PageRank
+    "scd2_user_state_history",    # new: SCD type-2 interval build
 )
 _CORE_SENTINELS = (
     "a1_count",

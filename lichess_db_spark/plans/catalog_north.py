@@ -3230,3 +3230,56 @@ def pagerank_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type AS state, ts, event_id
+        FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM changes
+    """,
+    "Slowly-changing-dimension type-2 build: compress each user's "
+    "event-type stream into state intervals — change detection via "
+    "lag (a row opens an interval iff its state differs from the "
+    "previous row's), validity bounds via lead over the surviving "
+    "change rows, open intervals flagged is_current. The standard "
+    "dimension-history derivation every warehouse runs nightly, as "
+    "two windows over ONE hash partitioning on user_id (the second "
+    "window reuses the first's exchange — no extra shuffle), fully "
+    "tiebroken on (ts, event_id).",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = ordered.where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

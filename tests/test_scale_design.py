@@ -464,6 +464,8 @@ _PLAN_FINGERPRINTS = {
     "dq_expectations_report": dict(exchanges=8, bhj=1, smj=0, windows=0, topk=0),
     "pagerank_part_affinity": dict(exchanges=33, bhj=11, smj=6, windows=1, topk=1),
     "hll_sketch_union_estimate": dict(exchanges=3, bhj=0, smj=0, windows=0, topk=0),
+    # both scd2 windows ride ONE user_id exchange (the docstring claim)
+    "scd2_user_state_history": dict(exchanges=1, bhj=0, smj=0, windows=2, topk=0),
 }
 
 
