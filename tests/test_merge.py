@@ -1,0 +1,108 @@
+"""merge_upsert: row-level MERGE onto immutable parquet snapshots
+(update/insert/delete, crash-safe swap, broadcastable key joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lichess_db_spark.io import load_table
+from lichess_db_spark.operators.merge import (
+    merge_upsert,
+    read_snapshot,
+    restore_interrupted_merge,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture()
+def target(spark, tmp_path):
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 100)
+    d = str(tmp_path / "snap")
+    stats = merge_upsert(spark, d, docs, "doc_id")
+    assert stats == {
+        "inserted": 100,
+        "updated": 0,
+        "deleted": 0,
+        "total": 100,
+    }
+    return d
+
+
+def test_merge_update_insert_delete(spark, target, tmp_path):
+    docs = load_table(spark, SF_SMALL, "documents")
+    updates = (
+        docs.where(F.col("doc_id").isin(3, 7, 250))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    )
+    deletes = spark.range(1).select(F.lit(11).alias("doc_id"))
+    stats = merge_upsert(spark, target, updates, "doc_id", deletes=deletes)
+    assert stats == {"inserted": 1, "updated": 2, "deleted": 1, "total": 100}
+
+    snap = read_snapshot(spark, target)
+    assert snap.count() == 100
+    assert snap.where(F.col("doc_id") == 11).count() == 0
+    assert (
+        snap.where(F.col("doc_id").isin(3, 7, 250))
+        .where(F.col("text").endswith(" v2"))
+        .count()
+        == 3
+    )
+    # untouched rows identical to the original
+    orig = docs.where(F.col("doc_id") == 42).select("text").first()[0]
+    assert snap.where(F.col("doc_id") == 42).select("text").first()[0] == orig
+
+    # re-merging the same updates is idempotent on content
+    stats2 = merge_upsert(spark, target, updates, "doc_id", deletes=deletes)
+    assert stats2["total"] == 100
+    assert stats2["inserted"] == 0 and stats2["updated"] == 3
+
+
+def test_merge_guards(spark, target):
+    docs = load_table(spark, SF_SMALL, "documents")
+    dup = docs.where(F.col("doc_id") == 5).unionByName(
+        docs.where(F.col("doc_id") == 5)
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, target, dup, "doc_id")
+    upd = docs.where(F.col("doc_id") == 5)
+    with pytest.raises(ValueError, match="both updates and deletes"):
+        merge_upsert(
+            spark, target, upd, "doc_id", deletes=upd.select("doc_id")
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, target, upd.drop("lang"), "doc_id")
+    with pytest.raises(ValueError, match="missing from updates"):
+        merge_upsert(spark, target, upd, "nope")
+
+
+def test_merge_interrupted_swap_self_heals(spark, target):
+    """Simulate the crash window: live dir renamed aside to __old but
+    the __new rename never happened. The next reader restores it."""
+    from lichess_db_spark.operators.merge import _fs
+
+    fs, hpath = _fs(spark, target)
+    assert fs.rename(hpath(target), hpath(target + "__old"))
+    # reader self-heals
+    snap = read_snapshot(spark, target)
+    assert snap.count() == 100
+    # and a merge over the healed snapshot works
+    docs = load_table(spark, SF_SMALL, "documents")
+    stats = merge_upsert(
+        spark, target, docs.where(F.col("doc_id") == 499), "doc_id"
+    )
+    assert stats["inserted"] == 1 and stats["total"] == 101
+
+
+def test_merge_broadcast_updates_plan(spark, target):
+    """broadcast_updates pins the anti-join build side to the (small)
+    updates key set: the survivors plan must contain a broadcast
+    LeftAnti join and no sort-merge join."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    tgt = spark.read.parquet(target)
+    upd_keys = F.broadcast(docs.where(F.col("doc_id") < 5).select("doc_id"))
+    survivors = tgt.join(upd_keys, "doc_id", "left_anti")
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
