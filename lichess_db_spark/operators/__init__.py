@@ -1,1 +1,1 @@
-from . import aggregates, dedup, similarity, topk, windows  # noqa: F401
+from . import aggregates, dedup, merge, similarity, topk, windows  # noqa: F401
