@@ -106,3 +106,38 @@ def test_merge_broadcast_updates_plan(spark, target):
     plan = survivors._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_merge_matches_dict_model(spark, tmp_path, seed):
+    """Model-based check: a random sequence of merges (updates +
+    deletes over a small key space) applied via merge_upsert must
+    leave the snapshot equal to a plain Python dict model applying
+    the same ops."""
+    import random
+
+    rng = random.Random(seed)
+    d = str(tmp_path / f"snap{seed}")
+    model: dict[int, str] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k int, v string")
+
+    for step in range(4):
+        upd_keys = rng.sample(range(30), rng.randint(1, 8))
+        upd = [(k, f"v{step}-{k}") for k in upd_keys]
+        del_keys = [
+            k for k in rng.sample(range(30), rng.randint(0, 4))
+            if k not in upd_keys
+        ]
+        deletes = df_of([(k, "") for k in del_keys]).select("k") if del_keys else None
+        merge_upsert(
+            spark, d, df_of(upd), "k", deletes=deletes, compute_stats=False
+        )
+        for k, v in upd:
+            model[k] = v
+        for k in del_keys:
+            model.pop(k, None)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(d).collect()}
+    assert got == model
