@@ -159,3 +159,115 @@ def merge_upsert(
     if compute_stats:
         stats["total"] = spark.read.parquet(target_dir).count()
     return stats
+
+
+def _restore_partition_swaps(spark: SparkSession, target_dir: str) -> None:
+    """Per-partition self-heal: any ``p=v__old`` rename-aside whose
+    live ``p=v`` sibling is missing is renamed back."""
+    if not path_exists(spark, target_dir):
+        return
+    fs, hpath = _fs(spark, target_dir)
+    for st in fs.listStatus(hpath(target_dir)):
+        name = st.getPath().getName()
+        if name.endswith("__old"):
+            live = name[: -len("__old")]
+            live_path = target_dir.rstrip("/") + "/" + live
+            if not path_exists(spark, live_path):
+                if not fs.rename(st.getPath(), hpath(live_path)):
+                    raise IOError(
+                        f"could not restore interrupted partition swap: {name}"
+                    )
+            else:
+                # both live and __old exist: the swap completed but the
+                # cleanup delete didn't — finish it
+                fs.delete(st.getPath(), True)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    keys: list[str] | str,
+    partition_col: str,
+    deletes: DataFrame | None = None,
+    broadcast_updates: bool = False,
+) -> dict:
+    """MERGE that rewrites ONLY the hive partitions the updates touch —
+    the 100 TB shape: a daily delta against a 10k-partition corpus
+    rereads and rewrites O(touched partitions), not O(target). The
+    target must be laid out as ``partition_col=value`` directories
+    (this function writes it that way on first merge).
+
+    Contract: ``partition_col`` must be stable per key (a key never
+    moves between partitions) — the same rule every partitioned upsert
+    store imposes; a moved key would leave its old row in an untouched
+    partition. Deletes must carry the partition column for the same
+    reason.
+
+    The swap is atomic PER PARTITION (checked rename-aside, same
+    self-heal discipline as ``merge_upsert``); across partitions it is
+    eventually consistent — a crash mid-sequence leaves some
+    partitions new and some old, and the next merge's
+    ``_restore_partition_swaps`` completes the healing.
+
+    Returns ``{"touched_partitions": n, "total_touched_rows": n}``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for k in (*keys, partition_col):
+        if k not in updates.columns:
+            raise ValueError(f"column {k!r} missing from updates")
+    if deletes is not None and partition_col not in deletes.columns:
+        raise ValueError(f"deletes must carry {partition_col!r} for pruning")
+    _restore_partition_swaps(spark, target_dir)
+
+    touched_df = updates.select(partition_col)
+    if deletes is not None:
+        touched_df = touched_df.unionByName(deletes.select(partition_col))
+    # bounded by the number of touched partitions (a delta touches few
+    # by construction) — the same size-capped collect as the streaming
+    # prefix pruning
+    touched = [r[0] for r in touched_df.distinct().collect()]
+
+    if not path_exists(spark, target_dir):
+        updates.write.partitionBy(partition_col).mode("overwrite").parquet(
+            target_dir
+        )
+        return {
+            "touched_partitions": len(touched),
+            "total_touched_rows": updates.count(),
+        }
+
+    target = spark.read.parquet(target_dir)
+    tgt_touched = target.where(F.col(partition_col).isin(touched))
+    upd_keys = updates.select(*keys)
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
+    survivors = tgt_touched.join(upd_keys, keys, "left_anti")
+    if deletes is not None:
+        del_keys = deletes.select(*keys)
+        if broadcast_updates:
+            del_keys = F.broadcast(del_keys)
+        survivors = survivors.join(del_keys, keys, "left_anti")
+    merged = updates.unionByName(survivors.select(*updates.columns))
+
+    delta_dir = target_dir.rstrip("/") + "__delta"
+    merged.write.partitionBy(partition_col).mode("overwrite").parquet(delta_dir)
+
+    fs, hpath = _fs(spark, target_dir)
+    n_rows = spark.read.parquet(delta_dir).count()
+    for st in fs.listStatus(hpath(delta_dir)):
+        name = st.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue  # _SUCCESS etc.
+        live = target_dir.rstrip("/") + "/" + name
+        old = live + "__old"
+        if path_exists(spark, live):
+            if not fs.rename(hpath(live), hpath(old)):
+                raise IOError(f"partition swap: rename {live} -> {old} failed")
+        if not fs.rename(st.getPath(), hpath(live)):
+            fs.rename(hpath(old), hpath(live))
+            raise IOError(f"partition swap: rename {name} into {live} failed")
+        if path_exists(spark, old):
+            fs.delete(hpath(old), True)
+    fs.delete(hpath(delta_dir), True)
+    return {"touched_partitions": len(touched), "total_touched_rows": n_rows}

@@ -141,3 +141,121 @@ def test_merge_matches_dict_model(spark, tmp_path, seed):
 
     got = {r["k"]: r["v"] for r in spark.read.parquet(d).collect()}
     assert got == model
+
+
+def test_snapshot_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution on an immutable-snapshot table: a v2 append
+    that adds a column reads back under mergeSchema with NULL backfill
+    for v1 files — the parquet-native evolution path our snapshot
+    tables rely on (no table format required)."""
+    d = str(tmp_path / "evo")
+    docs = load_table(spark, SF_SMALL, "documents")
+    docs.where(F.col("doc_id") < 50).write.mode("append").parquet(d)
+    (
+        docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+        .withColumn("quality", F.lit(0.5))
+        .write.mode("append")
+        .parquet(d)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert "quality" in merged.columns
+    assert merged.count() == 80
+    assert merged.where(F.col("quality").isNull()).count() == 50
+    assert merged.where(F.col("quality") == 0.5).count() == 30
+    # without mergeSchema the footer-sampled schema may miss the new
+    # column — the option is the contract, not a default behavior
+
+
+def test_merge_partitioned_touches_only_updated_partitions(spark, tmp_path):
+    """merge_upsert_partitioned rewrites only the hive partitions the
+    delta touches: result equals a full merge, untouched partition
+    files are bit-identical (same paths, same sizes, same mtimes),
+    and the touched-partition read is partition-pruned."""
+    from lichess_db_spark.operators.merge import merge_upsert_partitioned
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    d = str(tmp_path / "psnap")
+    stats = merge_upsert_partitioned(spark, d, docs, "doc_id", "source")
+    n_parts = docs.select("source").distinct().count()
+    assert stats["touched_partitions"] == n_parts
+
+    import glob as g
+    import os
+
+    def file_state(part):
+        files = sorted(g.glob(f"{d}/source={part}/*.parquet"))
+        return [(f, os.path.getsize(f), os.path.getmtime(f)) for f in files]
+
+    # pick one partition to touch and one to leave alone
+    touched_src = docs.select("source").first()[0]
+    others = [
+        r[0]
+        for r in docs.select("source").distinct().collect()
+        if r[0] != touched_src
+    ]
+    before_untouched = {p: file_state(p) for p in others}
+
+    upd = (
+        docs.where(F.col("source") == touched_src)
+        .limit(3)
+        .withColumn("text", F.lit("rewritten"))
+    )
+    new_row = (
+        docs.limit(1)
+        .select(
+            F.lit(900000).alias("doc_id"),
+            F.lit("brand new").alias("text"),
+            F.col("lang"),
+            F.lit(touched_src).alias("source"),
+            F.lit(9).alias("n_chars"),
+        )
+    )
+    upd = upd.unionByName(new_row.select(*upd.columns))
+    stats2 = merge_upsert_partitioned(spark, d, upd, "doc_id", "source")
+    assert stats2["touched_partitions"] == 1
+
+    snap = spark.read.parquet(d)
+    assert snap.count() == docs.count() + 1
+    assert snap.where(F.col("text") == "rewritten").count() == 3
+    assert snap.where(F.col("doc_id") == 900000).count() == 1
+    # untouched partitions: identical files, never rewritten
+    assert {p: file_state(p) for p in others} == before_untouched
+
+    # the target-side read for the merge is partition-pruned
+    pruned = spark.read.parquet(d).where(F.col("source").isin([touched_src]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # deletes must carry the partition column
+    with pytest.raises(ValueError, match="must carry"):
+        merge_upsert_partitioned(
+            spark, d, upd, "doc_id", "source",
+            deletes=upd.select("doc_id"),
+        )
+
+
+def test_merge_partitioned_interrupted_swap_heals(spark, tmp_path):
+    """A crash between a partition's rename-aside and its rename-in is
+    healed by the next merge; a completed swap whose __old cleanup was
+    lost is also reclaimed."""
+    from lichess_db_spark.operators.merge import (
+        _fs,
+        _restore_partition_swaps,
+        merge_upsert_partitioned,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    d = str(tmp_path / "psnap2")
+    merge_upsert_partitioned(spark, d, docs, "doc_id", "source")
+    src = docs.select("source").first()[0]
+    fs, hpath = _fs(spark, d)
+    live = f"{d}/source={src}"
+    # case 1: live renamed aside, new never arrived
+    assert fs.rename(hpath(live), hpath(live + "__old"))
+    _restore_partition_swaps(spark, d)
+    assert spark.read.parquet(d).count() == docs.count()
+    # case 2: stale __old next to a live dir -> cleanup
+    fs.mkdirs(hpath(live + "__old"))
+    _restore_partition_swaps(spark, d)
+    import os
+
+    assert not os.path.exists(live + "__old")
