@@ -550,6 +550,13 @@ def test_stream_curation_batch_plan_fingerprint(spark):
 def test_plan_fingerprint(spark, name):
     from lichess_db_spark.plans import QUERIES
 
+    # Fingerprints describe the cold plan.  Builders that persist()
+    # intermediates (dq_expectations_report, pagerank) leave entries in
+    # the CacheManager when an earlier test in the same session
+    # materialized them; the cached relation then substitutes
+    # InMemoryTableScan for whole subtrees and the exchange count
+    # drops.  Clear the cache so the fingerprint is order-independent.
+    spark.catalog.clearCache()
     p = _plan(QUERIES[name].build(spark, SF_SMALL), "simple")
     got = dict(
         exchanges=(
