@@ -93,6 +93,16 @@ HEADLINE = [
     "dq_expectations_report",
     "pagerank_part_affinity",
     "scd2_user_state_history",
+    # r5 session 2: layout/similarity/window/grouping families.
+    # bucketed_join_revenue and triangle_copurchase_topk are excluded:
+    # the former's cost is the one-time bucketed write (its evidence is
+    # the zero-exchange join plan test), the latter is a 7s graph
+    # enumeration whose correctness row rides the driver gate.
+    "zorder_cluster_scan",
+    "fuzzy_name_match",
+    "window_ntile_deciles",
+    "grouping_sets_revenue",
+    "skyline_pareto_parts",
 ]
 
 

@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import catalog_core, catalog_formats, catalog_north, catalog_tpch  # noqa: F401  (registration side effects)
+from . import catalog_core, catalog_formats, catalog_north, catalog_scale, catalog_tpch  # noqa: F401  (registration side effects)
 from .registry import QUERIES, QueryDef  # noqa: F401
 
 # The driver's correctness gate checks the first 50 entries of
@@ -66,6 +66,15 @@ _TOUCHED_THIS_ROUND = (
     "dq_expectations_report",     # new: declarative data-quality gate
     "pagerank_part_affinity",     # new: iterative integer-exact PageRank
     "scd2_user_state_history",    # new: SCD type-2 interval build
+    # r5 continuation, session 2 (catalog_scale.py)
+    "bucketed_join_revenue",      # new: pre-shuffled fact-fact join, 0 join exchanges
+    "zorder_cluster_scan",        # new: z-order clustering + 2-D box scan
+    "fuzzy_name_match",           # new: q-gram count-filter + levenshtein verify
+    "triangle_copurchase_topk",   # new: 2-shuffle triangle enumeration
+    "bfs_copurchase_hops",        # new: multi-source BFS supersteps
+    "window_ntile_deciles",       # new: ntile/percent_rank/cume_dist
+    "grouping_sets_revenue",      # new: GROUPING SETS via one Expand
+    "skyline_pareto_parts",       # new: 2-D Pareto frontier, broadcast thresholds
 )
 _CORE_SENTINELS = (
     "a1_count",

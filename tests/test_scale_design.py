@@ -97,6 +97,116 @@ def test_bucketed_join_has_no_exchange(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_bucketed_entry_join_is_exchange_free(spark):
+    """The bucketed_join_revenue catalog entry's JOIN must need no
+    exchange on either fact side: the only shuffle left in the whole
+    plan is the final groupBy's. Broadcast is disabled so the test
+    pins the sort-merge path a real fact-fact pair takes."""
+    from lichess_db_spark.plans.catalog_scale import write_bucketed_pair
+
+    orders, li = write_bucketed_pair(spark, SF_SMALL)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_items"))
+        )
+        plan = _plan(j, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        # exactly one exchange total: the aggregation's
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_zorder_clustering_prunes_files(spark):
+    """Z-ordering must make a 2-D box query skippable by per-file
+    min/max stats in BOTH dimensions: strictly fewer files overlap the
+    query box than under a size-only sort (which packs every price
+    into every file) or a round-robin layout (every file spans the
+    full range of both columns). Measured from the written files' own
+    parquet footers — the same stats a cluster's scan planner uses."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from lichess_db_spark.plans.catalog_scale import (
+        _BOX_PRICE,
+        _BOX_SIZE,
+        write_zorder_parts,
+    )
+
+    def overlapping(path: str) -> tuple[int, int]:
+        files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            lo_s = min(md.row_group(g).column(cols["p_size"]).statistics.min for g in range(md.num_row_groups))
+            hi_s = max(md.row_group(g).column(cols["p_size"]).statistics.max for g in range(md.num_row_groups))
+            lo_p = min(md.row_group(g).column(cols["p_retailprice"]).statistics.min for g in range(md.num_row_groups))
+            hi_p = max(md.row_group(g).column(cols["p_retailprice"]).statistics.max for g in range(md.num_row_groups))
+            if (
+                hi_s >= _BOX_SIZE[0]
+                and lo_s <= _BOX_SIZE[1]
+                and hi_p >= _BOX_PRICE[0]
+                and lo_p < _BOX_PRICE[1]
+            ):
+                hit += 1
+        return hit, len(files)
+
+    z_path = write_zorder_parts(spark, SF_SMALL, n_files=8)
+    d = tempfile.mkdtemp(prefix="rr_part_")
+    try:
+        part = load_table(spark, SF_SMALL, "part")
+        part.repartition(8).write.mode("overwrite").parquet(d)
+        z_hit, z_n = overlapping(z_path)
+        rr_hit, rr_n = overlapping(d)
+        assert z_n == rr_n == 8
+        # round-robin files all span the full value range -> no skipping
+        assert rr_hit == 8, (rr_hit, rr_n)
+        assert z_hit < rr_hit, (z_hit, rr_hit)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fuzzy_candidate_filter_is_lossless(spark):
+    """The q-gram count filter must admit EVERY pair at edit distance
+    <= 1 (Gravano count-filter bound): compare against the unblocked
+    all-pairs levenshtein computed in Spark itself."""
+    from lichess_db_spark.plans import QUERIES
+
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in QUERIES["fuzzy_name_match"].build(spark, SF_SMALL).collect()
+    }
+    names = (
+        load_table(spark, SF_SMALL, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    want = {
+        (r.name_a, r.name_b, r.dist)
+        for r in a.join(b, F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_topk_plans_as_take_ordered(spark):
     from lichess_db_spark.plans import QUERIES
 
@@ -466,6 +576,21 @@ _PLAN_FINGERPRINTS = {
     "hll_sketch_union_estimate": dict(exchanges=3, bhj=0, smj=0, windows=0, topk=0),
     # both scd2 windows ride ONE user_id exchange (the docstring claim)
     "scd2_user_state_history": dict(exchanges=1, bhj=0, smj=0, windows=2, topk=0),
+    # r5 session-2 family (catalog_scale.py). fuzzy's windows are the
+    # occurrence-index row_number + nothing else (2 = occ window counted
+    # once per gram-side alias under ReuseExchange's static view);
+    # triangle/bfs counts are the unrolled iterative DAGs like
+    # pagerank's — at SF_SMALL the edge sides broadcast, at fact scale
+    # they flip to SMJ (the legitimate size-dependent strategy);
+    # ntile/grouping-sets ride exactly ONE exchange (the partitionBy /
+    # the post-Expand hash agg); skyline's second exchange is the
+    # <=50-row size-level window, never the data.
+    "fuzzy_name_match": dict(exchanges=4, bhj=3, smj=0, windows=2, topk=0),
+    "triangle_copurchase_topk": dict(exchanges=7, bhj=3, smj=2, windows=1, topk=1),
+    "bfs_copurchase_hops": dict(exchanges=24, bhj=18, smj=3, windows=0, topk=0),
+    "window_ntile_deciles": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
+    "grouping_sets_revenue": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    "skyline_pareto_parts": dict(exchanges=2, bhj=1, smj=0, windows=1, topk=0),
 }
 
 
