@@ -103,6 +103,8 @@ HEADLINE = [
     "window_ntile_deciles",
     "grouping_sets_revenue",
     "skyline_pareto_parts",
+    "stats_moments_exact",
+    "events_ewma_decay",
 ]
 
 

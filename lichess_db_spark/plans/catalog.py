@@ -75,6 +75,9 @@ _TOUCHED_THIS_ROUND = (
     "window_ntile_deciles",       # new: ntile/percent_rank/cume_dist
     "grouping_sets_revenue",      # new: GROUPING SETS via one Expand
     "skyline_pareto_parts",       # new: 2-D Pareto frontier, broadcast thresholds
+    "merge_upsert_orders",        # new: MERGE end-to-end driver row
+    "stats_moments_exact",        # new: integer power-sum mean/var/corr
+    "events_ewma_decay",          # new: power-of-two trailing decay window
 )
 _CORE_SENTINELS = (
     "a1_count",

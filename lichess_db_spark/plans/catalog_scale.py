@@ -367,6 +367,15 @@ _TRI_TOPK = 20
     "shape identical.",
 )
 def triangle_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-oriented wedge enumeration, chosen over the textbook
+    degree-oriented node-iterator after MEASURING both at sf0.1: this
+    co-purchase graph has near-uniform degrees, so degree orientation
+    cut wedges only 17% (41M vs 49M) while its orientation joins and
+    relabeling doubled wall-clock (14.3s vs 7.0s). On a skewed graph
+    the degree-oriented variant (direct each edge from its lower-
+    (degree,id) endpoint, pair out-neighbors of the low vertex) is
+    the right choice — its wedge bound is O(m^1.5) independent of
+    skew; swap the orientation, the closure probe is unchanged."""
     from ..operators.topk import top_k
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -516,6 +525,15 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # project the decimal term BEFORE the grouping so the multiply+cast
+    # runs once per input row, not once per Expand replica
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,4)")
+        .alias("__rev"),
+    )
     return (
         li.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
@@ -524,10 +542,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            decimal_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                alias="revenue",
-            ),
+            F.sum("__rev").cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -581,3 +596,206 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(~dominated).select(
         "p_partkey", "p_size", "p_retailprice"
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE driver row + exact moments + trailing decay
+# --------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 100 AS o_totalprice
+        FROM orders WHERE o_orderkey % 8 = 1 OR o_orderkey % 4 = 3
+    ),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 16 = 2)
+    SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      AND t.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+    """,
+    "Row-level MERGE driven end to end through the snapshot machinery "
+    "(operators/merge.py): seed a parquet snapshot with 3/4 of "
+    "orders, MERGE a deterministic delta (updates for keys ≡1 mod 8, "
+    "inserts for the withheld ≡3 mod 4 quarter, deletes for ≡2 mod "
+    "16 — update/delete sets disjoint per the ANSI guard), then read "
+    "the snapshot back. The oracle replays the same MERGE in pure "
+    "SQL, so a hash match verifies matched-update / not-matched-"
+    "insert / delete semantics AND the crash-safe rename-aside swap "
+    "left a byte-faithful table. Scale shape: the delta joins are "
+    "key-only and broadcastable; the rewrite is the snapshot "
+    "pattern's known O(target) cost — merge_upsert_partitioned "
+    "bounds it to touched partitions.",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.merge import merge_upsert, read_snapshot
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    target_dir = _scratch(sf_dir, "merge_orders")
+    shutil.rmtree(target_dir, ignore_errors=True)
+    orders.where(F.col("o_orderkey") % 4 != 3).write.mode("overwrite").parquet(
+        target_dir
+    )
+    updates = orders.where(
+        (F.col("o_orderkey") % 8 == 1) | (F.col("o_orderkey") % 4 == 3)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 100)
+    deletes = orders.where(F.col("o_orderkey") % 16 == 2).select("o_orderkey")
+    merge_upsert(
+        spark,
+        target_dir,
+        updates,
+        keys="o_orderkey",
+        deletes=deletes,
+        broadcast_updates=True,
+        compute_stats=False,
+    )
+    return read_snapshot(spark, target_dir).select(*cols)
+
+
+# second moments stay in int64 through SF 1: x = floor(10*value) <= 6e3,
+# per-type n <= ~2e5, so n*Σx² <= 2e5 * (2e5*3.6e7) ≈ 1.4e18 < 2^63.
+# Beyond that, CAST the moment sums to DECIMAL(38,0) in both engines.
+_MOM_SCALE = 10
+
+
+@register(
+    "stats_moments_exact",
+    f"""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * {_MOM_SCALE}) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(floor(value * {_MOM_SCALE}) AS BIGINT)
+                        * CAST(floor(value * {_MOM_SCALE}) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT))
+                    AS BIGINT) AS syy,
+               CAST(SUM(CAST(floor(value * {_MOM_SCALE}) AS BIGINT)
+                        * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(sx AS DOUBLE) / n / {_MOM_SCALE} AS mean_value,
+           CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * {_MOM_SCALE} * {_MOM_SCALE}) AS var_value,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_hour
+    FROM m
+    """,
+    "Exact distributed second moments: mean / population variance / "
+    "Pearson correlation (value vs hour-of-day) per event type, "
+    "computed from INTEGER power sums (x quantized at 1 decimal) so "
+    "every accumulation is associative and order-free — a float "
+    "Welford or naive double Σx² would differ in the last ulps per "
+    "partitioning and never hash-match. The only floating steps are "
+    "the final divisions and IEEE-correctly-rounded sqrt, identical "
+    "on both engines. One map-side-combinable shuffle; int64 holds "
+    "through SF 1 (see _MOM_SCALE comment), DECIMAL(38,0) beyond.",
+)
+def stats_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * _MOM_SCALE).cast("bigint").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    s2 = F.lit(_MOM_SCALE * _MOM_SCALE)
+    return m.select(
+        "event_type",
+        "n",
+        (sx.cast("double") / n / _MOM_SCALE).alias("mean_value"),
+        (
+            (n * sxx - sx * sx).cast("double")
+            / (n.cast("double") * n * s2)
+        ).alias("var_value"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("corr_value_hour"),
+    )
+
+
+_EWMA_K = 8  # trailing window length; weights 2^(K-1-lag)
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(CAST(floor(lag(value * 1000, {i}) OVER w) AS BIGINT)"
+        f" * {2 ** (_EWMA_K - 1 - i)}, 0)"
+        for i in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {i}) OVER w IS NOT NULL"
+        f" THEN {2 ** (_EWMA_K - 1 - i)} ELSE 0 END)"
+        for i in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+
+@register(
+    "events_ewma_decay",
+    f"""
+    SELECT event_id, user_id,
+           CAST({_EWMA_NUM} AS BIGINT) AS ewma_scaled,
+           CAST({_EWMA_NUM} AS DOUBLE) / ({_EWMA_DEN}) / 1000 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY event_id % 10 = 0
+    """,
+    "Exponentially-decayed trailing average (half-per-step weights "
+    "over the last 8 events per user): each weight is an exact power "
+    "of two and each term an integer, so the windowed sum is a "
+    "single BIGINT — reproducible under any partitioning, unlike a "
+    "float recurrence s = a*x + (1-a)*s whose value depends on "
+    "evaluation order. One user_id shuffle carries all 8 lag terms "
+    "(one Window node); the bounded window is what makes the decayed "
+    "signal expressible as a fixed lag combination at all — a true "
+    "infinite-horizon EWMA needs the streaming state path "
+    "(applyInPandasWithState), which streaming/ingest.py covers.",
+)
+def events_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.floor(F.col("value") * 1000).cast("bigint")
+    num = None
+    den = None
+    for i in range(_EWMA_K):
+        wgt = 2 ** (_EWMA_K - 1 - i)
+        term = F.coalesce(
+            (F.lag(x, i).over(w) * F.lit(wgt)).cast("bigint"), F.lit(0)
+        )
+        dterm = F.when(F.lag(F.col("value"), i).over(w).isNotNull(), wgt).otherwise(0)
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        num.cast("bigint").alias("ewma_scaled"),
+        (num.cast("double") / den / 1000).alias("ewma"),
+    ).where(F.col("event_id") % 10 == 0)

@@ -591,6 +591,10 @@ _PLAN_FINGERPRINTS = {
     "window_ntile_deciles": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
     "grouping_sets_revenue": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
     "skyline_pareto_parts": dict(exchanges=2, bhj=1, smj=0, windows=1, topk=0),
+    # moments: ONE map-side-combinable shuffle carries all six power
+    # sums; ewma: all 8 lag terms ride one user_id Window exchange
+    "stats_moments_exact": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    "events_ewma_decay": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
 }
 
 
