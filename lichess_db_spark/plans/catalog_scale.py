@@ -229,15 +229,61 @@ def write_zorder_parts(spark: SparkSession, sf_dir: str, n_files: int = 8) -> st
     "shape on a web corpus's token dictionary.",
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q, k = 2, 1
     names = (
         _t(spark, sf_dir, "part")
         .groupBy(F.col("p_name").alias("name"))
         .agg(F.count("*").alias("n_parts"))
-        .withColumn("len", F.length("name"))
     )
-    grams = names.select(
+    pairs = edit_distance_join(names, q=2, k=1)
+    meta = names.select("name", "n_parts")
+    return (
+        pairs.join(
+            meta.select(
+                F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
+            ),
+            "name_a",
+        )
+        .join(
+            meta.select(
+                F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+            ),
+            "name_b",
+        )
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+def edit_distance_join(names: DataFrame, q: int = 2, k: int = 1) -> DataFrame:
+    """Filter-verify similarity self-join over a string dictionary:
+    all pairs (name_a < name_b) with levenshtein distance <= ``k``.
+
+    Candidate generation joins on shared q-gram OCCURRENCES (gram +
+    per-name occurrence index), so the per-pair match count is the
+    multiset intersection |G(a) ∩ G(b)| = Σ_g min(count_a(g),
+    count_b(g)); the count-filter bound max(|a|,|b|) - q + 1 - k*q
+    (Gravano et al., VLDB'01) is LOSSLESS for edit distance <= k —
+    tests/test_properties.py drives adversarial vocabularies
+    (repeated grams, short strings) against the unblocked cross
+    join. The bound only admits every true pair when it is >= 1,
+    i.e. when max(|a|,|b|) >= q + k*q (e.g. 'abc' vs 'adc' at ed=1
+    share ZERO bigrams, and 3 < 4); strings below that length go
+    through a length-band all-pairs fallback branch instead (tiny
+    by definition), and any pair whose longer side clears the
+    threshold shares >= 1 gram, so the gram join itself cannot
+    drop it.
+
+    Input: a dataframe with a ``name`` column (distinct values).
+    Output columns: name_a, name_b, dist (int).
+    """
+    names = names.select("name").withColumn("len", F.length("name"))
+    # strings too short for the q-gram bound to admit all true pairs:
+    # below q + k*q chars an ed<=k pair can share ZERO q-grams.
+    min_len = q + k * q
+    short = names.where(F.col("len") < min_len)
+    longn = names.where(F.col("len") >= min_len)
+    grams = longn.select(
         "name",
+        "len",
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(name) - {q - 1}),"
@@ -245,11 +291,9 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    # occurrence index makes the gram join a multiset intersection:
-    # |G(a) ∩ G(b)| = Σ_g min(count_a(g), count_b(g))
     occ_w = Window.partitionBy("name", "gram").orderBy("pos")
     grams = grams.select(
-        "name", "gram", F.row_number().over(occ_w).alias("occ")
+        "name", "len", "gram", F.row_number().over(occ_w).alias("occ")
     )
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
@@ -260,40 +304,49 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.name") < F.col("b.name")),
         )
         .groupBy(
-            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.len").alias("len_a"),
+            F.col("b.len").alias("len_b"),
         )
         .agg(F.count("*").alias("n_shared"))
     )
-    meta = names.select("name", "n_parts", "len")
-    cand = (
-        shared.join(
-            meta.select(
-                F.col("name").alias("name_a"),
-                F.col("n_parts").alias("n_parts_a"),
-                F.col("len").alias("len_a"),
-            ),
-            "name_a",
+    cand = shared.where(
+        F.col("n_shared")
+        >= F.greatest(
+            F.greatest("len_a", "len_b") - F.lit(q - 1) - F.lit(k * q),
+            F.lit(1),
         )
-        .join(
-            meta.select(
-                F.col("name").alias("name_b"),
-                F.col("n_parts").alias("n_parts_b"),
-                F.col("len").alias("len_b"),
-            ),
-            "name_b",
-        )
-        .where(
-            F.col("n_shared")
-            >= F.greatest("len_a", "len_b") - F.lit(q - 1) - F.lit(k * q)
-        )
+    ).select("name_a", "name_b")
+    # short strings: length-banded all-pairs (|len_a - len_b| <= k is
+    # a necessary condition for ed<=k). The short set is tiny by
+    # definition (names below q+k chars), so the cross pairing is
+    # bounded; short-long pairs only need the long side within k.
+    # pair on != (not <): the short name may sort AFTER its long
+    # partner, and the long side never appears as ``s`` — least/
+    # greatest canonicalizes, distinct() below dedupes short-short
+    # pairs seen from both sides (caught by the adversarial test).
+    s, n2 = short.alias("s"), names.alias("n2")
+    short_pairs = s.join(
+        n2,
+        (F.col("s.name") != F.col("n2.name"))
+        & (
+            F.abs(F.col("s.len") - F.col("n2.len")) <= F.lit(k)
+        ),
+    ).select(
+        F.least("s.name", "n2.name").alias("name_a"),
+        F.greatest("s.name", "n2.name").alias("name_b"),
     )
-    return cand.select(
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
-        "n_parts_a",
-        "n_parts_b",
-    ).where(F.col("dist") <= k)
+    return (
+        cand.union(short_pairs)
+        .distinct()
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= k)
+    )
 
 
 # --------------------------------------------------------------------------

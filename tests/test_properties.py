@@ -143,3 +143,47 @@ def test_global_rank_invariant_to_partition_count(spark):
     rb = {(r.doc_id, r.rn) for r in b.collect()}
     assert ra == rb
     assert len(ra) == d.count()
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_join losslessness (catalog_scale)
+# ---------------------------------------------------------------------------
+
+_ADVERSARIAL_VOCABS = [
+    # zero-shared-bigram ed=1 pairs below the q+k*q length threshold
+    ["abc", "adc", "xbc", "ab", "ba", "a", "b", ""],
+    # repeated grams: multiset occurrence logic must not over- or
+    # under-count ("aaaa" vs "aaab" share 'aa' twice, not three times)
+    ["aaaa", "aaab", "abab", "baba", "aaaaa", "aaa", "aabaa", "ababab"],
+    # mixed lengths around the threshold with transpositions/deletes
+    ["abcd", "abdd", "acbd", "abc", "abcde", "bbcd", "abcf", "zbcd", "azcd"],
+]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_lossless_on_adversarial_vocabs(spark):
+    from lichess_db_spark.plans.catalog_scale import edit_distance_join
+
+    for vocab in _ADVERSARIAL_VOCABS:
+        for q, k in ((2, 1), (2, 2), (3, 1)):
+            df = spark.createDataFrame([(v,) for v in vocab], ["name"])
+            got = {
+                (r.name_a, r.name_b, r.dist)
+                for r in edit_distance_join(df, q=q, k=k).collect()
+            }
+            want = {
+                (a, b, _lev(a, b))
+                for a in vocab
+                for b in vocab
+                if a < b and _lev(a, b) <= k
+            }
+            assert got == want, (q, k, vocab, got ^ want)

@@ -585,7 +585,10 @@ _PLAN_FINGERPRINTS = {
     # ntile/grouping-sets ride exactly ONE exchange (the partitionBy /
     # the post-Expand hash agg); skyline's second exchange is the
     # <=50-row size-level window, never the data.
-    "fuzzy_name_match": dict(exchanges=4, bhj=3, smj=0, windows=2, topk=0),
+    # fuzzy: +3 exchanges over the original inline shape for the
+    # short-string fallback branch (union + distinct + its pairing) —
+    # all on the dictionary, never the corpus
+    "fuzzy_name_match": dict(exchanges=7, bhj=3, smj=0, windows=2, topk=0),
     "triangle_copurchase_topk": dict(exchanges=7, bhj=3, smj=2, windows=1, topk=1),
     "bfs_copurchase_hops": dict(exchanges=24, bhj=18, smj=3, windows=0, topk=0),
     "window_ntile_deciles": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
