@@ -846,9 +846,18 @@ def events_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
     ev = _t(spark, sf_dir, "events")
-    return ev.select(
+    # materialize num/den once: referencing `num` in two output
+    # expressions makes Spark instantiate every lag twice (24 window
+    # functions instead of 16 in the Window node)
+    staged = ev.select(
         "event_id",
         "user_id",
         num.cast("bigint").alias("ewma_scaled"),
-        (num.cast("double") / den / 1000).alias("ewma"),
+        den.alias("__den"),
     ).where(F.col("event_id") % 10 == 0)
+    return staged.select(
+        "event_id",
+        "user_id",
+        "ewma_scaled",
+        (F.col("ewma_scaled").cast("double") / F.col("__den") / 1000).alias("ewma"),
+    )
