@@ -51,7 +51,10 @@ HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
          # r5: corpus-stats joins + auto-scaled LSH have size-dependent
          # plans — pin parity at the larger SF too
          "token_rarity_score", "bigram_lift_topk", "dedup_embedding_lsh",
-         "classifier_margin_select"]
+         "classifier_margin_select",
+         # r5 session 2: size-dependent join strategies / write paths
+         "triangle_copurchase_topk", "bucketed_join_revenue",
+         "merge_upsert_orders"]
 
 
 @pytest.mark.parametrize("name", [n for n in HEAVY if n in ORACLE_QUERIES])
