@@ -1,0 +1,88 @@
+"""Incremental (mergeable-state) aggregate maintenance.
+
+The materialized-view-upkeep primitive: an aggregate over an
+append-only fact table is kept fresh by merging the *partial
+aggregate of the new batch* into the stored per-group state, instead
+of rescanning history.  This is the same algebra Spark itself uses
+for map-side partial aggregation (``HashAggregate(partial)`` /
+``HashAggregate(final)``): any commutative-associative state
+(count, sum, min, max — and sketches such as HLL, see
+``hll_sketch_union_estimate``) can be merged pairwise, so
+
+    agg(history UNION delta)  ==  merge(agg(history), agg(delta))
+
+holds exactly when the per-value accumulation is order-independent
+(we route double sums through ``DECIMAL`` for that, mirroring
+``operators.aggregates.decimal_sum``).
+
+Reference anchor: the reference pipeline recomputes its monthly
+aggregates from the full parquet each run
+(``/root/reference/eda.py`` re-reads everything); at 100 TB the
+recompute is the cost driver, and this operator replaces it with a
+delta-sized job: scan ONLY the new batch, one shuffle on the group
+keys (state is re-grouped in the same exchange via union — no join),
+write back state.  State size = number of groups, independent of
+history length.
+
+``AVG``-style ratios are derived at *read* time from (sum, count)
+state columns rather than stored, so they stay mergeable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: state-column merge algebras: how two partial states combine.
+_MERGES = {
+    "sum": F.sum,  # counts and decimal sums merge by adding
+    "min": F.min,
+    "max": F.max,
+}
+
+
+@dataclass(frozen=True)
+class StateCol:
+    """One mergeable state column: ``name`` both in the partial-agg
+    output and the stored state, merged with ``how`` (sum|min|max)."""
+
+    name: str
+    how: str
+
+    def merge_expr(self) -> Column:
+        try:
+            fn = _MERGES[self.how]
+        except KeyError:  # pragma: no cover - guarded by merge_agg_state
+            raise ValueError(f"unknown merge algebra {self.how!r}") from None
+        return fn(F.col(self.name)).alias(self.name)
+
+
+def merge_agg_state(
+    state: DataFrame, delta_partial: DataFrame, keys: list[str], cols: list[StateCol]
+) -> DataFrame:
+    """Merge a batch's partial aggregate into the stored state.
+
+    Both inputs must have schema ``keys + [c.name for c in cols]``
+    (the partial aggregate of their respective row sets).  Shape:
+    ``unionByName`` then one ``groupBy(keys)`` — a single shuffle on
+    the group keys and NO join; groups present on only one side fall
+    out naturally (no null-coalescing edge cases, unlike the
+    full-outer-join formulation).  Works for k-way merges by folding.
+    """
+    expect = set(keys) | {c.name for c in cols}
+    for side, df in (("state", state), ("delta", delta_partial)):
+        missing = expect - set(df.columns)
+        if missing:
+            raise ValueError(f"{side} side missing state columns: {sorted(missing)}")
+    bad = [c.how for c in cols if c.how not in _MERGES]
+    if bad:
+        raise ValueError(f"unknown merge algebra(s): {bad}")
+    merged = (
+        state.select(*keys, *[c.name for c in cols])
+        .unionByName(delta_partial.select(*keys, *[c.name for c in cols]))
+        .groupBy(*keys)
+        .agg(*[c.merge_expr() for c in cols])
+    )
+    return merged

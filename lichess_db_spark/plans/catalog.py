@@ -78,6 +78,11 @@ _TOUCHED_THIS_ROUND = (
     "merge_upsert_orders",        # new: MERGE end-to-end driver row
     "stats_moments_exact",        # new: integer power-sum mean/var/corr
     "events_ewma_decay",          # new: power-of-two trailing decay window
+    # r5 continuation, session 4
+    "incremental_agg_orders",     # new: mergeable-state MV maintenance
+    "assoc_rules_brands",         # new: market-basket lift, exact-int top-k
+    "snapshot_diff_orders",       # new: CDC full-outer snapshot diff
+    "transition_matrix_events",   # new: Markov next-event matrix
 )
 _CORE_SENTINELS = (
     "a1_count",

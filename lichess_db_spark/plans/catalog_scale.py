@@ -861,3 +861,302 @@ def events_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ewma_scaled",
         (F.col("ewma_scaled").cast("double") / F.col("__den") / 1000).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance (materialized-view upkeep)
+# --------------------------------------------------------------------------
+
+_INCR_CUTOFF = "1999-01-01"
+
+
+@register(
+    "incremental_agg_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "Materialized-view maintenance via mergeable aggregate state "
+    "(operators/incremental.py): history (o_orderdate < 1999-01-01) "
+    "is aggregated ONCE into per-priority state (count, decimal sum, "
+    "min/max date), then the delta batch's partial aggregate is "
+    "merged in by union + re-groupBy — one shuffle on the group "
+    "keys, NO join, and the history rows are never rescanned. The "
+    "oracle is the full recompute over all of orders, so a hash "
+    "match proves merge(agg(hist), agg(delta)) == agg(hist U delta) "
+    "exactly — which holds because every state column is "
+    "commutative-associative (the double sum rides DECIMAL(30,4)). "
+    "Ratios (avg_price) are derived at read time from (sum, count) "
+    "state so the state itself stays mergeable. At 100 TB this is "
+    "the nightly-refresh pattern: per-batch cost scales with the "
+    "delta, state size with the number of groups, independent of "
+    "history length; the same algebra folds k batches (tested) and "
+    "is what HLL-sketch state extends to count-distinct "
+    "(hll_sketch_union_estimate).",
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import StateCol, merge_agg_state
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("__total"),
+            F.min("o_orderdate").alias("__first"),
+            F.max("o_orderdate").alias("__last"),
+        )
+
+    state = partial(orders.where(F.col("o_orderdate") < cut))
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    merged = merge_agg_state(
+        state,
+        delta,
+        keys=["o_orderpriority"],
+        cols=[
+            StateCol("n_orders", "sum"),
+            StateCol("__total", "sum"),
+            StateCol("__first", "min"),
+            StateCol("__last", "max"),
+        ],
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("__total").cast("double").alias("total_price"),
+        (F.col("__total").cast("double") / F.col("n_orders")).alias("avg_price"),
+        F.date_format("__first", "yyyy-MM-dd").alias("first_date"),
+        F.date_format("__last", "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# association rules (market-basket lift) over order/brand baskets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "assoc_rules_brands",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    totals AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM baskets),
+    brand_cnt AS (SELECT brand, COUNT(*) AS c FROM baskets GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b,
+           CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(ca.c AS BIGINT) AS cnt_a,
+           CAST(cb.c AS BIGINT) AS cnt_b,
+           CAST(n_baskets AS BIGINT) AS n_baskets,
+           CAST(pair_cnt * n_baskets AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM pairs
+    CROSS JOIN totals
+    JOIN brand_cnt ca ON ca.brand = brand_a
+    JOIN brand_cnt cb ON cb.brand = brand_b
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+    "Association-rule mining (market-basket lift) over order->brand "
+    "baskets: pair support counts via a self-join of the distinct "
+    "(order, brand) relation on the basket key, per-brand priors and "
+    "the basket total via tiny aggregates, lift = pair*N/(ca*cb) as "
+    "ONE IEEE division of exact integer counts (bit-identical across "
+    "engines), full (lift, brand_a, brand_b) tiebreak on the top-k. "
+    "Scale shape: the pair blow-up is bounded by the max basket size "
+    "(<=11 distinct brands/order here, so <=55 pairs/order — the "
+    "item->brand rollup is WHY this is tractable; raw partkey "
+    "baskets would explode), the self-join shuffles on the basket "
+    "key once, and the per-brand priors (25 rows) and the scalar "
+    "total join back via broadcast. This is the a-priori first pass "
+    "that seeds recommender candidates at catalog scale.",
+)
+def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey"))
+               & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    brand_cnt = baskets.groupBy("brand").agg(F.count("*").alias("c"))
+    totals = baskets.agg(F.countDistinct("okey").alias("n_baskets"))
+    ca = brand_cnt.select(F.col("brand").alias("__ba"), F.col("c").alias("cnt_a"))
+    cb = brand_cnt.select(F.col("brand").alias("__bb"), F.col("c").alias("cnt_b"))
+    out = (
+        pairs.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(ca), F.col("brand_a") == F.col("__ba"))
+        .join(F.broadcast(cb), F.col("brand_b") == F.col("__bb"))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.col("cnt_a").cast("bigint").alias("cnt_a"),
+            F.col("cnt_b").cast("bigint").alias("cnt_b"),
+            F.col("n_baskets").cast("bigint").alias("n_baskets"),
+            ((F.col("pair_cnt") * F.col("n_baskets")).cast("double")
+             / (F.col("cnt_a") * F.col("cnt_b"))).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(25)
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH snap_old AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    snap_new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM snap_old o FULL OUTER JOIN snap_new n
+      ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+    "Change-data-capture diff of two table snapshots: full outer "
+    "join on the primary key, classify added / removed / changed, "
+    "drop the unchanged majority so the output is delta-sized. The "
+    "two snapshots are derived deterministically from orders (rows "
+    "missing from the old snapshot, rows deleted in the new one, a "
+    "+1.0 price restatement on the %11 slice) so the driver can "
+    "hash-check every emitted row against the oracle's identical "
+    "derivation. Scale shape: a key-partitioned sort-merge join "
+    "emitting only differing rows — at 100 TB both snapshots live "
+    "bucketed on the PK (bucketed_join_revenue shows the layout) so "
+    "the diff runs with ZERO join exchanges; change detection is a "
+    "null-safe column comparison, never a row-string hash, so adding "
+    "tracked columns stays O(cols). This is the backfill-validation "
+    "/ replication-audit primitive.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    snap_old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    snap_new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    o = snap_old.alias("o")
+    n = snap_new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return joined.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("o.o_totalprice").alias("old_price"),
+        F.col("n.o_totalprice").alias("new_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+
+
+@register(
+    "transition_matrix_events",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob
+    FROM pairs
+    """,
+    "First-order Markov transition matrix over per-user event "
+    "sequences (the next-action model behind funnel_conversion and "
+    "session_top_paths): lead() pairs each event with its successor "
+    "inside one (ts, event_id)-total-ordered window per user, pair "
+    "counts aggregate to the |types|^2 matrix, and row-normalized "
+    "probabilities come from a window sum over the TINY matrix "
+    "relation — so the only big-data shuffles are the user-sequence "
+    "window and the pair groupBy; the normalization touches "
+    "|types|^2 rows regardless of corpus size. prob is one IEEE "
+    "division of two exact counts (bit-identical); the DuckDB "
+    "window SUM(BIGINT) is cast back from HUGEINT before the "
+    "division so both engines divide the same types.",
+)
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w_seq).alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.sum("n").over(w_from).cast("bigint").alias("n_from"),
+        (F.col("n").cast("double") / F.sum("n").over(w_from)).alias("prob"),
+    )

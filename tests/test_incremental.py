@@ -1,0 +1,79 @@
+"""merge_agg_state: mergeable-state algebra == full recompute.
+
+The operator's contract is merge(agg(A), agg(B)) == agg(A U B) for
+commutative-associative state columns; the catalog entry
+``incremental_agg_orders`` proves one 2-way split against the DuckDB
+oracle, these tests prove arbitrary k-way splits (the nightly-batch
+fold) and the input-validation guards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lichess_db_spark.io import load_table
+from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+COLS = [
+    StateCol("n_orders", "sum"),
+    StateCol("total", "sum"),
+    StateCol("first_date", "min"),
+    StateCol("last_date", "max"),
+]
+
+
+def _partial(df):
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("total"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("k", [2, 5])
+def test_kway_fold_equals_full_agg(spark, k):
+    orders = load_table(spark, SF_SMALL, "orders")
+    full = _partial(orders)
+
+    batches = [
+        _partial(orders.where(F.col("o_orderkey") % k == i)) for i in range(k)
+    ]
+    state = batches[0]
+    for b in batches[1:]:
+        state = merge_agg_state(state, b, ["o_orderpriority"], COLS)
+
+    assert _canon(state) == _canon(full)
+
+
+def test_merge_with_disjoint_groups(spark):
+    """Groups present on only one side must survive the merge intact
+    (the union+groupBy shape has no outer-join null edge cases)."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    one_prio = orders.select("o_orderpriority").distinct().limit(1).collect()[0][0]
+    a = _partial(orders.where(F.col("o_orderpriority") == one_prio))
+    b = _partial(orders.where(F.col("o_orderpriority") != one_prio))
+    merged = merge_agg_state(a, b, ["o_orderpriority"], COLS)
+    assert _canon(merged) == _canon(_partial(orders))
+
+
+def test_missing_state_column_raises(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    good = _partial(orders)
+    bad = good.drop("total")
+    with pytest.raises(ValueError, match="missing state columns"):
+        merge_agg_state(good, bad, ["o_orderpriority"], COLS)
+
+
+def test_unknown_algebra_raises(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    p = _partial(orders)
+    with pytest.raises(ValueError, match="unknown merge algebra"):
+        merge_agg_state(p, p, ["o_orderpriority"], [StateCol("n_orders", "avg")])
