@@ -105,6 +105,11 @@ HEADLINE = [
     "skyline_pareto_parts",
     "stats_moments_exact",
     "events_ewma_decay",
+    # r5 session 4: MV maintenance, market-basket, CDC, Markov
+    "incremental_agg_orders",
+    "assoc_rules_brands",
+    "snapshot_diff_orders",
+    "transition_matrix_events",
 ]
 
 

@@ -598,6 +598,22 @@ _PLAN_FINGERPRINTS = {
     # sums; ewma: all 8 lag terms ride one user_id Window exchange
     "stats_moments_exact": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
     "events_ewma_decay": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
+    # r5 session-4 family. incremental_agg: the union of the two
+    # partial aggregates and the merge groupBy share partitioning on
+    # the group key (2 exchanges total, no join — the operator's whole
+    # point); assoc_rules' SMJ is the basket-key self-join (the one
+    # fact-sized shuffle; priors/totals all broadcast), the other
+    # exchanges are 25-row brand aggregates; snapshot_diff is exactly
+    # two scan-side exchanges into one full-outer SMJ with the %-slice
+    # filters pushed into both scans; transition_matrix = user-sequence
+    # window + pair groupBy + the |types|^2-row normalize window.
+    "incremental_agg_orders": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
+    # assoc_rules: no SMJ at all — the basket self-join is replaced by
+    # the collect_set + nested-explode shape, so the only fact-sized
+    # exchange is the groupBy(okey); the rest are 25-row brand aggs
+    "assoc_rules_brands": dict(exchanges=8, bhj=6, smj=0, windows=0, topk=1),
+    "snapshot_diff_orders": dict(exchanges=2, bhj=0, smj=1, windows=0, topk=0),
+    "transition_matrix_events": dict(exchanges=3, bhj=0, smj=0, windows=2, topk=0),
 }
 
 
