@@ -54,6 +54,33 @@ def decimal_sum(col: Column | str, scale: int = 4, alias: str | None = None) -> 
     return out.alias(alias) if alias else out
 
 
+def scaled_int_sum(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
+    """Bit-identical drop-in for :func:`decimal_sum` with a BIGINT
+    accumulator — measured 1.5x on TPC-H Q1 at sf0.1 (the decimal
+    sum's checked 128-bit adds dominate that query).
+
+    The per-row value is the SAME ``cast(x as decimal(19,scale))`` the
+    decimal path (and the DuckDB oracle) computes — HALF_UP at
+    ``scale`` — then shifted into an exact int64; only the
+    *accumulator* changes (plain codegen long adds). The final sum is
+    rebuilt as decimal/10^scale and cast to double, so the exact
+    rational is identical and therefore so is the output double.
+
+    Caller contract (why this is not the default): the int64
+    accumulator bounds |sum| * 10^scale < 9.2e18 PER GROUP. For
+    money-style columns (~1e5 magnitude) that holds to ~1e9 rows per
+    group at scale 4 and ~4e7 at scale 6 — fine for grouped reports
+    through ~SF100, NOT for a 100 TB single-group total at scale 6;
+    use decimal_sum there (same protocol as stats_moments_exact's
+    documented int64->DECIMAL(38,0) escalation). Spark wraps silently
+    on long overflow outside ANSI mode, so respect the bound.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    i = (c.cast(f"decimal(19,{scale})") * (10**scale)).cast("bigint")
+    out = (F.sum(i).cast("decimal(38,0)") / (10**scale)).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def horizontal_sum(*cols: str) -> Column:
     """A5: polars sum_horizontal -> plain column addition."""
     out: Column | None = None

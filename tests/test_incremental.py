@@ -77,3 +77,40 @@ def test_unknown_algebra_raises(spark):
     p = _partial(orders)
     with pytest.raises(ValueError, match="unknown merge algebra"):
         merge_agg_state(p, p, ["o_orderpriority"], [StateCol("n_orders", "avg")])
+
+
+# ---------------------------------------------------------------------------
+# scaled_int_sum: bit-identical fast twin of decimal_sum (staged for the
+# r6 q1 switch — see ROADMAP)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scale", [2, 4, 6])
+def test_scaled_int_sum_equals_decimal_sum(spark, scale):
+    from lichess_db_spark.operators.aggregates import decimal_sum, scaled_int_sum
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    got = li.groupBy("l_returnflag", "l_linestatus").agg(
+        decimal_sum(expr, scale, "dec"),
+        scaled_int_sum(expr, scale, "fast"),
+    ).collect()
+    assert got, "empty result"
+    for r in got:
+        # bit-identical, not approx: both rebuild the same exact rational
+        assert r["dec"] == r["fast"], (r["l_returnflag"], r["l_linestatus"])
+
+
+def test_scaled_int_sum_null_and_negative(spark):
+    from lichess_db_spark.operators.aggregates import decimal_sum, scaled_int_sum
+
+    df = spark.createDataFrame(
+        [(1, 0.125), (1, None), (1, -2.675), (2, None)], "g int, x double"
+    )
+    got = df.groupBy("g").agg(
+        decimal_sum("x", 2, "dec"), scaled_int_sum("x", 2, "fast")
+    ).collect()
+    by_g = {r["g"]: r for r in got}
+    assert by_g[1]["dec"] == by_g[1]["fast"]
+    # all-null group: both must yield NULL, not 0
+    assert by_g[2]["dec"] is None and by_g[2]["fast"] is None
