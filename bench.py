@@ -167,6 +167,14 @@ def main() -> None:
             samples[name] = runs
             timings[name] = runs[len(runs) // 2]
             gc.collect()  # reclaim plan garbage between queries, not during
+            # also quiesce the SHARED local[32] JVM heap between
+            # queries: without a full collection, allocation-heavy
+            # entries (minhash's Arrow batches) leave old-gen pressure
+            # that compounds into later samples — measured minhash
+            # drift 2.7s -> 22s over 6 back-to-back runs, flat ~2.9s
+            # with an explicit GC. Per-executor heaps on a real
+            # cluster never couple this way (see ROADMAP perf notes).
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     finally:
         gc.enable()
 
