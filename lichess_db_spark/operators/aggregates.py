@@ -59,21 +59,29 @@ def scaled_int_sum(col: Column | str, scale: int = 4, alias: str | None = None) 
     accumulator — measured 1.5x on TPC-H Q1 at sf0.1 (the decimal
     sum's checked 128-bit adds dominate that query).
 
-    The per-row value is the SAME ``cast(x as decimal(19,scale))`` the
-    decimal path (and the DuckDB oracle) computes — HALF_UP at
-    ``scale`` — then shifted into an exact int64; only the
+    The per-row rounding is the same HALF_UP at ``scale`` the decimal
+    path (and the DuckDB oracle) computes — identical for every value
+    inside decimal(19,scale)'s range (see the caller contract below) —
+    then shifted into an exact int64; only the
     *accumulator* changes (plain codegen long adds). The final sum is
     rebuilt as decimal/10^scale and cast to double, so the exact
     rational is identical and therefore so is the output double.
 
-    Caller contract (why this is not the default): the int64
-    accumulator bounds |sum| * 10^scale < 9.2e18 PER GROUP. For
-    money-style columns (~1e5 magnitude) that holds to ~1e9 rows per
-    group at scale 4 and ~4e7 at scale 6 — fine for grouped reports
-    through ~SF100, NOT for a 100 TB single-group total at scale 6;
-    use decimal_sum there (same protocol as stats_moments_exact's
-    documented int64->DECIMAL(38,0) escalation). Spark wraps silently
-    on long overflow outside ANSI mode, so respect the bound.
+    Caller contract (why this is not the default). Two bounds:
+
+    * per VALUE: |x| must fit decimal(19,scale), i.e. < 10^(19-scale)
+      (and |x|*10^scale < 2^63). Outside ANSI mode an out-of-range
+      cast yields NULL and ``sum`` SKIPS the row — a clean-looking
+      undercount, not an error;
+    * per GROUP: the int64 accumulator bounds |sum| * 10^scale
+      < 9.2e18. For money-style columns (~1e5 magnitude) that holds
+      to ~1e9 rows per group at scale 4 and ~4e7 at scale 6 — fine
+      for grouped reports through ~SF100, NOT for a 100 TB
+      single-group total at scale 6. Overflowed accumulation wraps
+      silently outside ANSI mode.
+
+    When either bound is in doubt, use decimal_sum (same protocol as
+    stats_moments_exact's documented int64->DECIMAL(38,0) escalation).
     """
     c = F.col(col) if isinstance(col, str) else col
     i = (c.cast(f"decimal(19,{scale})") * (10**scale)).cast("bigint")

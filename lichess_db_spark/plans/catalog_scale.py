@@ -916,7 +916,12 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("__last"),
         )
 
-    state = partial(orders.where(F.col("o_orderdate") < cut))
+    # NULL dates route to the history side: a `< cut` / `>= cut` pair
+    # drops NULL rows from BOTH slices (three-valued logic), and the
+    # full-recompute oracle would then count rows the merge never saw
+    state = partial(
+        orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
+    )
     delta = partial(orders.where(F.col("o_orderdate") >= cut))
     merged = merge_agg_state(
         state,
@@ -1049,8 +1054,9 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     snap_new AS (
         SELECT o_orderkey,
-               CASE WHEN o_orderkey % 11 = 0
-                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+               CASE WHEN o_orderkey % 19 = 0 THEN NULL
+                    WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END
                    AS o_totalprice
         FROM orders WHERE o_orderkey % 89 <> 0
     )
@@ -1063,16 +1069,19 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM snap_old o FULL OUTER JOIN snap_new n
       ON o.o_orderkey = n.o_orderkey
     WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
     """,
     "Change-data-capture diff of two table snapshots: full outer "
     "join on the primary key, classify added / removed / changed, "
     "drop the unchanged majority so the output is delta-sized. The "
     "two snapshots are derived deterministically from orders (rows "
     "missing from the old snapshot, rows deleted in the new one, a "
-    "+1.0 price restatement on the %11 slice) so the driver can "
+    "+1.0 price restatement on the %11 slice, a NULL redaction on "
+    "the %19 slice) so the driver can "
     "hash-check every emitted row against the oracle's identical "
-    "derivation. Scale shape: a key-partitioned sort-merge join "
+    "derivation — including value->NULL restatements, which the "
+    "null-safe comparison must classify as 'changed' where a bare "
+    "<> would silently drop them. Scale shape: a key-partitioned sort-merge join "
     "emitting only differing rows — at 100 TB both snapshots live "
     "bucketed on the PK (bucketed_join_revenue shows the layout) so "
     "the diff runs with ZERO join exchanges; change detection is a "
@@ -1087,7 +1096,8 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap_new = orders.where(F.col("o_orderkey") % 89 != 0).select(
         "o_orderkey",
-        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0)
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit(None).cast("double"))
+        .when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0)
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
@@ -1097,7 +1107,10 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(
         F.col("o.o_orderkey").isNull()
         | F.col("n.o_orderkey").isNull()
-        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        # null-safe: a NULL-to-value (or value-to-NULL) restatement in
+        # a nullable tracked column must classify as 'changed', not
+        # vanish into three-valued logic
+        | ~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
     ).select(
         F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
         F.when(F.col("o.o_orderkey").isNull(), "added")

@@ -114,3 +114,89 @@ def test_scaled_int_sum_null_and_negative(spark):
     assert by_g[1]["dec"] == by_g[1]["fast"]
     # all-null group: both must yield NULL, not 0
     assert by_g[2]["dec"] is None and by_g[2]["fast"] is None
+
+
+def test_scan_memo_opt_in(spark, monkeypatch):
+    """io.load_table memoizes per (session, dir, table) ONLY when
+    SPARK_GRAFT_CACHE_SCANS=1 (bench mode); correctness paths get a
+    fresh scan relation per call."""
+    import lichess_db_spark.io as io
+
+    monkeypatch.delenv("SPARK_GRAFT_CACHE_SCANS", raising=False)
+    a = io.load_table(spark, SF_SMALL, "orders")
+    b = io.load_table(spark, SF_SMALL, "orders")
+    assert a is not b
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_SCANS", "1")
+    io._SCAN_MEMO.clear()
+    c = io.load_table(spark, SF_SMALL, "orders")
+    d = io.load_table(spark, SF_SMALL, "orders")
+    assert c is d
+    assert io.load_table(spark, SF_SMALL, "part") is not c
+    io._SCAN_MEMO.clear()
+
+
+# ---------------------------------------------------------------------------
+# adversarial-NULL parity: the fixture tables carry no NULL
+# o_orderdate/o_totalprice, so the driver gate can never exercise the
+# three-valued-logic hazards in snapshot_diff (NULL<->value must be
+# 'changed') and incremental_agg (NULL dates must land in exactly one
+# slice). Run builder AND oracle over a synthetic orders table that has
+# both.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def null_orders_dir(spark, tmp_path):
+    rows = []
+    for k in range(1, 400):
+        rows.append(
+            (
+                k,
+                k % 50,
+                "O",
+                None if k % 13 == 0 else float(k) * 7.25,
+                None if k % 17 == 0 else f"{1995 + k % 6}-0{1 + k % 9}-01",
+                f"P{k % 3}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate_s AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "name", ["snapshot_diff_orders", "incremental_agg_orders"]
+)
+def test_null_tolerant_parity(spark, null_orders_dir, name):
+    import duckdb
+
+    from lichess_db_spark.plans import QUERIES
+    from .oracle_utils import compare
+
+    q = QUERIES[name]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{null_orders_dir}/orders.parquet/*.parquet'"
+    )
+    spark_df = q.build(spark, null_orders_dir)
+    # sanity: the synthetic table genuinely exercises the hazards
+    if name == "snapshot_diff_orders":
+        # the %19 NULL redaction must surface as 'changed' rows whose
+        # new_price is NULL — a bare <> would have dropped every one
+        assert (
+            spark_df.where(
+                "change_type = 'changed' AND new_price IS NULL "
+                "AND old_price IS NOT NULL"
+            ).count()
+            > 0
+        )
+    compare(spark_df, con, q.oracle, name)
