@@ -436,6 +436,74 @@ def stream_games_ingest(
     return writer.start()
 
 
+def stream_agg_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    cols,
+    partial_fn,
+    available_now: bool = True,
+):
+    """Streaming materialized-view maintenance: keep a mergeable
+    aggregate state table fresh as batches arrive, without ever
+    rescanning history — the continuous twin of the batch operator
+    ``operators.incremental.merge_agg_state`` (and of the catalog
+    entry ``incremental_agg_orders``, whose oracle proves the merge
+    algebra exact).
+
+    Per micro-batch: ``partial_fn(batch_df)`` computes the batch's
+    partial aggregate (schema ``keys + [c.name for c in cols]``),
+    which is merged into the previous committed state via one
+    union + groupBy(keys) — per-batch cost scales with the DELTA plus
+    the state (|groups| rows), never the history. State versions live
+    at ``{state_dir}/v{batch_id}`` with the same crash contract as
+    ``stream_games_ingest``'s feature state: a reader takes the
+    highest _SUCCESS-committed version STRICTLY below its own batch
+    id, a re-run of a crashed batch overwrites its own partial
+    version (idempotent replay — merging is NOT repeated against the
+    crashed write), and versions older than the one just read are
+    pruned.
+
+    The aggregate served to readers is always a plain parquet table
+    (latest committed ``v{N}``): ratios (averages etc.) are derived
+    at read time from the mergeable (sum, count) columns, exactly as
+    the batch entry documents.
+    """
+    from ..operators.incremental import merge_agg_state
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        partial = partial_fn(batch_df)
+        prev, fs, path_cls = _latest_state_version(spark, state_dir, batch_id)
+        if prev is not None:
+            st = spark.read.parquet(f"{state_dir}/v{prev}")
+            merged = merge_agg_state(st, partial, keys, cols)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        if prev is not None:
+            for status in fs.listStatus(path_cls(state_dir)):
+                name = status.getPath().getName()
+                if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < prev:
+                    fs.delete(status.getPath(), True)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_agg_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the latest committed state version (the serveable MV)."""
+    prev, _, _ = _latest_state_version(spark, state_dir, 1 << 62)
+    if prev is None:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/v{prev}")
+
+
 def stream_dedup(
     stream: DataFrame,
     key_cols: list[str],

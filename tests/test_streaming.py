@@ -626,3 +626,75 @@ def test_stream_curation_state_layout_guard(spark, tmp_path):
         pass  # some Spark versions raise here, others surface via exception()
     assert q2.exception() is not None
     assert "flat layout" in str(q2.exception())
+
+
+def test_stream_agg_maintenance_matches_batch(spark, tmp_path):
+    """Two arrival runs of orders batches maintain the per-priority
+    aggregate state; the final served MV equals the one-shot batch
+    aggregate over everything (streaming twin of
+    incremental_agg_orders' oracle proof)."""
+    from lichess_db_spark.operators.incremental import StateCol
+    from lichess_db_spark.streaming.ingest import (
+        latest_agg_state,
+        stream_agg_maintenance,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [
+        StateCol("n_orders", "sum"),
+        StateCol("total", "sum"),
+        StateCol("last_date", "max"),
+    ]
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("total"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_agg_maintenance(
+            spark, stream, state, ckpt, ["o_orderpriority"], cols, partial
+        )
+        q.awaitTermination(120)
+
+    # arrival 1: first half; arrival 2: second half (month-at-a-time
+    # pattern — each run is its own batch id in the same checkpoint)
+    first = orders.where(F.col("o_orderkey") % 2 == 0)
+    second = orders.where(F.col("o_orderkey") % 2 == 1)
+    first.write.mode("append").parquet(src)
+    run_once()
+    mid = {r["o_orderpriority"]: r["n_orders"] for r in latest_agg_state(spark, state).collect()}
+    second.write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(tuple(r) for r in latest_agg_state(spark, state).collect())
+    want = sorted(tuple(r) for r in partial(orders).collect())
+    assert got == want
+    # and the first run's state really was partial (cross-run merge happened)
+    full = {r["o_orderpriority"]: r["n_orders"] for r in partial(orders).collect()}
+    assert any(mid[k] < full[k] for k in full)
+
+
+def test_stream_agg_maintenance_ignores_uncommitted_state(spark, tmp_path):
+    """A crashed batch's partial state version (no _SUCCESS) is never
+    served or merged against — the strictly-below committed-version
+    rule from stream_games_ingest applies here too."""
+    import os
+
+    from lichess_db_spark.streaming.ingest import latest_agg_state
+
+    state = str(tmp_path / "state")
+    good = spark.createDataFrame([("A", 1)], "k string, n bigint")
+    good.write.mode("overwrite").parquet(f"{state}/v0")
+    bad = spark.createDataFrame([("A", 999)], "k string, n bigint")
+    bad.write.mode("overwrite").parquet(f"{state}/v1")
+    os.remove(f"{state}/v1/_SUCCESS")
+
+    got = latest_agg_state(spark, state).collect()
+    assert [(r["k"], r["n"]) for r in got] == [("A", 1)]
