@@ -13,7 +13,11 @@ for map-side partial aggregation (``HashAggregate(partial)`` /
 
 holds exactly when the per-value accumulation is order-independent
 (we route double sums through ``DECIMAL`` for that, mirroring
-``operators.aggregates.decimal_sum``).
+``operators.aggregates.decimal_sum``).  COUNT(DISTINCT x) joins the
+family as HLL-sketch state via the ``"hll"`` algebra: build per-batch
+sketches with ``F.hll_sketch_agg``, merge with register-wise max
+(``F.hll_union_agg``), read estimates with ``F.hll_sketch_estimate``
+— the merged estimate is bit-equal to the one-shot estimate.
 
 Reference anchor: the reference pipeline recomputes its monthly
 aggregates from the full parquet each run
@@ -36,10 +40,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: state-column merge algebras: how two partial states combine.
+#: "hll" carries a Datasketches HLL sketch (built per batch with
+#: F.hll_sketch_agg) — sketch union is register-wise max, so it is
+#: associative/commutative like the others and the merged estimate
+#: EXACTLY equals the full-recompute estimate (tested); this is how
+#: COUNT(DISTINCT x) becomes maintainable state (read back with
+#: F.hll_sketch_estimate).
 _MERGES = {
     "sum": F.sum,  # counts and decimal sums merge by adding
     "min": F.min,
     "max": F.max,
+    "hll": F.hll_union_agg,
 }
 
 

@@ -200,3 +200,44 @@ def test_null_tolerant_parity(spark, null_orders_dir, name):
             > 0
         )
     compare(spark_df, con, q.oracle, name)
+
+
+def test_hll_state_merge_equals_full_estimate(spark):
+    """COUNT(DISTINCT) as mergeable MV state: per-batch HLL sketches
+    merged across k batches yield EXACTLY the estimate of a one-shot
+    sketch over everything (sketch union is register-wise max —
+    associative), alongside the exact-count columns."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    cols = [StateCol("n_orders", "sum"), StateCol("cust_sketch", "hll")]
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.hll_sketch_agg("o_custkey").alias("cust_sketch"),
+        )
+
+    k = 4
+    batches = [partial(orders.where(F.col("o_orderkey") % k == i)) for i in range(k)]
+    state = batches[0]
+    for b in batches[1:]:
+        state = merge_agg_state(state, b, ["o_orderpriority"], cols)
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["est"])
+        for r in state.select(
+            "o_orderpriority",
+            "n_orders",
+            F.hll_sketch_estimate("cust_sketch").alias("est"),
+        ).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n_orders"], r["est"])
+        for r in partial(orders)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.hll_sketch_estimate("cust_sketch").alias("est"),
+        )
+        .collect()
+    }
+    assert got == want
