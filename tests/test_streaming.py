@@ -698,3 +698,58 @@ def test_stream_agg_maintenance_ignores_uncommitted_state(spark, tmp_path):
 
     got = latest_agg_state(spark, state).collect()
     assert [(r["k"], r["n"]) for r in got] == [("A", 1)]
+
+
+def test_stream_agg_maintenance_hll_distinct(spark, tmp_path):
+    """Composition: streaming MV maintenance carrying an HLL-sketch
+    state column — the distinct-customer count served after two
+    arrivals exactly equals the one-shot sketch estimate."""
+    from lichess_db_spark.operators.incremental import StateCol
+    from lichess_db_spark.streaming.ingest import (
+        latest_agg_state,
+        stream_agg_maintenance,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [StateCol("n", "sum"), StateCol("cust_sketch", "hll")]
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.hll_sketch_agg("o_custkey").alias("cust_sketch"),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_agg_maintenance(
+            spark, stream, state, ckpt, ["o_orderpriority"], cols, partial
+        )
+        q.awaitTermination(120)
+
+    orders.where(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(src)
+    run_once()
+    orders.where(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+
+    served = {
+        r["o_orderpriority"]: (r["n"], r["est"])
+        for r in latest_agg_state(spark, state)
+        .select(
+            "o_orderpriority", "n",
+            F.hll_sketch_estimate("cust_sketch").alias("est"),
+        )
+        .collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], r["est"])
+        for r in partial(orders)
+        .select(
+            "o_orderpriority", "n",
+            F.hll_sketch_estimate("cust_sketch").alias("est"),
+        )
+        .collect()
+    }
+    assert served == want
