@@ -70,18 +70,22 @@ def scaled_int_sum(col: Column | str, scale: int = 4, alias: str | None = None) 
     Caller contract (why this is not the default). Two bounds:
 
     * per VALUE: |x| must fit decimal(19,scale), i.e. < 10^(19-scale)
-      (and |x|*10^scale < 2^63). Outside ANSI mode an out-of-range
-      cast yields NULL and ``sum`` SKIPS the row — a clean-looking
-      undercount, not an error;
+      (and |x|*10^scale < 2^63);
     * per GROUP: the int64 accumulator bounds |sum| * 10^scale
       < 9.2e18. For money-style columns (~1e5 magnitude) that holds
       to ~1e9 rows per group at scale 4 and ~4e7 at scale 6 — fine
       for grouped reports through ~SF100, NOT for a 100 TB
-      single-group total at scale 6. Overflowed accumulation wraps
-      silently outside ANSI mode.
+      single-group total at scale 6.
 
-    When either bound is in doubt, use decimal_sum (same protocol as
-    stats_moments_exact's documented int64->DECIMAL(38,0) escalation).
+    Under Spark 4's default ANSI mode (this repo's sessions — see
+    session.py probe in tests) violating either bound FAILS LOUD
+    (ArithmeticException / CAST_OVERFLOW, test-pinned), never a wrong
+    answer. On a legacy non-ANSI cluster the same violations degrade
+    silently (out-of-range casts NULL out and ``sum`` skips the row;
+    the long accumulator wraps) — one more reason the bounds are the
+    caller's contract. When either bound is in doubt, use decimal_sum
+    (same protocol as stats_moments_exact's documented
+    int64->DECIMAL(38,0) escalation).
     """
     c = F.col(col) if isinstance(col, str) else col
     i = (c.cast(f"decimal(19,{scale})") * (10**scale)).cast("bigint")

@@ -241,3 +241,15 @@ def test_hll_state_merge_equals_full_estimate(spark):
         .collect()
     }
     assert got == want
+
+
+def test_scaled_int_sum_overflow_fails_loud(spark):
+    """Under Spark 4's default ANSI mode a value outside
+    decimal(19,scale) raises instead of silently vanishing from the
+    sum — the caller-contract bound is enforced, not papered over."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    from lichess_db_spark.operators.aggregates import scaled_int_sum
+
+    df = spark.createDataFrame([(1, 1e16)], "g int, x double")
+    with pytest.raises(Exception, match="(?i)overflow|cannot be represented|CAST"):
+        df.groupBy("g").agg(scaled_int_sum("x", 4, "s")).collect()
