@@ -28,8 +28,13 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    suite (tests/test_catalog_oracle.py).
 # 3. Everything else, least-recently-driver-verified first (ascending
 #    last-green round, registration order as tiebreaker).
-_ROUND = 5
+_ROUND = 6
 _TOUCHED_THIS_ROUND = (
+    # r6: the two items staged in r5 because the window filled
+    # (VERDICT r5 items 1-2) lead the window.
+    "priority_sample_docs",  # new: DLT weighted sampling, single-scan shape
+)
+_TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT
     # item 1) lead; they are also auto-rank-1, listed here for the
     # typo-guard in tests/test_rotation.py.

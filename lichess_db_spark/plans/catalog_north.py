@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import dedup as dd
+from ..operators.sampling import PRIORITY_KEY_SQL
 from ..operators.similarity import brute_force_topk, lsh_bucket_topk
 from ..functions import text as T
 from .registry import register
@@ -3285,4 +3286,70 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling (priority / DLT sampling) over the corpus
+# --------------------------------------------------------------------------
+
+_PS_K = 100
+
+# DuckDB mirror of operators/sampling.py's exact-integer priority key:
+# same md5-derived u, same 16^15 (= 2^60) scale, same integer division,
+# so the key — and therefore the sample — is bit-for-bit identical.
+_PS_KEY = PRIORITY_KEY_SQL.format(w="n_chars", id="doc_id", scale=16**15)
+
+
+@register(
+    "priority_sample_docs",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST({_PS_KEY} AS HUGEINT) AS pri
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    top AS (
+        SELECT doc_id, weight, pri,
+               ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
+        FROM scored
+        ORDER BY pri DESC, doc_id
+        LIMIT {_PS_K + 1}
+    ),
+    tau AS (
+        SELECT CASE WHEN COUNT(*) > {_PS_K} THEN MIN(pri)
+                    ELSE CAST(0 AS HUGEINT) END AS tau
+        FROM top
+    )
+    SELECT doc_id, weight,
+           CAST(pri AS VARCHAR) AS priority,
+           GREATEST(CAST(weight AS DOUBLE), CAST(tau AS DOUBLE)) AS est_weight
+    FROM top CROSS JOIN tau
+    WHERE rn <= {_PS_K}
+    """,
+    "Deterministic weighted sampling without replacement (priority "
+    "sampling, Duffield-Lund-Thorup JACM'07) of documents by n_chars: "
+    "the curation layer's importance-sampling primitive (sample big/"
+    "high-quality docs preferentially while keeping ANY subset sum "
+    "unbiasedly estimable via est_weight = max(w, tau)). u derives "
+    "from md5(doc_id) so the sample is a pure function of the data — "
+    "identical under any partitioning, re-run, or engine — and the "
+    "priority key w*2^60 div (u+1) is exact DECIMAL(38,0) integer "
+    "arithmetic mirrored bit-for-bit in the DuckDB oracle "
+    "(PRIORITY_KEY_SQL). Scale shape: ONE TakeOrderedAndProject "
+    "(per-partition k+1 heaps, no global sort, no shuffle of the "
+    "corpus) then a SinglePartition window over the surviving k+1 "
+    "rows derives tau and the k-row cut in the same pass — the corpus "
+    "is scanned exactly once (plan-pinned in tests/test_sampling.py).",
+)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    # priority rides as a STRING: the exact integer exceeds 2^53 for
+    # large keys, and DuckDB lowers DECIMAL(38,0) to lossy float64 in
+    # pandas — digits-as-text is the portable exact representation
+    return priority_sample(docs, "doc_id", "n_chars", _PS_K).withColumn(
+        "priority", F.col("priority").cast("string")
     )
