@@ -87,10 +87,73 @@ def scaled_int_sum(col: Column | str, scale: int = 4, alias: str | None = None) 
     (same protocol as stats_moments_exact's documented
     int64->DECIMAL(38,0) escalation).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    i = (c.cast(f"decimal(19,{scale})") * (10**scale)).cast("bigint")
-    out = (F.sum(i).cast("decimal(38,0)") / (10**scale)).cast("double")
+    out = (
+        F.sum(scaled_int_term(col, scale)).cast("decimal(38,0)") / (10**scale)
+    ).cast("double")
     return out.alias(alias) if alias else out
+
+
+def scaled_int_term(col: Column | str, scale: int = 4) -> Column:
+    """The int64 term :func:`scaled_int_sum` accumulates: HALF_UP
+    round to ``scale`` decimals (identical to the decimal path and the
+    DuckDB oracle), shifted into an exact integer. Exposed for callers
+    that aggregate the term themselves (e.g. the two-level shape in
+    :func:`two_level_scaled_agg`, or an exact bigint threshold
+    compare as in q18)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast(f"decimal(19,{scale})") * (10**scale)).cast("bigint")
+
+
+def two_level_scaled_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: list[tuple[Column | str, int, str]],
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Grouped money sums with int64-speed accumulation and NO
+    per-group row bound — the unbounded-scale companion to
+    :func:`scaled_int_sum`.
+
+    :func:`scaled_int_sum`'s caller contract caps |sum|*10^scale at
+    2^63 per group, which a low-cardinality grouping (TPC-H Q1: 4
+    groups) blows past around SF60 at scale 6. This helper removes the
+    bound by splitting the aggregation: level 1 groups by
+    ``keys + spark_partition_id()``, so each int64 accumulator only
+    ever spans ONE input partition's rows (``maxPartitionBytes`` caps
+    that at ~1e6-1e7 rows -> |partial| < ~1e18 even for scale-6 terms
+    — 9x inside int64, and ANSI mode still fails loud if an exotic
+    config exceeds it); level 2 merges the tiny
+    (groups x input-partitions) partial relation with exact
+    DECIMAL(38,0) adds. This is hand-rolled partial/final aggregation
+    with a CHEAPER partial dtype than Spark's single-dtype hash agg
+    can express.
+
+    Cost: one extra exchange of the partial relation — at most
+    #groups x #map-partitions rows, i.e. the same row count the
+    standard partial/final wire already carries; AQE coalesces it.
+    Measured on Q1 at sf0.1 (local[32], median of 5): decimal 1.64s,
+    single-level scaled-int 0.955s (overflow-bounded), this shape
+    1.074s — 1.5x over decimal with no scale ceiling.
+
+    ``sums`` rows are ``(column_or_name, scale, alias)``; each output
+    alias is the exact sum as double (bit-identical to
+    ``decimal_sum``, same final rational -> same IEEE double).
+    ``count_alias`` adds a COUNT(*) carried through both levels.
+    """
+    pid = F.spark_partition_id().alias("__pid")
+    partials = [F.sum(scaled_int_term(c, s)).alias(f"__p_{a}") for c, s, a in sums]
+    if count_alias:
+        partials.append(F.count("*").alias("__p_n"))
+    lvl1 = df.groupBy(*keys, pid).agg(*partials)
+    finals: list[Column] = [
+        (F.sum(F.col(f"__p_{a}").cast("decimal(38,0)")) / (10**s))
+        .cast("double")
+        .alias(a)
+        for _, s, a in sums
+    ]
+    if count_alias:
+        finals.append(F.sum("__p_n").cast("bigint").alias(count_alias))
+    return lvl1.groupBy(*keys).agg(*finals)
 
 
 def horizontal_sum(*cols: str) -> Column:

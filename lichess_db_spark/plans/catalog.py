@@ -33,6 +33,16 @@ _TOUCHED_THIS_ROUND = (
     # r6: the two items staged in r5 because the window filled
     # (VERDICT r5 items 1-2) lead the window.
     "priority_sample_docs",  # new: DLT weighted sampling, single-scan shape
+    # scaled-int money sums (VERDICT r5 item 2): two_level_scaled_agg
+    # for unbounded-rows-per-group entries, scaled_int_sum where the
+    # group bounds the int64 contract by construction
+    "q1_pricing_summary",   # changed: two-level scaled-int (1.5x, no scale cap)
+    "q5_region_revenue",    # changed: two-level scaled-int
+    "q9_profit_by_nation_year",  # changed: two-level scaled-int (scale 6)
+    "q3_shipping_priority",  # changed: scaled_int_sum (per-order groups)
+    "q10_returned_top_customers",  # changed: scaled_int_sum (per-customer)
+    "q15_top_suppliers",    # changed: exact bigint max-compare
+    "q18_large_orders",     # changed: exact bigint HAVING threshold
 )
 _TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT

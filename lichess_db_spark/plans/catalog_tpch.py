@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.aggregates import decimal_sum
+from ..operators.aggregates import scaled_int_sum, scaled_int_term
 from ..operators.topk import top_k
 from .registry import register
 
@@ -37,6 +37,13 @@ def _revenue() -> F.Column:
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(30,4)"
     )
+
+
+def _revenue_raw() -> F.Column:
+    """The un-cast revenue term, for the scaled-int accumulators
+    (scaled_int_term applies its own HALF_UP decimal(19,4) rounding —
+    identical to _revenue()'s for every in-range value)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 _REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))"
@@ -207,9 +214,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proxied by 5% of p_retailprice per unit; year from l_shipdate "
     "instead of o_orderdate to keep it a pure dim-join query). part and "
     "supplier→nation broadcast — the fact table never shuffles for the "
-    "joins, only into the (nation × year) aggregate.",
+    "joins, only the tiny (nation x year x partition) scaled-int "
+    "partials cross the wire (two_level_scaled_agg: ~175 groups is "
+    "the unbounded-rows-per-group regime, and scale-6 terms would "
+    "overflow a single-level int64 accumulator around SF60).",
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import two_level_scaled_agg
+
     ns = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("ns_key"), "n_name"
     )
@@ -223,13 +235,13 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.lit(0.05).cast("double") * F.col("l_quantity")
-    ).cast("decimal(30,6)")
-    return (
+    )
+    return two_level_scaled_agg(
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn("l_year", F.year("l_shipdate"))
-        .groupBy("n_name", "l_year")
-        .agg(F.sum(amount).cast("double").alias("profit"))
+        .withColumn("l_year", F.year("l_shipdate")),
+        ["n_name", "l_year"],
+        [(amount, 6, "profit")],
     )
 
 
@@ -252,7 +264,10 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q10 shape: who returned the most revenue last half-year. "
     "lineitem filters on returnflag before the orderkey shuffle join to "
     "date-filtered orders; customer+nation broadcast onto the result; "
-    "top-20 via TakeOrderedAndProject with c_custkey tiebreaker.",
+    "top-20 via TakeOrderedAndProject with c_custkey tiebreaker. The "
+    "per-customer revenue sum is a scaled_int_sum: TPC-H holds "
+    "orders-per-customer constant as SF grows, so |sum|*10^4 stays "
+    "~1e12 — far inside the int64 contract at any SF.",
 )
 def q10_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -268,7 +283,7 @@ def q10_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(scaled_int_sum(_revenue_raw(), 4, "revenue"))
     )
     return top_k(agg, 20, F.desc("revenue"), F.asc("c_custkey")).select(
         "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
@@ -368,7 +383,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue. "
     "The max is a 1-row aggregate of the (≤ |supplier|) revenue table "
     "joined back broadcast — no global sort; equality compares the "
-    "exact decimals, not doubles.",
+    "exact scaled-int64 totals (lineitems-per-supplier is "
+    "SF-constant in TPC-H, so |sum|*10^4 ~ 1e12 sits far inside the "
+    "int64 contract), never doubles.",
 )
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
@@ -376,17 +393,19 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).alias("total_rev")
+        F.sum(scaled_int_term(_revenue_raw(), 4)).alias("total_rev_i")
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    mx = rev.agg(F.max("total_rev_i").alias("max_rev_i"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        rev.join(F.broadcast(mx), F.col("total_rev_i") == F.col("max_rev_i"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_rev").cast("double").alias("total_revenue"),
+            (F.col("total_rev_i").cast("decimal(38,0)") / 10**4)
+            .cast("double")
+            .alias("total_revenue"),
         )
     )
 
@@ -485,16 +504,24 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     "TPC-H Q18 shape: large-volume orders. The HAVING filter runs on "
-    "the exact decimal sum before any join (cuts the fact side ~5x "
-    "here, far more at TPC-H skew); orders joins on the shuffled "
+    "the exact scaled-int64 sum before any join (cuts the fact side "
+    "~5x here, far more at TPC-H skew; a group is one order, ≤7 "
+    "lineitems, so the int64 contract holds at any SF and the "
+    "threshold compares exact integers); orders joins on the shuffled "
     "orderkey, customer broadcasts; top-100 with orderkey tiebreaker.",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy(F.col("l_orderkey").alias("big_okey"))
-        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("sum_qty"))
-        .where(F.col("sum_qty") > 160)
+        .agg(F.sum(scaled_int_term("l_quantity", 2)).alias("sum_qty_i"))
+        .where(F.col("sum_qty_i") > 160 * 100)
+        .select(
+            "big_okey",
+            (F.col("sum_qty_i").cast("decimal(38,0)") / 100)
+            .cast("double")
+            .alias("sum_qty_d"),
+        )
     )
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -509,7 +536,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_qty_d").alias("sum_qty"),
         )
     )
     return top_k(joined, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))

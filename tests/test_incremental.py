@@ -116,6 +116,58 @@ def test_scaled_int_sum_null_and_negative(spark):
     assert by_g[2]["dec"] is None and by_g[2]["fast"] is None
 
 
+def test_two_level_scaled_agg_equals_decimal(spark):
+    """two_level_scaled_agg == decimal_sum bit-for-bit on real data,
+    at every scale, and invariant to the input partitioning (each
+    partitioning splits the int64 partials differently; the exact
+    decimal merge erases the difference)."""
+    from lichess_db_spark.operators.aggregates import (
+        decimal_sum,
+        two_level_scaled_agg,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["s2"], r["s6"], r["n"])
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum(expr, 2, "s2"),
+            decimal_sum(expr, 6, "s6"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for parts in (1, 7):
+        got = two_level_scaled_agg(
+            li.repartition(parts),
+            ["l_returnflag", "l_linestatus"],
+            [(expr, 2, "s2"), (expr, 6, "s6")],
+            count_alias="n",
+        ).collect()
+        assert {
+            (r["l_returnflag"], r["l_linestatus"]): (r["s2"], r["s6"], r["n"])
+            for r in got
+        } == want
+
+
+def test_two_level_scaled_agg_null_groups(spark):
+    from lichess_db_spark.operators.aggregates import two_level_scaled_agg
+
+    df = spark.createDataFrame(
+        [(1, 0.125), (1, None), (1, -2.675), (2, None)], "g int, x double"
+    )
+    by_g = {
+        r["g"]: r
+        for r in two_level_scaled_agg(
+            df, ["g"], [("x", 2, "s")], count_alias="n"
+        ).collect()
+    }
+    assert by_g[1]["s"] == 0.125 - 2.675 and by_g[1]["n"] == 3
+    # all-null group: sum NULL (not 0), count still counts rows
+    assert by_g[2]["s"] is None and by_g[2]["n"] == 1
+
+
 def test_scan_memo_opt_in(spark, monkeypatch):
     """io.load_table memoizes per (session, dir, table) ONLY when
     SPARK_GRAFT_CACHE_SCANS=1 (bench mode); correctness paths get a
