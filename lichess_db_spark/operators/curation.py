@@ -122,8 +122,17 @@ def contamination_pairs(
     tr = shingles(train, "train_id")
     ev = shingles(eval_df, "eval_id")
     # semi-join prune: only train shingles that exist in the eval set
-    # reach the pairing shuffle (eval shingle set is broadcastable).
-    pruned = tr.join(F.broadcast(ev.select("shingle").distinct()), "shingle")
+    # reach the pairing shuffle. The probe set broadcasts as int64
+    # xxhash64 fingerprints, not strings — ~6x smaller broadcast and a
+    # long-compare hash table instead of string equality (measured
+    # 1.2x end-to-end at sf0.1). A fingerprint collision only lets a
+    # non-matching train shingle THROUGH the prune; the pairing join
+    # below still compares the exact strings, so the result is
+    # bit-identical to the unhashed prune (tested).
+    ev_fp = ev.select(F.xxhash64("shingle").alias("__fp")).distinct()
+    pruned = tr.join(
+        F.broadcast(ev_fp), F.xxhash64(tr["shingle"]) == F.col("__fp")
+    ).drop("__fp")
     return (
         pruned.join(ev, "shingle")
         .groupBy("train_id", "eval_id")

@@ -21,7 +21,7 @@ sketches with ``F.hll_sketch_agg``, merge with register-wise max
 
 Reference anchor: the reference pipeline recomputes its monthly
 aggregates from the full parquet each run
-(``/root/reference/eda.py`` re-reads everything); at 100 TB the
+(``/root/reference/eda.ipynb`` re-reads everything); at 100 TB the
 recompute is the cost driver, and this operator replaces it with a
 delta-sized job: scan ONLY the new batch, one shuffle on the group
 keys (state is re-grouped in the same exchange via union — no join),
@@ -57,7 +57,9 @@ _MERGES = {
 @dataclass(frozen=True)
 class StateCol:
     """One mergeable state column: ``name`` both in the partial-agg
-    output and the stored state, merged with ``how`` (sum|min|max)."""
+    output and the stored state, merged with ``how``
+    (sum|min|max|hll — "hll" unions DataSketches HLL sketches built
+    with ``F.hll_sketch_agg``, the maintainable COUNT(DISTINCT))."""
 
     name: str
     how: str

@@ -43,6 +43,11 @@ _TOUCHED_THIS_ROUND = (
     "q10_returned_top_customers",  # changed: scaled_int_sum (per-customer)
     "q15_top_suppliers",    # changed: exact bigint max-compare
     "q18_large_orders",     # changed: exact bigint HAVING threshold
+    # streaming-MV algebra driver surface (VERDICT r5 item 5)
+    "mv_hll_maintenance_orders",  # new: maintainable COUNT(DISTINCT) via hll state
+    # VERDICT r5 item 3: int64-fingerprint semi-join prune (6x smaller
+    # broadcast, 1.2x end-to-end; exactness kept by the string pairing join)
+    "contamination_eval_overlap",
 )
 _TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT

@@ -918,7 +918,12 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct word 8-gram. Inverted-index equi-join on the shingle "
     "with a broadcast semi-join prune (only train shingles present in "
     "the eval set reach the shuffle) — scans the corpus once, bounded "
-    "by eval-set size, never quadratic in train size.",
+    "by eval-set size, never quadratic in train size. The prune "
+    "broadcasts int64 xxhash64 fingerprints instead of shingle "
+    "strings (r6: 6x smaller driver broadcast, long-compare probe, "
+    "1.2x end-to-end); a fingerprint collision only admits a row the "
+    "exact string pairing join then rejects, so results are "
+    "bit-identical to this string-join oracle.",
 )
 def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import contamination_pairs

@@ -944,6 +944,59 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mv_hll_maintenance_orders",
+    None,  # DataSketches HLL estimates are engine-specific, like
+    # hll_sketch_union_estimate; the exact-algebra twin with a full
+    # DuckDB oracle is incremental_agg_orders, and the estimate's
+    # semantics are pinned locally: merged-state estimate == one-shot
+    # estimate BIT-EQUAL (tests/test_incremental.py
+    # test_hll_state_merge_equals_full_estimate) and within HLL error
+    # of the exact count.
+    "COUNT(DISTINCT) as maintainable materialized-view state: the "
+    "incremental_agg_orders pipeline extended with the 'hll' merge "
+    "algebra (operators/incremental.py). History (o_orderdate < "
+    "1999-01-01, NULLs routed to history) is aggregated once into "
+    "per-priority state carrying a DataSketches HLL sketch of "
+    "o_custkey (F.hll_sketch_agg); the delta batch's partial merges "
+    "in by union + re-groupBy where sketch union = register-wise max "
+    "(F.hll_union_agg) — associative/commutative like sum/min/max, "
+    "so the merged estimate EXACTLY equals the one-shot estimate. "
+    "This is what makes distinct-count reports refreshable at 100 TB "
+    "without rescanning history: per-batch cost is delta-sized, "
+    "state is (groups x sketch_size), and the same sketches roll up "
+    "across any grouping. Exact columns (n_orders) ride the same "
+    "merge and match the full recompute bit-for-bit.",
+)
+def mv_hll_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import StateCol, merge_agg_state
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.hll_sketch_agg("o_custkey").alias("__cust_hll"),
+        )
+
+    state = partial(
+        orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
+    )
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    merged = merge_agg_state(
+        state,
+        delta,
+        keys=["o_orderpriority"],
+        cols=[StateCol("n_orders", "sum"), StateCol("__cust_hll", "hll")],
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.hll_sketch_estimate("__cust_hll").cast("bigint").alias("approx_customers"),
+    )
+
+
 # --------------------------------------------------------------------------
 # association rules (market-basket lift) over order/brand baskets
 # --------------------------------------------------------------------------

@@ -305,3 +305,35 @@ def test_scaled_int_sum_overflow_fails_loud(spark):
     df = spark.createDataFrame([(1, 1e16)], "g int, x double")
     with pytest.raises(Exception, match="(?i)overflow|cannot be represented|CAST"):
         df.groupBy("g").agg(scaled_int_sum("x", 4, "s")).collect()
+
+
+def test_mv_hll_entry_exact_cols_and_estimate(spark):
+    """The mv_hll_maintenance_orders driver entry: exact columns match
+    the full recompute bit-for-bit, and the maintained HLL estimate
+    (a) equals the one-shot estimate over all of orders and (b) lands
+    within HLL error of the exact distinct count."""
+    from lichess_db_spark.plans import QUERIES
+
+    sf = SF_SMALL
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["mv_hll_maintenance_orders"].build(spark, sf).collect()
+    }
+    orders = load_table(spark, sf, "orders")
+    want = {
+        r["o_orderpriority"]: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("nd"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
+            .cast("bigint")
+            .alias("one_shot"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, r in got.items():
+        assert r["n_orders"] == want[k]["n"], k
+        assert r["approx_customers"] == want[k]["one_shot"], k  # merged == one-shot
+        assert abs(r["approx_customers"] - want[k]["nd"]) <= 0.05 * want[k]["nd"], k
