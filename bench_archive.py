@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Posting-archive lifecycle benchmark (VERDICT r5 item 7): measure
+what `compact_postings` buys as the incremental near-dup archive
+accumulates batches.
+
+Not driver-run (bench.py is the per-round metric). Feeds the
+`documents` table through `incremental_near_dup` in N equal batches,
+twice:
+
+- **append-only**: postings accumulate one `batch=<i>` directory per
+  batch, retired docs are never reclaimed;
+- **compacted**: every ``--compact-every`` batches the archive is
+  rewritten by `compact_postings` (retired docs dropped via
+  ``live_ids``, small files merged, write-then-swap).
+
+Per batch it records wall-clock of the candidate join and the
+archive's file count / byte size / row count, so the artifact carries
+the two lifecycle claims as numbers: (a) per-batch cost grows with an
+uncompacted archive's file count (each per-batch file set is a scan
+task at read time, the small-file problem), and (b) compaction holds
+file count and archive rows ~flat under retirement at equal recall
+(the candidate sets are identical by construction for surviving docs
+— compaction is layout-only, transparency pinned by
+tests/test_curation.py's compaction tests).
+
+    python bench_archive.py --batches 20 --compact-every 5 \
+        --out BENCH_ARCHIVE.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _archive_stats(spark, path: str) -> dict:
+    """file count + bytes via the Hadoop FS (what a scan would list)."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(hpath(path)):
+        return {"files": 0, "bytes": 0}
+    it = fs.listFiles(hpath(path), True)
+    files = 0
+    nbytes = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            files += 1
+            nbytes += st.getLen()
+    return {"files": files, "bytes": int(nbytes)}
+
+
+def run_config(spark, docs, n_batches: int, compact_every: int | None) -> list[dict]:
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.operators.dedup import (
+        compact_postings,
+        incremental_near_dup,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_archive_")
+    postings = os.path.join(root, "postings")
+    # retirement model: docs with doc_id % 5 == 0 are dropped by
+    # downstream curation right after their batch arrives
+    live = docs.where(F.col("doc_id") % 5 != 0).select("doc_id")
+    rows: list[dict] = []
+    try:
+        for b in range(n_batches):
+            batch = docs.where(F.col("doc_id") % n_batches == b)
+            t0 = time.perf_counter()
+            pairs = incremental_near_dup(batch, postings, batch_id=b)
+            n_pairs = pairs.count()
+            pairs.unpersist()
+            dt = round(time.perf_counter() - t0, 3)
+            did_compact = False
+            if compact_every and (b + 1) % compact_every == 0:
+                compact_postings(spark, postings, live_ids=live)
+                did_compact = True
+            st = _archive_stats(spark, postings)
+            st_rows = spark.read.parquet(postings).count()
+            rows.append(
+                {
+                    "batch": b,
+                    "sec": dt,
+                    "pairs": n_pairs,
+                    "archive_files": st["files"],
+                    "archive_bytes": st["bytes"],
+                    "archive_rows": st_rows,
+                    "compacted": did_compact,
+                }
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=20)
+    ap.add_argument("--compact-every", type=int, default=5)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.session import get_spark
+
+    spark = get_spark("bench-archive")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.limit(1).collect()
+
+    import gc
+
+    gc.collect()
+    gc.disable()
+    try:
+        append_only = run_config(spark, docs, args.batches, None)
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        compacted = run_config(spark, docs, args.batches, args.compact_every)
+    finally:
+        gc.enable()
+
+    out = {
+        "metric": "incremental near-dup archive lifecycle",
+        "sf_dir": SF_DIR,
+        "batches": args.batches,
+        "compact_every": args.compact_every,
+        "append_only": append_only,
+        "compacted": compacted,
+        "summary": {
+            "final_files_append": append_only[-1]["archive_files"],
+            "final_files_compacted": compacted[-1]["archive_files"],
+            "final_rows_append": append_only[-1]["archive_rows"],
+            "final_rows_compacted": compacted[-1]["archive_rows"],
+            "last5_sec_append": round(
+                sum(r["sec"] for r in append_only[-5:]), 3
+            ),
+            "last5_sec_compacted": round(
+                sum(r["sec"] for r in compacted[-5:]), 3
+            ),
+        },
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
