@@ -113,6 +113,8 @@ HEADLINE = [
     # r6: weighted sampling + maintainable COUNT(DISTINCT)
     "priority_sample_docs",
     "mv_hll_maintenance_orders",
+    "priority_sample_by_lang",
+    "sample_token_budget_docs",
 ]
 
 

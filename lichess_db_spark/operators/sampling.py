@@ -48,6 +48,22 @@ PRIORITY_KEY_SQL = (
 )
 
 
+def _scored(df: DataFrame, id_col: str, weight_col: str, *extra: str) -> DataFrame:
+    """(id, weight, priority[, extra...]) with the exact-integer DLT
+    key; NULL/non-positive weights excluded (they carry no mass)."""
+    key = F.expr(
+        f"CAST(CAST({weight_col} AS DECIMAL(38,0)) * {_U_SCALE} AS DECIMAL(38,0)) "
+        f"div (CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) "
+        f"AS BIGINT) + 1)"
+    ).cast("decimal(38,0)")
+    return df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)).select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        key.alias("priority"),
+        *[F.col(c) for c in extra],
+    )
+
+
 def priority_sample(
     df: DataFrame, id_col: str, weight_col: str, k: int
 ) -> DataFrame:
@@ -65,19 +81,7 @@ def priority_sample(
     """
     from .topk import top_k
 
-    key = F.expr(
-        f"CAST(CAST({weight_col} AS DECIMAL(38,0)) * {_U_SCALE} AS DECIMAL(38,0)) "
-        f"div (CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) "
-        f"AS BIGINT) + 1)"
-    ).cast("decimal(38,0)")
-    scored = (
-        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .select(
-            F.col(id_col),
-            F.col(weight_col).cast("bigint").alias("weight"),
-            key.alias("priority"),
-        )
-    )
+    scored = _scored(df, id_col, weight_col)
     top = top_k(scored, k + 1, F.desc("priority"), F.asc(id_col))
     # tau = the LOWEST priority among the k+1 (the threshold the
     # sample "paid"); with fewer than k+1 survivors tau is 0 and
@@ -106,3 +110,127 @@ def priority_sample(
             F.col("weight").cast("double"), F.col("__tau").cast("double")
         ).alias("est_weight"),
     )
+
+
+def priority_sample_grouped(
+    df: DataFrame, id_col: str, weight_col: str, k: int, group_col: str
+) -> DataFrame:
+    """Per-stratum DLT sampling: an independent k-row weighted sample
+    (and threshold tau) for every value of ``group_col`` — the
+    per-domain / per-language budget allocator of a training mix.
+
+    Scale shape (skew-resistant two-window prune): a naive
+    ``row_number() OVER (PARTITION BY group)`` shuffles the whole
+    corpus onto |groups| partitions and sorts each — one hot language
+    becomes one straggler task. Instead window 1 partitions by
+    ``(group, spark_partition_id())``: the hot group spreads over all
+    input partitions, each contributes its local top-(k+1), and only
+    the pruned ≤ (k+1)·P rows per group reach window 2, which ranks
+    and cuts exactly. Identical output to the naive shape (local
+    pruning can never evict a global top-(k+1) row within a group),
+    same exact DLT key and tau semantics as :func:`priority_sample`
+    but per group.
+    """
+    scored = _scored(df, id_col, weight_col, group_col)
+    w_local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
+        F.desc("priority"), F.asc(id_col)
+    )
+    pruned = scored.withColumn("__lrn", F.row_number().over(w_local)).where(
+        F.col("__lrn") <= k + 1
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(F.desc("priority"), F.asc(id_col))
+    w_all = Window.partitionBy(group_col)
+    # tau = the group's (k+1)-th priority, read at __rn == k+1 (a row
+    # that always survives the local pruning); groups with <= k rows
+    # have no such row and fall back to tau = 0 (keep-everything,
+    # est_weight == weight — same degradation as priority_sample).
+    # Both windows share ONE hash partitioning on group_col; the
+    # second select is needed because a window expression cannot
+    # reference a window alias born in the same projection.
+    ranked = pruned.select(
+        group_col,
+        id_col,
+        "weight",
+        "priority",
+        F.row_number().over(w_rank).alias("__rn"),
+    ).withColumn(
+        "__tau_raw",
+        F.max(F.when(F.col("__rn") == k + 1, F.col("priority"))).over(w_all),
+    )
+    tau = F.coalesce(F.col("__tau_raw"), F.lit(0).cast("decimal(38,0)"))
+    return ranked.where(F.col("__rn") <= k).select(
+        group_col,
+        id_col,
+        "weight",
+        "priority",
+        F.greatest(F.col("weight").cast("double"), tau.cast("double")).alias(
+            "est_weight"
+        ),
+    )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    partitions: int = 32,
+) -> DataFrame:
+    """Weighted-random corpus fill: take documents in DLT-priority
+    order (weight-biased, deterministic in the data) until their
+    cumulative ``weight_col`` (token count) reaches ``budget`` — the
+    "fill a 10B-token training mix" primitive. A doc is kept iff the
+    budget was not yet exhausted when its turn came
+    (``cum_start < budget``), so the output overshoots by at most one
+    document and any re-run, repartition, or engine produces the
+    identical set.
+
+    Scale shape — distributed prefix sum: a running total in priority
+    order is a global-ordering window, which Spark would execute on a
+    SINGLE partition (the WindowExec warning). Instead:
+
+    1. ``repartitionByRange`` on (priority desc, id) — a TeraSort-style
+       range exchange, the scalable global sort;
+    2. per-partition running sums via a window keyed on
+       ``spark_partition_id()`` (local sort only, already range-sorted);
+    3. per-partition totals (one row per partition) get their own
+       running sum on a single partition — P rows, trivially small —
+       and broadcast back as each partition's global offset.
+
+    Global cum_start = partition offset + local running sum - weight;
+    exact bigint arithmetic end to end. Output is invariant to the
+    (sampled, nondeterministic) range boundaries because the prefix
+    logic only relies on range DISJOINTNESS, which repartitionByRange
+    guarantees; ties are impossible under the (priority, id) total
+    order.
+    """
+    scored = _scored(df, id_col, weight_col)
+    ranged = scored.repartitionByRange(
+        partitions, F.desc("priority"), F.asc(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(F.desc("priority"), F.asc(id_col))
+    local = ranged.withColumn("__cum_local", F.sum("weight").over(w_local))
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.max("__cum_local").alias("__total"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__total").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    out = local.join(F.broadcast(totals), "__pid").select(
+        F.col(id_col),
+        F.col("weight").alias("n_tokens"),
+        (F.col("__offset") + F.col("__cum_local") - F.col("weight")).alias(
+            "cum_start"
+        ),
+    )
+    return out.where(F.col("cum_start") < budget)

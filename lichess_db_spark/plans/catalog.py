@@ -48,6 +48,9 @@ _TOUCHED_THIS_ROUND = (
     # VERDICT r5 item 3: int64-fingerprint semi-join prune (6x smaller
     # broadcast, 1.2x end-to-end; exactness kept by the string pairing join)
     "contamination_eval_overlap",
+    # r6 sampling-family breadth
+    "priority_sample_by_lang",   # new: per-stratum DLT sample, skew-resistant
+    "sample_token_budget_docs",  # new: budget fill via distributed prefix sum
 )
 _TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT

@@ -3358,3 +3358,98 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(docs, "doc_id", "n_chars", _PS_K).withColumn(
         "priority", F.col("priority").cast("string")
     )
+
+
+_PSG_K = 20
+
+
+@register(
+    "priority_sample_by_lang",
+    f"""
+    WITH scored AS (
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST({_PS_KEY} AS HUGEINT) AS pri
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY pri DESC, doc_id) AS rn
+        FROM scored
+    ),
+    tau AS (
+        SELECT lang, MAX(CASE WHEN rn = {_PSG_K + 1} THEN pri END) AS tau_raw
+        FROM ranked GROUP BY lang
+    )
+    SELECT r.lang, doc_id, weight,
+           CAST(pri AS VARCHAR) AS priority,
+           GREATEST(CAST(weight AS DOUBLE),
+                    CAST(COALESCE(tau_raw, 0) AS DOUBLE)) AS est_weight
+    FROM ranked r JOIN tau t ON r.lang = t.lang
+    WHERE rn <= {_PSG_K}
+    """,
+    "Per-stratum DLT weighted sampling: an independent 20-doc "
+    "priority sample (and threshold tau) per language — the "
+    "per-domain budget allocator of a training mix, with per-group "
+    "subset sums still unbiasedly estimable from est_weight. Scale "
+    "shape (operators/sampling.py priority_sample_grouped): a naive "
+    "PARTITION BY lang window sorts one straggler partition per hot "
+    "language; instead window 1 keys on (lang, input-partition-id) so "
+    "hot groups spread over every partition and contribute local "
+    "top-(k+1)s, and window 2 ranks only the pruned (k+1) x P rows "
+    "per group — provably identical output (a group's global "
+    "top-(k+1) row survives any local prune; pinned against the "
+    "naive window in tests). Same exact-integer md5 priority key as "
+    "priority_sample_docs, mirrored bit-for-bit in this oracle.",
+)
+def priority_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import priority_sample_grouped
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample_grouped(
+        docs, "doc_id", "n_chars", _PSG_K, "lang"
+    ).withColumn("priority", F.col("priority").cast("string"))
+
+
+_TB_BUDGET = 100_000
+
+
+@register(
+    "sample_token_budget_docs",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               CAST({_PS_KEY} AS HUGEINT) AS pri
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    c AS (
+        SELECT doc_id, w, pri,
+               SUM(w) OVER (ORDER BY pri DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM scored
+    )
+    SELECT doc_id, w AS n_tokens, CAST(cum_end - w AS BIGINT) AS cum_start
+    FROM c WHERE cum_end - w < {_TB_BUDGET}
+    """,
+    "Token-budget corpus fill: take documents in DLT-priority order "
+    "(weight-biased, deterministic in the data) until their "
+    "cumulative token count reaches the budget — the 'fill a "
+    "10B-token training mix' primitive; a doc is kept iff the budget "
+    "was not exhausted when its turn came, so the set overshoots by "
+    "at most one document and is identical under any partitioning, "
+    "re-run, or engine. Scale shape (operators/sampling.py "
+    "sample_token_budget): the oracle's global running-sum window "
+    "would execute on ONE partition in Spark; the builder instead "
+    "runs a DISTRIBUTED PREFIX SUM — TeraSort-style range exchange "
+    "on (priority desc, id), per-partition local running sums, and a "
+    "P-row offset relation (running sum of per-partition totals) "
+    "broadcast back — exact bigint arithmetic end to end, invariant "
+    "to the sampled range boundaries (only range disjointness is "
+    "used, which repartitionByRange guarantees).",
+)
+def sample_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_token_budget(docs, "doc_id", "n_chars", _TB_BUDGET)

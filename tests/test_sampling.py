@@ -101,3 +101,82 @@ def test_plan_is_top_k(spark, docs):
     # TakeOrderedAndProject lineage, so the corpus is scanned once
     assert p.count("TakeOrderedAndProject") == 1
     assert p.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# priority_sample_grouped / sample_token_budget (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_sample_matches_naive_window(spark, docs):
+    """The skew-resistant two-window prune returns exactly what the
+    naive single PARTITION BY group window would, under any input
+    partitioning."""
+    from pyspark.sql import Window
+
+    from lichess_db_spark.operators.sampling import (
+        _scored,
+        priority_sample_grouped,
+    )
+
+    k = 10
+    scored = _scored(docs, "doc_id", "n_chars", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "tau",
+        F.max(F.when(F.col("rn") == k + 1, F.col("priority"))).over(
+            Window.partitionBy("lang")
+        ),
+    )
+    naive = {
+        (r["lang"], r["doc_id"]): (
+            r["weight"],
+            max(float(r["weight"]), float(r["tau"] or 0)),
+        )
+        for r in ranked.where(F.col("rn") <= k).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r["lang"], r["doc_id"]): (r["weight"], r["est_weight"])
+            for r in priority_sample_grouped(
+                docs.repartition(parts), "doc_id", "n_chars", k, "lang"
+            ).collect()
+        }
+        assert got == naive
+
+
+def test_token_budget_fill_semantics(spark, docs):
+    """Distributed prefix sum == the global-order running sum: every
+    kept doc's cum_start is the exact sum of all higher-priority
+    weights, the set stops exactly at the budget (overshoot at most
+    one doc), and the result is invariant to partition count."""
+    from lichess_db_spark.operators.sampling import sample_token_budget
+
+    budget = 60_000
+    base = sorted(
+        (
+            (r["doc_id"], r["n_tokens"], r["cum_start"])
+            for r in sample_token_budget(
+                docs, "doc_id", "n_chars", budget, partitions=1
+            ).collect()
+        ),
+        key=lambda t: t[2],
+    )
+    assert base, "budget too small for fixture"
+    # exact prefix property + budget cut
+    cum = 0
+    for _, w, start in base:
+        assert start == cum and start < budget
+        cum += w
+    assert cum >= budget or len(base) == docs.where("n_chars > 0").count()
+    for parts in (5, 17):
+        got = sorted(
+            (
+                (r["doc_id"], r["n_tokens"], r["cum_start"])
+                for r in sample_token_budget(
+                    docs.repartition(7), "doc_id", "n_chars", budget, partitions=parts
+                ).collect()
+            ),
+            key=lambda t: t[2],
+        )
+        assert got == base
