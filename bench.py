@@ -115,6 +115,7 @@ HEADLINE = [
     "mv_hll_maintenance_orders",
     "priority_sample_by_lang",
     "sample_token_budget_docs",
+    "revenue_mom_growth",
 ]
 
 

@@ -51,6 +51,7 @@ _TOUCHED_THIS_ROUND = (
     # r6 sampling-family breadth
     "priority_sample_by_lang",   # new: per-stratum DLT sample, skew-resistant
     "sample_token_budget_docs",  # new: budget fill via distributed prefix sum
+    "revenue_mom_growth",        # new: window-over-aggregate MoM growth
 )
 _TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT

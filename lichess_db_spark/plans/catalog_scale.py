@@ -945,6 +945,52 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_mom_growth",
+    """
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+        GROUP BY strftime(o_orderdate, '%Y-%m')
+    )
+    SELECT month, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY month))
+               / LAG(revenue) OVER (ORDER BY month) AS growth
+    FROM m
+    """,
+    "Window-over-aggregate (the month-over-month BI staple): monthly "
+    "revenue via two_level_scaled_agg (a month is an unbounded-rows "
+    "group at 100 TB — int64 partials per input partition, exact "
+    "decimal merge), then lag/growth over the months relation. The "
+    "global-ORDER window runs AFTER aggregation, on #months rows — "
+    "the SinglePartition exchange carries a dims-sized relation, "
+    "never the fact table. growth = one IEEE division of two exact "
+    "doubles, NULL for the first month; month keys ride as strings "
+    "(engine-portable date formatting).",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import two_level_scaled_agg
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    monthly = two_level_scaled_agg(
+        orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM")),
+        ["month"],
+        [("o_totalprice", 2, "revenue")],
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("growth"),
+    )
+
+
+@register(
     "mv_hll_maintenance_orders",
     None,  # DataSketches HLL estimates are engine-specific, like
     # hll_sketch_union_estimate; the exact-algebra twin with a full
