@@ -116,6 +116,7 @@ HEADLINE = [
     "priority_sample_by_lang",
     "sample_token_budget_docs",
     "revenue_mom_growth",
+    "text_metrics_arrow",
 ]
 
 

@@ -52,6 +52,7 @@ _TOUCHED_THIS_ROUND = (
     "priority_sample_by_lang",   # new: per-stratum DLT sample, skew-resistant
     "sample_token_budget_docs",  # new: budget fill via distributed prefix sum
     "revenue_mom_growth",        # new: window-over-aggregate MoM growth
+    "text_metrics_arrow",        # new: mapInArrow kernel-path surface demo
 )
 _TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT

@@ -3453,3 +3453,52 @@ def sample_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return sample_token_budget(docs, "doc_id", "n_chars", _TB_BUDGET)
+
+
+@register(
+    "text_metrics_arrow",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_exact,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    "mapInArrow surface demo (completes the Python-UDF API family "
+    "next to the applyInPandas escape hatch `znorm_user_values` and "
+    "the UDTF `text_passage_chunks_udtf`): per-doc char/token counts "
+    "computed by Arrow COMPUTE KERNELS (utf8_length, count_substring) "
+    "directly on the record batches — no pandas materialization, no "
+    "per-row Python, zero-copy in and out; the fastest Python-side "
+    "path when a kernel exists for the transform. Token rule matches "
+    "split-on-space exactly (count_substring(' ')+1 == "
+    "len(string_split)), NULL text propagates NULL through both "
+    "engines. Like every escape-hatch demo in this catalog, the "
+    "production advice stays: the pure-codegen twin (`text_stats`) "
+    "is the hot-path shape; this entry exists so the mapInArrow "
+    "plumbing (schema contract, batch iteration, Arrow-only types) "
+    "is exercised and hash-verified.",
+)
+def text_metrics_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in it:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, pattern=" "), 1),
+                        pa.int64(),
+                    ),
+                ],
+                ["doc_id", "n_chars_exact", "n_tokens"],
+            )
+
+    return docs.mapInArrow(
+        batches, "doc_id bigint, n_chars_exact bigint, n_tokens bigint"
+    )

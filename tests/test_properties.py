@@ -187,3 +187,49 @@ def test_edit_distance_join_lossless_on_adversarial_vocabs(spark):
                 if a < b and _lev(a, b) <= k
             }
             assert got == want, (q, k, vocab, got ^ want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.one_of(
+                st.none(),
+                # money values as exact cents, both signs, up to 1e13
+                # cents (~1e11 money units — inside decimal(19,2))
+                st.integers(-(10**13), 10**13),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 5),  # partition count
+)
+def test_two_level_scaled_agg_property(spark, rows, parts):
+    """For ANY value set and ANY partitioning, the two-level shape
+    equals the decimal accumulation bit-for-bit (same exact rational
+    -> same IEEE double), including NULL handling and negatives."""
+    from lichess_db_spark.operators.aggregates import (
+        decimal_sum,
+        two_level_scaled_agg,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(g, None if c is None else c / 100.0) for g, c in rows],
+        "g int, x double",
+    ).repartition(parts)
+    want = {
+        r["g"]: (r["s"], r["n"])
+        for r in df.groupBy("g")
+        .agg(decimal_sum("x", 2, "s"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["g"]: (r["s"], r["n"])
+        for r in two_level_scaled_agg(
+            df, ["g"], [("x", 2, "s")], count_alias="n"
+        ).collect()
+    }
+    assert got == want
