@@ -209,7 +209,20 @@ def sample_token_budget(
         partitions, F.desc("priority"), F.asc(id_col)
     ).withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid").orderBy(F.desc("priority"), F.asc(id_col))
-    local = ranged.withColumn("__cum_local", F.sum("weight").over(w_local))
+    # persist the range-partitioned, locally-summed relation: both the
+    # offset relation and the final projection read it, and WITHOUT a
+    # materialized cut Spark re-executes the scan + range exchange per
+    # branch (no ReusedExchange across nondeterministic
+    # spark_partition_id projections) — worse, each branch would
+    # re-SAMPLE its own range boundaries, and the prefix offsets are
+    # only correct against the exact partitioning the local sums used.
+    # Materializing once makes that agreement structural, not an
+    # artifact of deterministic boundary sampling. (Same
+    # builder-persist pattern as pagerank/dq_expectations; a prefix
+    # sum is a two-pass algorithm in ANY engine — the persist IS the
+    # second pass's input, spilling to disk at scale like the
+    # TeraSort shuffle it follows.)
+    local = ranged.withColumn("__cum_local", F.sum("weight").over(w_local)).persist()
     totals = (
         local.groupBy("__pid")
         .agg(F.max("__cum_local").alias("__total"))
