@@ -1239,12 +1239,29 @@ def compact_postings(
     fs.delete(hpath(tmp_path), True)  # stale partial from a crashed compaction
     target = f"{tmp_path}/batch=-1" if batched_layout else tmp_path
     archive.repartition(files).write.mode("overwrite").parquet(target)
-    fs.delete(hpath(old_path), True)  # stale aside from a crashed swap
-    if not fs.rename(hpath(postings_path), hpath(old_path)):
-        raise IOError(f"compact_postings: rename {postings_path} -> {old_path} failed")
-    if not fs.rename(hpath(tmp_path), hpath(postings_path)):
-        # restore the archive before surfacing the failure
-        fs.rename(hpath(old_path), hpath(postings_path))
-        raise IOError(f"compact_postings: rename {tmp_path} -> {postings_path} failed")
-    fs.delete(hpath(old_path), True)
+    _swap_compacted(spark, postings_path)
     return {"rows": n, "files": files}
+
+
+def _swap_compacted(spark, path: str) -> None:
+    """Crash-safe rename dance shared by every compaction
+    (posting archives here; digest state in streaming/ingest.py):
+    swap ``<path>__compact`` into ``<path>`` via a rename-aside to
+    ``<path>__old`` — the live data is never deleted first, every
+    Hadoop rename return value is checked (the FileSystem API reports
+    failure as False, not an exception), and the one crash window
+    (between the two renames) is healed by
+    ``_restore_interrupted_swap`` on the next touch."""
+    tmp_path = path.rstrip("/") + "__compact"
+    old_path = path.rstrip("/") + "__old"
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(hpath(old_path), True)  # stale aside from a crashed swap
+    if not fs.rename(hpath(path), hpath(old_path)):
+        raise IOError(f"compaction swap: rename {path} -> {old_path} failed")
+    if not fs.rename(hpath(tmp_path), hpath(path)):
+        # restore the live data before surfacing the failure
+        fs.rename(hpath(old_path), hpath(path))
+        raise IOError(f"compaction swap: rename {tmp_path} -> {path} failed")
+    fs.delete(hpath(old_path), True)

@@ -3476,7 +3476,12 @@ def sample_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production advice stays: the pure-codegen twin (`text_stats`) "
     "is the hot-path shape; this entry exists so the mapInArrow "
     "plumbing (schema contract, batch iteration, Arrow-only types) "
-    "is exercised and hash-verified.",
+    "is exercised and hash-verified. Measured at sf0.1 (median of 5, "
+    "local[32]): codegen twin 0.10s, this mapInArrow 0.44s, a "
+    "mapInPandas twin 0.29s — at this scale BOTH Python paths are "
+    "dominated by the worker round-trip, so arrow-vs-pandas only "
+    "separates on wide/large batches where the pandas conversion "
+    "costs; the 4x codegen gap is the number to remember.",
 )
 def text_metrics_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")

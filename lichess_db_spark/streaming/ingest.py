@@ -724,6 +724,7 @@ def stream_documents_curation(
     near_dup: bool = False,
     compact_every: int | None = None,
     partition_state: bool = False,
+    state_compact_every: int | None = None,
 ):
     """Streaming curation ingest: micro-batches of documents flow
     through cross-batch exact dedup and the quality gate into an
@@ -803,6 +804,16 @@ def stream_documents_curation(
     layout, which is why the flat layout stays the default. The two
     layouts are mutually exclusive per state dir (mixing them would
     silently un-prune; a layout guard raises instead).
+
+    ``state_compact_every=N`` compacts the digest state every N
+    batches via :func:`compact_digest_state` — the state otherwise
+    grows one ``batch=<id>`` file set per micro-batch forever, and at
+    trickle cadence the per-batch anti-join cost becomes file-listing
+    (N file sets), not digest volume (the same unbounded-growth axis
+    `compact_postings` closes for the near-dup archive, measured in
+    BENCH_ARCHIVE.json). Every batch self-heals an interrupted state
+    compaction before its state probe, so the swap's crash window can
+    never read as an empty first-batch state.
     """
     from pyspark.sql import Window
 
@@ -817,8 +828,15 @@ def stream_documents_curation(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..io import path_exists
+        from ..operators.dedup import _restore_interrupted_swap
 
         sess = batch_df.sparkSession
+        # Self-heal an interrupted state compaction before probing:
+        # the swap's one crash window leaves the state path empty with
+        # __old intact, which would otherwise read as "first batch"
+        # and silently disable cross-batch dedup (same contract as
+        # every incremental posting reader).
+        _restore_interrupted_swap(sess, state_path)
         # Explicit existence probe (ADVICE r4): only a MISSING state
         # table means "first batch" — a real read error fails the batch
         # so the checkpoint retries it, instead of silently disabling
@@ -917,6 +935,8 @@ def stream_documents_curation(
                 from ..operators.dedup import compact_postings
 
                 compact_postings(sess, postings_path)
+            if state_compact_every and (batch_id + 1) % state_compact_every == 0:
+                compact_digest_state(sess, state_path)
         finally:
             # pairs comes back persisted from incremental_near_dup; a
             # long-running stream must release each batch's cache or
@@ -931,3 +951,62 @@ def stream_documents_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_digest_state(
+    spark: SparkSession, state_path: str, rows_per_file: int = 8_000_000
+) -> dict:
+    """Compact the streaming curation digest state (the `_digest_state`
+    sibling of ``compact_postings``): the state grows one ``batch=<id>``
+    directory per micro-batch FOREVER — after N trickle batches the
+    anti-join's state scan lists N file sets, and the small-file count
+    (not the digest row count) becomes the per-batch cost driver.
+    Rewrites the state as ``batch=-1`` with right-sized files:
+
+    - digests ``dropDuplicates``'d (replay corners may hold a digest in
+      both ``batch=-1`` and a replayed batch dir — first-arrival
+      semantics only need set membership, so the dedup is lossless);
+    - the flat vs ``p=``-prefix layout is PRESERVED (a prefix-
+      partitioned state keeps its file-listing pruning; compacted rows
+      land as ``batch=-1/p=<xx>/`` — one task's files per prefix);
+    - crash-safe write-then-swap shared with the posting archives
+      (``_swap_compacted``): the live state is never deleted first,
+      and the one crash window (between the two renames) is healed by
+      ``_restore_interrupted_swap``, which every curation micro-batch
+      now calls before its state probe — an interrupted compaction can
+      never be mistaken for an empty first-batch state.
+
+    Returns {"rows": n, "files": k} for the compacted state.
+    """
+    import math
+
+    from ..io import path_exists
+    from ..operators.dedup import _restore_interrupted_swap, _swap_compacted
+
+    _restore_interrupted_swap(spark, state_path)
+    if not path_exists(spark, state_path):
+        return {"rows": 0, "files": 0}
+    raw = spark.read.parquet(state_path)
+    partitioned = "p" in raw.columns
+    cols = ["__digest", "p"] if partitioned else ["__digest"]
+    state = raw.select(*cols).dropDuplicates()
+    n = state.count()
+    files = max(1, math.ceil(n / rows_per_file))
+    tmp_path = state_path.rstrip("/") + "__compact"
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(state_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    fs.delete(hpath(tmp_path), True)  # stale partial from a crashed compaction
+    target = f"{tmp_path}/batch=-1"
+    if partitioned:
+        # hash rows to their prefix so each p= partition is written by
+        # one task -> ~one file per prefix, not (tasks x prefixes)
+        state.repartition("p").write.partitionBy("p").mode("overwrite").parquet(
+            target
+        )
+    else:
+        state.repartition(files).write.mode("overwrite").parquet(target)
+    _swap_compacted(spark, state_path)
+    return {"rows": n, "files": files}

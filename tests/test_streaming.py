@@ -753,3 +753,125 @@ def test_stream_agg_maintenance_hll_distinct(spark, tmp_path):
         .collect()
     }
     assert served == want
+
+
+def test_stream_curation_state_compaction(spark, tmp_path):
+    """state_compact_every: the digest state compacts to one batch=-1
+    file set, cross-batch dedup keeps working THROUGH the compaction
+    boundary (a later exact copy of a pre-compaction doc is still
+    dropped), and the corpus equals the uncompacted run's."""
+    from lichess_db_spark.streaming.ingest import stream_documents_curation
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    b1 = docs.where(F.col("doc_id") < 200)
+    b2 = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    # batch 3 re-sends 15 of batch 1's texts under new ids — these
+    # arrive AFTER the state was compacted (compact_every=2)
+    dupes = b1.limit(15).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    b3 = docs.where(F.col("doc_id") >= 400).unionByName(dupes)
+    batches = [b1, b2, b3]
+
+    outs = {}
+    for mode, every in (("compacted", 2), ("plain", None)):
+        src = tmp_path / f"src_{mode}"
+        out = tmp_path / f"out_{mode}"
+        # one availableNow run per batch so each gets its own batch_id
+        # (a single run would fold all staged files into batch 0)
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(str(src))
+            q = stream_documents_curation(
+                spark, str(src), str(out), str(tmp_path / f"ckpt_{mode}"),
+                state_compact_every=every,
+            )
+            q.awaitTermination(240)
+            assert q.exception() is None
+        digest = F.md5(F.lower(F.trim(F.col("text"))))
+        outs[mode] = sorted(
+            r.d
+            for r in spark.read.parquet(str(out / "docs"))
+            .select(digest.alias("d"))
+            .collect()
+        )
+    assert outs["compacted"] == outs["plain"]
+    assert len(outs["compacted"]) == len(set(outs["compacted"]))
+    # layout: after compact-at-batch-2, state holds batch=-1 plus only
+    # batch dirs written after the compaction
+    state_dir = tmp_path / "out_compacted" / "_digest_state"
+    names = sorted(p.name for p in state_dir.glob("batch=*"))
+    assert "batch=-1" in names and "batch=0" not in names
+    # compacted state holds each digest once
+    state = spark.read.parquet(str(state_dir))
+    assert state.count() == state.select("__digest").distinct().count()
+
+
+def test_stream_curation_state_compaction_partitioned(spark, tmp_path):
+    """Prefix-partitioned state keeps its p= layout (and therefore its
+    file-listing pruning) through compaction."""
+    from lichess_db_spark.streaming.ingest import (
+        compact_digest_state,
+        stream_documents_curation,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    src = tmp_path / "src"
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(str(src))
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(str(src))
+    out = tmp_path / "out"
+    q = stream_documents_curation(
+        spark, str(src), str(out), str(tmp_path / "ckpt"),
+        partition_state=True,
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+
+    state_dir = out / "_digest_state"
+    # materialize the pre-compaction view: the compaction swap replaces
+    # the files, so a lazily-listed DataFrame would read stale paths
+    before = sorted(
+        r.d
+        for r in spark.read.parquet(str(state_dir))
+        .select(F.col("__digest").alias("d"))
+        .collect()
+    )
+    n_before = len(before)
+    res = compact_digest_state(spark, str(state_dir))
+    assert res["rows"] == n_before
+    # layout preserved: batch=-1/p=<xx>/ and the p column still reads
+    assert any((state_dir / "batch=-1").glob("p=*"))
+    after = spark.read.parquet(str(state_dir))
+    assert "p" in after.columns
+    assert after.count() == n_before
+    assert before == sorted(
+        r.d for r in after.select(F.col("__digest").alias("d")).collect()
+    )
+    # pruning still applies post-compaction
+    some_prefix = after.select("p").first()[0]
+    plan = (
+        spark.read.parquet(str(state_dir))
+        .where(F.col("p") == some_prefix)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_compact_digest_state_interrupted_swap_heals(spark, tmp_path):
+    """The swap's crash window (state renamed aside, compacted set not
+    yet in place) is healed by the next reader/compaction touch instead
+    of reading as an empty first-batch state."""
+    import shutil
+
+    from lichess_db_spark.streaming.ingest import compact_digest_state
+
+    state_dir = tmp_path / "_digest_state"
+    spark.createDataFrame(
+        [(f"d{i:04d}",) for i in range(50)], "__digest string"
+    ).write.mode("overwrite").parquet(str(state_dir / "batch=0"))
+    n = spark.read.parquet(str(state_dir)).count()
+    # simulate the crash window: live dir moved aside, nothing in place
+    shutil.move(str(state_dir), str(tmp_path / "_digest_state__old"))
+    res = compact_digest_state(spark, str(state_dir))
+    assert res["rows"] == n
+    assert spark.read.parquet(str(state_dir)).count() == n
