@@ -53,6 +53,7 @@ _TOUCHED_THIS_ROUND = (
     "sample_token_budget_docs",  # new: budget fill via distributed prefix sum
     "revenue_mom_growth",        # new: window-over-aggregate MoM growth
     "text_metrics_arrow",        # new: mapInArrow kernel-path surface demo
+    "latest_event_per_user",     # new: keep-latest CDC compaction shape
 )
 _TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT

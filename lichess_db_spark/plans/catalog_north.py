@@ -3507,3 +3507,36 @@ def text_metrics_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         batches, "doc_id bigint, n_chars_exact bigint, n_tokens bigint"
     )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, ts FROM ranked WHERE rn = 1
+    """,
+    "Keep-latest dedup (CDC/log-compaction semantics): one row per "
+    "key, the newest by (ts, event_id) — what a Kafka-compacted topic "
+    "or an upsert-materialization read does on every poll. ONE window "
+    "on one user_id exchange with a rn=1 cut; the (ts, event_id) "
+    "total order makes the survivor deterministic under ties, and no "
+    "self-join/groupBy-max-then-join-back shape is needed (the "
+    "classic 2-shuffle anti-pattern this entry exists to replace). "
+    "At 100 TB the exchange partitions by key and AQE handles hot "
+    "keys; for repeated reads the MERGE path (merge_upsert) "
+    "materializes the same result incrementally instead.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "event_type", "ts",
+                  F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
