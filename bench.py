@@ -117,6 +117,7 @@ HEADLINE = [
     "sample_token_budget_docs",
     "revenue_mom_growth",
     "text_metrics_arrow",
+    "latest_event_per_user",
 ]
 
 
