@@ -534,10 +534,26 @@ def test_quality_filter_pipeline_is_map_only(spark):
 # failure here means the physical plan drifted: re-derive the shape,
 # decide deliberately, and update the expected row.
 _PLAN_FINGERPRINTS = {
-    # q1/q5: the second exchange is two_level_scaled_agg's partial
-    # relation — at most (groups x input partitions) rows, the same
-    # row count a standard partial/final wire carries (r6)
+    # q1/q5/q9/revenue_mom: the extra exchange is two_level_scaled_agg's
+    # partial relation — at most (groups x input partitions) rows, the
+    # same row count a standard partial/final wire carries (r6)
     "q1_pricing_summary": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
+    "q9_profit_by_nation_year": dict(exchanges=2, bhj=3, smj=0, windows=0, topk=0),
+    "q10_returned_top_customers": dict(exchanges=1, bhj=3, smj=0, windows=0, topk=1),
+    "q15_top_suppliers": dict(exchanges=3, bhj=2, smj=0, windows=0, topk=0),
+    # revenue_mom: 2 two-level exchanges + the #months SinglePartition lag
+    "revenue_mom_growth": dict(exchanges=3, bhj=0, smj=0, windows=1, topk=0),
+    # r6 sampling/CDC/API entries. priority_sample_docs: zero exchanges
+    # — TakeOrderedAndProject already lands on one partition, the tiny
+    # tau/cut windows reuse it. token_budget: the counts include the
+    # (cold) InMemoryRelation build subtree repeated under both
+    # InMemoryTableScan branches; the persist executes it once.
+    "priority_sample_docs": dict(exchanges=0, bhj=0, smj=0, windows=2, topk=1),
+    "priority_sample_by_lang": dict(exchanges=2, bhj=0, smj=0, windows=5, topk=0),
+    "sample_token_budget_docs": dict(exchanges=6, bhj=1, smj=0, windows=3, topk=0),
+    "latest_event_per_user": dict(exchanges=1, bhj=0, smj=0, windows=3, topk=0),
+    "mv_hll_maintenance_orders": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
+    "text_metrics_arrow": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     "q3_shipping_priority": dict(exchanges=1, bhj=2, smj=0, windows=0, topk=1),
     "q5_region_revenue": dict(exchanges=2, bhj=3, smj=0, windows=0, topk=0),
     "q7_nation_volume": dict(exchanges=3, bhj=4, smj=1, windows=0, topk=0),
