@@ -118,6 +118,7 @@ HEADLINE = [
     "revenue_mom_growth",
     "text_metrics_arrow",
     "latest_event_per_user",
+    "incremental_topk_orders",
 ]
 
 

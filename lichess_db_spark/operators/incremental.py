@@ -54,21 +54,44 @@ _MERGES = {
 }
 
 
+def _topk_merge(k: int):
+    """The order-statistics algebra: state is the DESC-sorted array of
+    a group's k largest values; two states merge by flatten + re-sort
+    + re-slice. Associative/commutative because
+    topk(A ∪ B) == topk(topk(A) ∪ topk(B)) — dropping anything below
+    a partial's k-th value can never evict a global top-k member.
+    This is how a leaderboard stays maintainable MV state: refresh
+    touches only the delta, state is k values per group."""
+
+    def merge(col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.slice(F.reverse(F.array_sort(F.flatten(F.collect_list(c)))), 1, k)
+
+    return merge
+
+
+def _merge_fn(how: str):
+    if how.startswith("topk:"):
+        return _topk_merge(int(how.split(":", 1)[1]))
+    return _MERGES.get(how)
+
+
 @dataclass(frozen=True)
 class StateCol:
     """One mergeable state column: ``name`` both in the partial-agg
     output and the stored state, merged with ``how``
-    (sum|min|max|hll — "hll" unions DataSketches HLL sketches built
-    with ``F.hll_sketch_agg``, the maintainable COUNT(DISTINCT))."""
+    (sum|min|max|hll|topk:<k> — "hll" unions DataSketches HLL sketches
+    built with ``F.hll_sketch_agg``, the maintainable COUNT(DISTINCT);
+    "topk:<k>" merges DESC-sorted top-k value arrays, the maintainable
+    leaderboard / order statistic)."""
 
     name: str
     how: str
 
     def merge_expr(self) -> Column:
-        try:
-            fn = _MERGES[self.how]
-        except KeyError:  # pragma: no cover - guarded by merge_agg_state
-            raise ValueError(f"unknown merge algebra {self.how!r}") from None
+        fn = _merge_fn(self.how)
+        if fn is None:  # pragma: no cover - guarded by merge_agg_state
+            raise ValueError(f"unknown merge algebra {self.how!r}")
         return fn(F.col(self.name)).alias(self.name)
 
 
@@ -89,7 +112,7 @@ def merge_agg_state(
         missing = expect - set(df.columns)
         if missing:
             raise ValueError(f"{side} side missing state columns: {sorted(missing)}")
-    bad = [c.how for c in cols if c.how not in _MERGES]
+    bad = [c.how for c in cols if _merge_fn(c.how) is None]
     if bad:
         raise ValueError(f"unknown merge algebra(s): {bad}")
     merged = (

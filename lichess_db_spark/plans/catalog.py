@@ -54,6 +54,10 @@ _TOUCHED_THIS_ROUND = (
     "revenue_mom_growth",        # new: window-over-aggregate MoM growth
     "text_metrics_arrow",        # new: mapInArrow kernel-path surface demo
     "latest_event_per_user",     # new: keep-latest CDC compaction shape
+    "incremental_topk_orders",   # new: maintainable top-k leaderboard state
+    # helper re-entry (rotation contract): operators/incremental.py
+    # changed (parametrized merge algebras) — its dependents re-enter
+    "incremental_agg_orders",
 )
 _TOUCHED_R5 = (
     # The five r4-new TPC-H entries that missed the r4 window (VERDICT

@@ -1043,6 +1043,54 @@ def mv_hll_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_topk_orders",
+    """
+    SELECT o_orderpriority,
+           (list_sort(list(o_totalprice), 'DESC'))[1:5] AS top_prices
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "Maintainable leaderboard: per-priority top-5 order prices kept as "
+    "mergeable MV state via the 'topk:5' algebra "
+    "(operators/incremental.py) — topk(A∪B) == topk(topk(A)∪topk(B)), "
+    "so history (o_orderdate < 1999-01-01, NULLs routed to history) is "
+    "reduced ONCE to 5 values per group and each delta batch's top-5 "
+    "partial merges in by union + re-groupBy (flatten, re-sort, "
+    "re-slice — array expressions, no UDF): dropping anything below a "
+    "partial's k-th value can never evict a global top-k member. The "
+    "oracle is the full recompute over all of orders, so the hash "
+    "match proves the merge exact; ties are unambiguous because the "
+    "output is the value multiset, not row identities. At 100 TB this "
+    "is how a dashboard's top-N stays fresh at delta cost with "
+    "k-values-per-group state — the order-statistics member of the "
+    "count/sum/min/max/hll mergeable family.",
+)
+def incremental_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import StateCol, merge_agg_state
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 5
+            ).alias("top_prices")
+        )
+
+    state = partial(
+        orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
+    )
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    return merge_agg_state(
+        state,
+        delta,
+        keys=["o_orderpriority"],
+        cols=[StateCol("top_prices", "topk:5")],
+    )
+
+
 # --------------------------------------------------------------------------
 # association rules (market-basket lift) over order/brand baskets
 # --------------------------------------------------------------------------

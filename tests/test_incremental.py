@@ -337,3 +337,42 @@ def test_mv_hll_entry_exact_cols_and_estimate(spark):
         assert r["n_orders"] == want[k]["n"], k
         assert r["approx_customers"] == want[k]["one_shot"], k  # merged == one-shot
         assert abs(r["approx_customers"] - want[k]["nd"]) <= 0.05 * want[k]["nd"], k
+
+
+def test_topk_state_merge_equals_full(spark):
+    """topk:k algebra: folding per-batch top-k partials over ANY batch
+    split equals the one-shot top-k — dropping below a partial's k-th
+    value can never evict a global top-k member."""
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    orders = load_table(spark, SF_SMALL, "orders")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 5
+            ).alias("top")
+        )
+
+    want = {r["o_orderpriority"]: r["top"] for r in partial(orders).collect()}
+    # 3-way fold over a modulo split (uneven batch sizes on purpose)
+    state = partial(orders.where(F.col("o_orderkey") % 7 < 2))
+    for lo, hi in ((2, 3), (3, 7)):
+        delta = partial(
+            orders.where(
+                (F.col("o_orderkey") % 7 >= lo) & (F.col("o_orderkey") % 7 < hi)
+            )
+        )
+        state = merge_agg_state(
+            state, delta, keys=["o_orderpriority"], cols=[StateCol("top", "topk:5")]
+        )
+    got = {r["o_orderpriority"]: r["top"] for r in state.collect()}
+    assert got == want
+
+
+def test_topk_state_unknown_algebra_rejected(spark):
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    df = spark.createDataFrame([(1, [1.0])], "g int, top array<double>")
+    with pytest.raises(ValueError, match="unknown merge algebra"):
+        merge_agg_state(df, df, keys=["g"], cols=[StateCol("top", "topk")])
