@@ -1046,10 +1046,15 @@ def mv_hll_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_topk_orders",
     """
-    SELECT o_orderpriority,
-           (list_sort(list(o_totalprice), 'DESC'))[1:5] AS top_prices
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk,
+           o_totalprice AS price
+    FROM ranked WHERE rnk <= 5
     """,
     "Maintainable leaderboard: per-priority top-5 order prices kept as "
     "mergeable MV state via the 'topk:5' algebra "
@@ -1061,7 +1066,10 @@ def mv_hll_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial's k-th value can never evict a global top-k member. The "
     "oracle is the full recompute over all of orders, so the hash "
     "match proves the merge exact; ties are unambiguous because the "
-    "output is the value multiset, not row identities. At 100 TB this "
+    "output is the value multiset, not row identities (the state "
+    "array is posexploded to (rank, price) rows at read time — "
+    "scalar columns cross the oracle boundary, array cells do not "
+    "hash portably through pandas). At 100 TB this "
     "is how a dashboard's top-N stays fresh at delta cost with "
     "k-values-per-group state — the order-statistics member of the "
     "count/sum/min/max/hll mergeable family.",
@@ -1083,12 +1091,15 @@ def incremental_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
     )
     delta = partial(orders.where(F.col("o_orderdate") >= cut))
-    return merge_agg_state(
+    merged = merge_agg_state(
         state,
         delta,
         keys=["o_orderpriority"],
         cols=[StateCol("top_prices", "topk:5")],
     )
+    return merged.select(
+        "o_orderpriority", F.posexplode("top_prices").alias("rnk", "price")
+    ).select("o_orderpriority", (F.col("rnk") + 1).cast("bigint").alias("rnk"), "price")
 
 
 # --------------------------------------------------------------------------
