@@ -180,3 +180,33 @@ def test_token_budget_fill_semantics(spark, docs):
             key=lambda t: t[2],
         )
         assert got == base
+
+
+def test_grouped_sample_hot_group_skew(spark):
+    """Adversarial skew: one group holds 95% of the corpus. The
+    two-window prune must still return exactly the naive per-group
+    sample — the hot group's rows spread over input partitions, each
+    contributing a local top-(k+1)."""
+    from pyspark.sql import Window
+
+    from lichess_db_spark.operators.sampling import (
+        _scored,
+        priority_sample_grouped,
+    )
+
+    k = 7
+    rows = [(i, 10 + (i % 90), "hot" if i % 20 else "cold") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint, g string").repartition(13)
+    scored = _scored(df, "doc_id", "w", "g")
+    wN = Window.partitionBy("g").orderBy(F.desc("priority"), F.asc("doc_id"))
+    naive = {
+        (r["g"], r["doc_id"])
+        for r in scored.withColumn("rn", F.row_number().over(wN))
+        .where(F.col("rn") <= k)
+        .collect()
+    }
+    got = {
+        (r["g"], r["doc_id"])
+        for r in priority_sample_grouped(df, "doc_id", "w", k, "g").collect()
+    }
+    assert got == naive and len(got) == 2 * k

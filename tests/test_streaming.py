@@ -875,3 +875,51 @@ def test_compact_digest_state_interrupted_swap_heals(spark, tmp_path):
     res = compact_digest_state(spark, str(state_dir))
     assert res["rows"] == n
     assert spark.read.parquet(str(state_dir)).count() == n
+
+
+def test_stream_agg_maintenance_topk_state(spark, tmp_path):
+    """Composition: streaming MV maintenance carrying a topk:5 state
+    column — the per-priority top-5 prices served after two arrivals
+    exactly equal the one-shot top-5 (the leaderboard stays exact
+    under incremental maintenance)."""
+    from lichess_db_spark.operators.incremental import StateCol
+    from lichess_db_spark.streaming.ingest import (
+        latest_agg_state,
+        stream_agg_maintenance,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [StateCol("n", "sum"), StateCol("top", "topk:5")]
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 5
+            ).alias("top"),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_agg_maintenance(
+            spark, stream, state, ckpt, ["o_orderpriority"], cols, partial
+        )
+        q.awaitTermination(120)
+
+    orders.where(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(src)
+    run_once()
+    orders.where(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+
+    served = {
+        r["o_orderpriority"]: (r["n"], r["top"])
+        for r in latest_agg_state(spark, state).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], r["top"])
+        for r in partial(orders).collect()
+    }
+    assert served == want
