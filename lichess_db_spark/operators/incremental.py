@@ -70,9 +70,25 @@ def _topk_merge(k: int):
     return merge
 
 
+def _set_merge(col: Column | str) -> Column:
+    """The exact-distinct algebra for BOUNDED domains: state is the
+    sorted array of a group's distinct values; merge = flatten +
+    re-distinct + re-sort (set union — associative/commutative/
+    idempotent). Unlike "hll" this is exact, and unlike it the state
+    grows with the domain, so the caller contract is a domain small
+    enough to hold per group (categories, countries, status codes —
+    NOT user ids; reach for "hll" there). Read COUNT(DISTINCT) back as
+    ``size(col)``; the idempotence also makes replayed batches
+    harmless. Staged r6 for an r7 catalog entry."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_sort(F.array_distinct(F.flatten(F.collect_list(c))))
+
+
 def _merge_fn(how: str):
     if how.startswith("topk:"):
         return _topk_merge(int(how.split(":", 1)[1]))
+    if how == "set":
+        return _set_merge
     return _MERGES.get(how)
 
 
@@ -80,10 +96,12 @@ def _merge_fn(how: str):
 class StateCol:
     """One mergeable state column: ``name`` both in the partial-agg
     output and the stored state, merged with ``how``
-    (sum|min|max|hll|topk:<k> — "hll" unions DataSketches HLL sketches
-    built with ``F.hll_sketch_agg``, the maintainable COUNT(DISTINCT);
-    "topk:<k>" merges DESC-sorted top-k value arrays, the maintainable
-    leaderboard / order statistic)."""
+    (sum|min|max|hll|topk:<k>|set — "hll" unions DataSketches HLL
+    sketches built with ``F.hll_sketch_agg``, the maintainable
+    approximate COUNT(DISTINCT); "topk:<k>" merges DESC-sorted top-k
+    value arrays, the maintainable leaderboard; "set" unions sorted
+    distinct-value arrays, the EXACT count-distinct for bounded
+    domains)."""
 
     name: str
     how: str

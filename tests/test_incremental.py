@@ -376,3 +376,30 @@ def test_topk_state_unknown_algebra_rejected(spark):
     df = spark.createDataFrame([(1, [1.0])], "g int, top array<double>")
     with pytest.raises(ValueError, match="unknown merge algebra"):
         merge_agg_state(df, df, keys=["g"], cols=[StateCol("top", "topk")])
+
+
+def test_set_state_merge_exact_distinct(spark):
+    """'set' algebra: folding per-batch distinct-value arrays over any
+    split equals the one-shot distinct set — exact COUNT(DISTINCT) as
+    mergeable state for bounded domains; idempotent under batch replay
+    (set union of a batch with itself changes nothing)."""
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    orders = load_table(spark, SF_SMALL, "orders")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.array_sort(F.collect_set(F.year("o_orderdate"))).alias("years")
+        )
+
+    want = {r["o_orderpriority"]: r["years"] for r in partial(orders).collect()}
+    cols = [StateCol("years", "set")]
+    state = partial(orders.where(F.col("o_orderkey") % 3 == 0))
+    for m in (1, 2):
+        delta = partial(orders.where(F.col("o_orderkey") % 3 == m))
+        state = merge_agg_state(state, delta, keys=["o_orderpriority"], cols=cols)
+    # replay batch 2 (idempotence): the set union absorbs it
+    replay = partial(orders.where(F.col("o_orderkey") % 3 == 2))
+    state = merge_agg_state(state, replay, keys=["o_orderpriority"], cols=cols)
+    got = {r["o_orderpriority"]: r["years"] for r in state.collect()}
+    assert got == want
