@@ -61,11 +61,19 @@ def _topk_merge(k: int):
     topk(A ∪ B) == topk(topk(A) ∪ topk(B)) — dropping anything below
     a partial's k-th value can never evict a global top-k member.
     This is how a leaderboard stays maintainable MV state: refresh
-    touches only the delta, state is k values per group."""
+    touches only the delta, state is k values per group.
+
+    NULL elements in a caller-supplied state array are dropped before
+    the re-sort (ADVICE r6): ``array_sort`` orders NULLs LAST but
+    ``reverse`` then puts them FIRST, where they would displace real
+    top-k members and propagate through every future merge."""
 
     def merge(col: Column | str) -> Column:
         c = F.col(col) if isinstance(col, str) else col
-        return F.slice(F.reverse(F.array_sort(F.flatten(F.collect_list(c)))), 1, k)
+        flat = F.filter(
+            F.flatten(F.collect_list(c)), lambda x: x.isNotNull()
+        )
+        return F.slice(F.reverse(F.array_sort(flat)), 1, k)
 
     return merge
 
@@ -79,14 +87,27 @@ def _set_merge(col: Column | str) -> Column:
     enough to hold per group (categories, countries, status codes —
     NOT user ids; reach for "hll" there). Read COUNT(DISTINCT) back as
     ``size(col)``; the idempotence also makes replayed batches
-    harmless. Staged r6 for an r7 catalog entry."""
+    harmless. Registered r7 as ``incremental_distinct_years_orders``.
+    NULL elements are dropped like in the topk algebra: a NULL is not
+    a domain value, and keeping it would make ``size(col)`` overcount
+    COUNT(DISTINCT) by one."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_sort(F.array_distinct(F.flatten(F.collect_list(c))))
+    flat = F.filter(F.flatten(F.collect_list(c)), lambda x: x.isNotNull())
+    return F.array_sort(F.array_distinct(flat))
 
 
 def _merge_fn(how: str):
     if how.startswith("topk:"):
-        return _topk_merge(int(how.split(":", 1)[1]))
+        # malformed specs ("topk:", "topk:abc", "topk:0") report
+        # through the unified unknown-algebra error (ADVICE r6), not a
+        # bare int() ValueError from inside validation
+        try:
+            k = int(how.split(":", 1)[1])
+        except ValueError:
+            return None
+        if k <= 0:
+            return None
+        return _topk_merge(k)
     if how == "set":
         return _set_merge
     return _MERGES.get(how)

@@ -28,8 +28,25 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    suite (tests/test_catalog_oracle.py).
 # 3. Everything else, least-recently-driver-verified first (ascending
 #    last-green round, registration order as tiebreaker).
-_ROUND = 6
+_ROUND = 7
 _TOUCHED_THIS_ROUND = (
+    # r7 is deliberately NARROW (VERDICT r6 item 3): the rotation tail
+    # should re-green the ~32 oldest r3-vintage entries, so new/changed
+    # work is capped at a handful of slots.
+    # VERDICT r6 item 2: the staged 'set' merge algebra lands as a
+    # full-oracle entry, completing the mergeable-MV family.
+    "incremental_distinct_years_orders",
+    # helper re-entry (rotation contract): operators/incremental.py
+    # changed (ADVICE r6: null-safe topk merge, unified malformed-spec
+    # error) — its dependents re-enter.
+    "incremental_agg_orders",
+    "incremental_topk_orders",
+    "mv_hll_maintenance_orders",
+    # helper re-entry: operators/sampling.py changed (ADVICE r6:
+    # bounded cache lifetime in sample_token_budget).
+    "sample_token_budget_docs",
+)
+_TOUCHED_R6 = (
     # r6: the two items staged in r5 because the window filled
     # (VERDICT r5 items 1-2) lead the window.
     "priority_sample_docs",  # new: DLT weighted sampling, single-scan shape

@@ -1102,6 +1102,59 @@ def incremental_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderpriority", (F.col("rnk") + 1).cast("bigint").alias("rnk"), "price")
 
 
+@register(
+    "incremental_distinct_years_orders",
+    """
+    SELECT DISTINCT o_orderpriority,
+           CAST(year(o_orderdate) AS INT) AS order_year
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    """,
+    "EXACT maintainable COUNT/SET(DISTINCT) for BOUNDED domains: the "
+    "per-priority set of distinct order YEARS kept as mergeable MV "
+    "state via the 'set' algebra (operators/incremental.py) — state "
+    "is the sorted distinct-value array, merge = flatten + "
+    "re-distinct + re-sort, i.e. set union: associative, commutative "
+    "AND idempotent, so replayed delta batches are harmless (unlike "
+    "'sum'). History (o_orderdate < 1999-01-01, NULLs routed to "
+    "history) is reduced ONCE to one array per group; each delta "
+    "batch's distinct-set partial merges in by union + re-groupBy — "
+    "one shuffle, no join, no history rescan. The oracle is the full "
+    "DISTINCT recompute, so the hash match proves "
+    "set(A∪B) == set(set(A)∪set(B)) exactly; the state array is "
+    "exploded to (priority, year) rows at read time (scalar columns "
+    "cross the oracle boundary — array cells do not hash portably "
+    "through pandas, per the incremental_topk note). NULL dates "
+    "vanish from the state (collect_set drops NULLs) exactly as the "
+    "oracle's WHERE drops them. Caller contract: domain small enough "
+    "to hold per group (years/categories/status codes — for user-id "
+    "cardinalities reach for the 'hll' twin, "
+    "mv_hll_maintenance_orders). Completes the mergeable-state "
+    "family: count/sum/min/max + hll + topk:<k> + set.",
+)
+def incremental_distinct_years_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import StateCol, merge_agg_state
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.array_sort(F.collect_set(F.year("o_orderdate"))).alias("years")
+        )
+
+    state = partial(
+        orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
+    )
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    merged = merge_agg_state(
+        state, delta, keys=["o_orderpriority"], cols=[StateCol("years", "set")]
+    )
+    return merged.select(
+        "o_orderpriority", F.explode("years").alias("order_year")
+    )
+
+
 # --------------------------------------------------------------------------
 # association rules (market-basket lift) over order/brand baskets
 # --------------------------------------------------------------------------

@@ -403,3 +403,39 @@ def test_set_state_merge_exact_distinct(spark):
     state = merge_agg_state(state, replay, keys=["o_orderpriority"], cols=cols)
     got = {r["o_orderpriority"]: r["years"] for r in state.collect()}
     assert got == want
+
+
+def test_topk_state_null_elements_dropped(spark):
+    """ADVICE r6: a NULL element in a caller-supplied state array must
+    not displace real top-k members (reverse(array_sort) orders NULLs
+    first); the merge filters NULLs before sorting."""
+    state = spark.createDataFrame(
+        [(1, [9.0, None, 7.0])], "g int, top array<double>"
+    )
+    delta = spark.createDataFrame([(1, [8.0, 6.0])], "g int, top array<double>")
+    merged = merge_agg_state(
+        state, delta, keys=["g"], cols=[StateCol("top", "topk:3")]
+    )
+    [row] = merged.collect()
+    assert row["top"] == [9.0, 8.0, 7.0]
+
+
+def test_set_state_null_elements_dropped(spark):
+    """'set' algebra drops NULL elements: NULL is not a domain value,
+    and keeping it would make size(state) overcount COUNT(DISTINCT)."""
+    state = spark.createDataFrame([(1, [2020, None])], "g int, years array<int>")
+    delta = spark.createDataFrame([(1, [2019, 2020])], "g int, years array<int>")
+    merged = merge_agg_state(
+        state, delta, keys=["g"], cols=[StateCol("years", "set")]
+    )
+    [row] = merged.collect()
+    assert row["years"] == [2019, 2020]
+
+
+@pytest.mark.parametrize("bad", ["topk:", "topk:abc", "topk:0", "topk:-1"])
+def test_malformed_topk_spec_unified_error(spark, bad):
+    """ADVICE r6: malformed topk specs surface through the unified
+    unknown-algebra message, not a bare int() ValueError."""
+    df = spark.createDataFrame([(1, [1.0])], "g int, top array<double>")
+    with pytest.raises(ValueError, match="unknown merge algebra"):
+        merge_agg_state(df, df, keys=["g"], cols=[StateCol("top", bad)])
