@@ -175,6 +175,7 @@ def sample_token_budget(
     weight_col: str,
     budget: int,
     partitions: int = 32,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Weighted-random corpus fill: take documents in DLT-priority
     order (weight-biased, deterministic in the data) until their
@@ -246,4 +247,23 @@ def sample_token_budget(
             "cum_start"
         ),
     )
-    return out.where(F.col("cum_start") < budget)
+    keep = out.where(F.col("cum_start") < budget)
+    if not release_cache:
+        # plan-audit / composition mode: the caller OWNS the persisted
+        # ranged relation (reachable as keep's lineage) and must keep
+        # it alive until the result materializes — the offset branch
+        # and the join left side must read the SAME materialized
+        # partitioning (see the persist comment above)
+        return keep
+    # Bounded cache lifetime (ADVICE r6): a lazily returned plan would
+    # pin the full ranged relation for the session, and repeated
+    # invocations accumulate storage memory.  Materialize the budget
+    # cut ONCE while the cache is alive (localCheckpoint(eager) pins
+    # only the survivor set, whose size is bounded by the budget
+    # itself — at most budget/min(weight) docs by construction) and
+    # release the ranged relation before returning.  The truncated
+    # lineage is fine for this read-side operator; a production mix
+    # writer lands the survivors in a table in the same job anyway.
+    keep = keep.localCheckpoint(eager=True)
+    local.unpersist()
+    return keep

@@ -936,7 +936,15 @@ def stream_documents_curation(
 
                 compact_postings(sess, postings_path)
             if state_compact_every and (batch_id + 1) % state_compact_every == 0:
-                compact_digest_state(sess, state_path)
+                # exclude_batch: the in-flight batch's digests must NOT
+                # fold into batch=-1 — a crash between this compaction
+                # and the checkpoint commit replays the batch, and the
+                # replay's `batch != batch_id` state exclusion can only
+                # filter digests that still live under batch=<id>
+                # (ADVICE r6 high: self-visible digests would anti-join
+                # the whole replayed batch away and overwrite
+                # docs/batch=<id> EMPTY).
+                compact_digest_state(sess, state_path, exclude_batch=batch_id)
         finally:
             # pairs comes back persisted from incremental_near_dup; a
             # long-running stream must release each batch's cache or
@@ -954,7 +962,10 @@ def stream_documents_curation(
 
 
 def compact_digest_state(
-    spark: SparkSession, state_path: str, rows_per_file: int = 8_000_000
+    spark: SparkSession,
+    state_path: str,
+    rows_per_file: int = 8_000_000,
+    exclude_batch: int | None = None,
 ) -> dict:
     """Compact the streaming curation digest state (the `_digest_state`
     sibling of ``compact_postings``): the state grows one ``batch=<id>``
@@ -974,9 +985,23 @@ def compact_digest_state(
       and the one crash window (between the two renames) is healed by
       ``_restore_interrupted_swap``, which every curation micro-batch
       now calls before its state probe — an interrupted compaction can
-      never be mistaken for an empty first-batch state.
+      never be mistaken for an empty first-batch state;
+    - ``exclude_batch`` (the streaming caller passes its in-flight
+      ``batch_id``) keeps that batch's digests OUT of ``batch=-1``:
+      they are carried through the swap under their own
+      ``batch=<id>`` directory, byte-rewritten into the compacted
+      tree (the live dir is never moved, so the pre-swap state stays
+      whole).  This is load-bearing for crash replay (ADVICE r6
+      high): if the stream dies between compaction and checkpoint
+      commit, the replayed micro-batch excludes its own prior output
+      with ``batch != batch_id`` — digests folded into ``batch=-1``
+      would become self-visible and anti-join the entire replayed
+      batch away, silently emptying ``docs/batch=<id>``.
 
-    Returns {"rows": n, "files": k} for the compacted state.
+    Returns {"rows": n, "files": k} for the compacted ``batch=-1``
+    state (k counts the data files actually written — in the
+    partitioned layout that is ~one per touched prefix, not
+    ``ceil(rows/rows_per_file)``).
     """
     import math
 
@@ -989,6 +1014,12 @@ def compact_digest_state(
     raw = spark.read.parquet(state_path)
     partitioned = "p" in raw.columns
     cols = ["__digest", "p"] if partitioned else ["__digest"]
+    live_batch_dir = None
+    if exclude_batch is not None and "batch" in raw.columns:
+        candidate = f"{state_path.rstrip('/')}/batch={exclude_batch}"
+        if path_exists(spark, candidate):
+            live_batch_dir = candidate
+            raw = raw.where(F.col("batch") != F.lit(exclude_batch))
     state = raw.select(*cols).dropDuplicates()
     n = state.count()
     files = max(1, math.ceil(n / rows_per_file))
@@ -1008,5 +1039,25 @@ def compact_digest_state(
         )
     else:
         state.repartition(files).write.mode("overwrite").parquet(target)
+    if live_batch_dir is not None:
+        # copy-rewrite (never move) the excluded batch into the
+        # compacted tree; the live state stays intact until the swap
+        keep = spark.read.parquet(live_batch_dir)
+        keep_target = f"{tmp_path}/batch={exclude_batch}"
+        if partitioned:
+            keep.repartition("p").write.partitionBy("p").mode(
+                "overwrite"
+            ).parquet(keep_target)
+        else:
+            keep.coalesce(1).write.mode("overwrite").parquet(keep_target)
+    # report the data files ACTUALLY written for batch=-1 (ADVICE r6:
+    # the partitioned write produces ~one file per prefix, so the
+    # ceil(rows/rows_per_file) estimate does not describe it)
+    written = 0
+    it = fs.listFiles(hpath(target), True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            written += 1
     _swap_compacted(spark, state_path)
-    return {"rows": n, "files": files}
+    return {"rows": n, "files": written}

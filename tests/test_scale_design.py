@@ -550,7 +550,10 @@ _PLAN_FINGERPRINTS = {
     # InMemoryTableScan branches; the persist executes it once.
     "priority_sample_docs": dict(exchanges=0, bhj=0, smj=0, windows=2, topk=1),
     "priority_sample_by_lang": dict(exchanges=2, bhj=0, smj=0, windows=5, topk=0),
-    "sample_token_budget_docs": dict(exchanges=6, bhj=1, smj=0, windows=3, topk=0),
+    # sample_token_budget_docs: the ENTRY materializes eagerly (bounded
+    # cache lifetime, ADVICE r6) so its returned plan is a checkpoint
+    # scan; the lazy plan shape is pinned by
+    # test_sample_token_budget_lazy_plan_shape below.
     "latest_event_per_user": dict(exchanges=1, bhj=0, smj=0, windows=3, topk=0),
     "mv_hll_maintenance_orders": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
     "text_metrics_arrow": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
@@ -746,3 +749,31 @@ def test_plan_fingerprint(spark, name):
         f"{name}: physical plan drifted.\nexpected {_PLAN_FINGERPRINTS[name]}"
         f"\ngot      {got}\n{p}"
     )
+
+
+def test_sample_token_budget_lazy_plan_shape(spark):
+    """The operator's lazy plan (release_cache=False) keeps the
+    distributed-prefix-sum shape: range exchange + per-partition
+    windows + broadcast offset join, never a fact-sized
+    SinglePartition window. The catalog entry wraps this in an eager
+    localCheckpoint (bounded cache lifetime), so the shape is pinned
+    here instead of in _PLAN_FINGERPRINTS."""
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.sampling import sample_token_budget
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMALL, "documents")
+    keep = sample_token_budget(
+        docs, "doc_id", "n_chars", 100_000, release_cache=False
+    )
+    p = _plan(keep, "simple")
+    try:
+        assert _fingerprint(p) == dict(
+            exchanges=6, bhj=1, smj=0, windows=3, topk=0
+        ), p
+        # the single-partition window runs over per-partition TOTALS
+        # (P rows), never the doc relation: exactly one
+        # SinglePartition exchange, fed by the partial-totals agg
+        assert p.count("Exchange SinglePartition") == 1, p
+    finally:
+        spark.catalog.clearCache()

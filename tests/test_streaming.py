@@ -857,6 +857,52 @@ def test_stream_curation_state_compaction_partitioned(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_stream_curation_compaction_crash_replay(spark, tmp_path):
+    """ADVICE r6 (high): a crash BETWEEN state compaction and the
+    checkpoint commit replays the micro-batch with the same batch_id.
+    The replay excludes its own prior digests with `batch != batch_id`
+    — so compaction must NOT fold the in-flight batch's digests into
+    batch=-1, or they become self-visible and the replay anti-joins
+    every doc away, overwriting docs/batch=<id> EMPTY. Simulated end
+    to end: run one batch with state_compact_every=1 (compaction fires
+    after it), delete the checkpoint commit marker (the crash window),
+    restart, and assert the replayed batch's docs survive intact."""
+    from lichess_db_spark.streaming.ingest import stream_documents_curation
+
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 200)
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    docs.coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_documents_curation(
+        spark, str(src), str(out), str(ckpt), state_compact_every=1
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+    kept_before = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(out / "docs")).select("doc_id").collect()
+    )
+    assert kept_before, "first run produced no docs"
+    # compaction ran after batch 0, but the batch's own digests must
+    # still live under their batch=0 dir (excluded from batch=-1)
+    names = sorted(p.name for p in (out / "_digest_state").glob("batch=*"))
+    assert "batch=-1" in names and "batch=0" in names
+    # crash window: offsets/0 exists, commits/0 does not -> replay
+    # (drop the local ChecksumFs .crc sidecar too, or the replay's
+    # commit rename trips over it — test-env artifact, not product)
+    (ckpt / "commits" / "0").unlink()
+    (ckpt / "commits" / ".0.crc").unlink(missing_ok=True)
+    q = stream_documents_curation(
+        spark, str(src), str(out), str(ckpt), state_compact_every=1
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+    kept_after = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(out / "docs")).select("doc_id").collect()
+    )
+    assert kept_after == kept_before
+
+
 def test_compact_digest_state_interrupted_swap_heals(spark, tmp_path):
     """The swap's crash window (state renamed aside, compacted set not
     yet in place) is healed by the next reader/compaction touch instead
