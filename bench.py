@@ -194,6 +194,14 @@ def main() -> None:
                 runs = kept
             samples[name] = runs
             timings[name] = runs[len(runs) // 2]
+            # drop builder-persisted intermediates between ENTRIES (r7):
+            # CacheManager dedupes same-plan persists, so within-entry
+            # samples legitimately share a warm cache, but entries with
+            # nondeterministic plan fragments can leave one pinned copy
+            # per build and unrelated later entries then measure that
+            # storage pressure, not their own plan. Within-entry warm
+            # reuse is preserved; cross-entry state is not.
+            spark.catalog.clearCache()
             gc.collect()  # reclaim plan garbage between queries, not during
             # also quiesce the SHARED local[32] JVM heap between
             # queries: without a full collection, allocation-heavy
