@@ -46,6 +46,46 @@ def test_rows_only_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
+def test_approx_quantiles_rank_error_bracket(spark, sf_dir):
+    """VERDICT r6 #7: pin the GK sketch's rank-error contract.
+
+    percentile_approx(value, probs, accuracy=A) guarantees each
+    reported quantile's true rank is within eps*N of p*N, eps = 1/A
+    (Greenwald-Khanna; Spark ApproximatePercentile docs). The driver
+    row stays rows-only (sketches differ per engine); this test makes
+    the accuracy claim executable against DuckDB's exact rank counts.
+    """
+    import duckdb
+
+    q = QUERIES["approx_quantiles_value"]
+    probs = [0.25, 0.5, 0.75, 0.99]
+    eps = 1.0 / 10000  # must match the builder's accuracy parameter
+    quantiles = q.build(spark, sf_dir).collect()[0]["quantiles"]
+    assert len(quantiles) == len(probs)
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(value) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    for p, v in zip(probs, quantiles):
+        lt, le = con.execute(
+            f"SELECT count(*) FILTER (value < ?), count(*) FILTER (value <= ?) "
+            f"FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL",
+            [v, v],
+        ).fetchone()
+        # the reported value occupies rank interval (lt, le]; GK promises
+        # some rank in that interval is within eps*N of the target (+1 for
+        # integer rank-rounding at the boundary).
+        target = p * n
+        slack = eps * n + 1
+        assert lt + 1 <= target + slack and le >= target - slack, (
+            f"p={p}: value {v} spans ranks ({lt}, {le}], "
+            f"target {target:.1f} ± {slack:.1f} of N={n}"
+        )
+    con.close()
+
+
 HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
          "dedup_ngram_jaccard", "w1_running_count_by_type", "events_session_windows",
          # r5: corpus-stats joins + auto-scaled LSH have size-dependent
