@@ -157,11 +157,92 @@ def run_digest_state(spark, n_batches: int, compact_every: int | None) -> list[d
     return rows
 
 
+def run_digest_state_partitioned(
+    spark, n_batches: int, compact_every: int | None
+) -> list[dict]:
+    """VERDICT r6 #4: the trickle-cadence scaling run for the
+    PREFIX-PARTITIONED digest state (``batch=<i>/p=<xx>/`` hive
+    layout, as ``stream_documents_curation(partition_state=True)``
+    writes it), pushed past 100 batches.
+
+    Models a trickle stream: 64 digests/batch (so each batch touches
+    ~50 of the 256 prefixes), probe = 32 digests pruned to their own
+    prefix set before the anti-join — the exact probe shape of
+    ``_process``. Two costs are recorded separately:
+
+    - ``probe_sec``: the pruned anti-join (listing only the probe's
+      prefixes inside each batch= dir);
+    - ``list_sec``: a full recursive listing of the state tree (what
+      an UNPRUNED reader — or the compactor — pays), sampled every 10
+      batches so the stats collection doesn't dominate the bench.
+
+    With ``compact_every`` on, state older than the in-flight batch
+    folds into ``batch=-1/p=<xx>/`` (one file per prefix), so both the
+    full-tree file count and the per-prefix file count a probe lists
+    stay bounded; append-only they grow linearly with batch count.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.streaming.ingest import compact_digest_state
+
+    root = tempfile.mkdtemp(prefix="bench_digest_part_")
+    state = os.path.join(root, "_digest_state")
+    rows: list[dict] = []
+    try:
+        for b in range(n_batches):
+            batch = spark.range(b * 64, (b + 1) * 64).select(
+                F.md5(F.col("id").cast("string")).alias("__digest")
+            ).select("__digest", F.substring("__digest", 1, 2).alias("p"))
+            batch.coalesce(1).write.partitionBy("p").mode("overwrite").parquet(
+                os.path.join(state, f"batch={b}")
+            )
+            probe = spark.range(b * 64 + 48, b * 64 + 80).select(
+                F.md5(F.col("id").cast("string")).alias("__digest")
+            )
+            prefixes = [
+                r[0]
+                for r in probe.select(
+                    F.substring("__digest", 1, 2).alias("p")
+                ).distinct().collect()
+            ]
+            t0 = _t.perf_counter()
+            seen = spark.read.parquet(state).where(F.col("p").isin(prefixes))
+            n_new = probe.join(
+                seen.select("__digest"), "__digest", "left_anti"
+            ).count()
+            probe_sec = round(_t.perf_counter() - t0, 3)
+            did = False
+            if compact_every and (b + 1) % compact_every == 0:
+                compact_digest_state(spark, state, exclude_batch=b)
+                did = True
+            row = {
+                "batch": b,
+                "probe_sec": probe_sec,
+                "new_digests": n_new,
+                "compacted": did,
+            }
+            if (b + 1) % 10 == 0 or b == n_batches - 1:
+                # listing cost as Spark pays it: InMemoryFileIndex
+                # construction (JVM-side, parallel) + the data-file
+                # list in ONE py4j call — not a per-file driver loop.
+                t0 = _t.perf_counter()
+                row["state_files"] = len(spark.read.parquet(state).inputFiles())
+                row["list_sec"] = round(_t.perf_counter() - t0, 3)
+            rows.append(row)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--compact-every", type=int, default=5)
     ap.add_argument("--digest-batches", type=int, default=40)
+    ap.add_argument("--digest-scale-batches", type=int, default=120)
+    ap.add_argument("--digest-scale-compact-every", type=int, default=20)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -187,6 +268,14 @@ def main() -> None:
         dg_compact = run_digest_state(
             spark, args.digest_batches, args.compact_every
         )
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        dgp_append = run_digest_state_partitioned(
+            spark, args.digest_scale_batches, None
+        )
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        dgp_compact = run_digest_state_partitioned(
+            spark, args.digest_scale_batches, args.digest_scale_compact_every
+        )
     finally:
         gc.enable()
 
@@ -207,6 +296,10 @@ def main() -> None:
         "compacted": compacted,
         "digest_state_append": dg_append,
         "digest_state_compacted": dg_compact,
+        "digest_scale_batches": args.digest_scale_batches,
+        "digest_scale_compact_every": args.digest_scale_compact_every,
+        "digest_partitioned_append": dgp_append,
+        "digest_partitioned_compacted": dgp_compact,
         "summary": {
             "final_files_append": append_only[-1]["archive_files"],
             "final_files_compacted": compacted[-1]["archive_files"],
@@ -225,6 +318,16 @@ def main() -> None:
             ),
             "digest_last10_probe_compacted": round(
                 sum(r["probe_sec"] for r in dg_compact[-10:]), 3
+            ),
+            "dgp_final_files_append": dgp_append[-1].get("state_files"),
+            "dgp_final_files_compacted": dgp_compact[-1].get("state_files"),
+            "dgp_final_list_sec_append": dgp_append[-1].get("list_sec"),
+            "dgp_final_list_sec_compacted": dgp_compact[-1].get("list_sec"),
+            "dgp_last10_probe_append": round(
+                sum(r["probe_sec"] for r in dgp_append[-10:]), 3
+            ),
+            "dgp_last10_probe_compacted": round(
+                sum(r["probe_sec"] for r in dgp_compact[-10:]), 3
             ),
         },
     }

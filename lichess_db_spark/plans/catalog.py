@@ -45,6 +45,10 @@ _TOUCHED_THIS_ROUND = (
     # helper re-entry: operators/sampling.py changed (ADVICE r6:
     # bounded cache lifetime in sample_token_budget).
     "sample_token_budget_docs",
+    # VERDICT r6 #8 breadth: CDC changelog compaction with tombstone
+    # semantics (the keep-latest twin that pairs with
+    # snapshot_diff_orders / merge_upsert).
+    "cdc_log_compaction_orders",
 )
 _TOUCHED_R6 = (
     # r6: the two items staged in r5 because the window filled

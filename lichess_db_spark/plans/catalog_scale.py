@@ -1334,6 +1334,83 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CDC changelog compaction (keep-latest with tombstones)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_log_compaction_orders",
+    """
+    WITH log AS (
+        SELECT o_orderkey, o_totalprice, 1 AS seq FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1.0, 2
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS DOUBLE), 3
+        FROM orders WHERE o_orderkey % 19 = 0
+    ),
+    ranked AS (
+        SELECT o_orderkey, o_totalprice, seq,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC) AS rn
+        FROM log
+    )
+    SELECT o_orderkey, o_totalprice, seq AS last_seq
+    FROM ranked WHERE rn = 1 AND seq <> 3
+    """,
+    "CDC changelog compaction (VERDICT r6 #8): materialize the "
+    "current table state from an insert/update/delete log — keep the "
+    "newest entry per key, and a delete tombstone erases the key "
+    "entirely. This is the read side of a Debezium/Kafka-compacted "
+    "changelog and the batch twin of merge_upsert's incremental "
+    "MERGE; it differs from latest_event_per_user exactly by the "
+    "tombstone-drop (keep-latest alone would resurrect deleted "
+    "rows). The changelog is derived deterministically from orders "
+    "(seq 1 insert for every key, seq 2 price restatement on the "
+    "%11 slice, seq 3 tombstone on the %19 slice) so the driver "
+    "hash-checks every surviving row, including a %209 slice where "
+    "an update is later tombstoned. ONE key exchange + one window "
+    "+ rn=1 cut, filter-after-window for the tombstones — no "
+    "groupBy-max-join-back, no second shuffle. At 100 TB the log is "
+    "a real table partitioned by arrival batch; compaction "
+    "partitions by key (AQE splits hot keys) and the seq tiebreaker "
+    "(a changelog offset) makes the survivor total-ordered, so "
+    "replaying a batch is idempotent.",
+)
+def cdc_log_compaction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    log = (
+        orders.select(
+            "o_orderkey", "o_totalprice", F.lit(1).alias("seq")
+        )
+        .unionAll(
+            orders.where(F.col("o_orderkey") % 11 == 0).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionAll(
+            orders.where(F.col("o_orderkey") % 19 == 0).select(
+                "o_orderkey",
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit(3).alias("seq"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    return (
+        log.select(
+            "o_orderkey", "o_totalprice", "seq",
+            F.row_number().over(w).alias("__rn"),
+        )
+        .where((F.col("__rn") == 1) & (F.col("seq") != 3))
+        .select("o_orderkey", "o_totalprice", F.col("seq").alias("last_seq"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Markov transition matrix over per-user event sequences
 # --------------------------------------------------------------------------
 
