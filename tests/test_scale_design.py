@@ -555,6 +555,10 @@ _PLAN_FINGERPRINTS = {
     # scan; the lazy plan shape is pinned by
     # test_sample_token_budget_lazy_plan_shape below.
     "latest_event_per_user": dict(exchanges=1, bhj=0, smj=0, windows=3, topk=0),
+    # r7: changelog compaction — one key exchange; windows=3 is the
+    # Window node plus the partial/final WindowGroupLimit pair (the
+    # map-side top-1 pre-prune is the load-bearing scale property)
+    "cdc_log_compaction_orders": dict(exchanges=1, bhj=0, smj=0, windows=3, topk=0),
     "mv_hll_maintenance_orders": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
     "text_metrics_arrow": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     "q3_shipping_priority": dict(exchanges=1, bhj=2, smj=0, windows=0, topk=1),
