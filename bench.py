@@ -119,6 +119,12 @@ HEADLINE = [
     "text_metrics_arrow",
     "latest_event_per_user",
     "incremental_topk_orders",
+    # r7: set-algebra MV, CDC changelog compaction, tokenizer stats,
+    # hybrid retrieval fusion
+    "incremental_distinct_years_orders",
+    "cdc_log_compaction_orders",
+    "bpe_pair_counts",
+    "hybrid_search_rrf",
 ]
 
 

@@ -49,6 +49,12 @@ _TOUCHED_THIS_ROUND = (
     # semantics (the keep-latest twin that pairs with
     # snapshot_diff_orders / merge_upsert).
     "cdc_log_compaction_orders",
+    # r7 session 2 breadth (each displaces an r4-tail slot, keeping the
+    # 30 r3-vintage re-greens intact): BPE first-merge pair statistics
+    # (tokenizer-training shape: corpus -> vocab -> pairs) and
+    # reciprocal-rank-fusion hybrid retrieval (dense cosine + BM25).
+    "bpe_pair_counts",
+    "hybrid_search_rrf",
 )
 _TOUCHED_R6 = (
     # r6: the two items staged in r5 because the window filled

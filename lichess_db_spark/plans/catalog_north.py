@@ -3540,3 +3540,187 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# --------------------------------------------------------------------------
+# tokenizer statistics + hybrid retrieval (r7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM words WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt FROM (
+            SELECT w, cnt, unnest(range(1, len(w))) AS i FROM wf
+        )
+    )
+    SELECT pair, pair_count, rnk FROM (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY SUM(cnt) DESC, pair) AS INT) AS rnk
+        FROM pairs GROUP BY pair
+    ) WHERE rnk <= 50
+    """,
+    "BPE tokenizer training, first merge step: corpus-weighted counts "
+    "of adjacent symbol pairs (character bigrams inside whitespace "
+    "words), top-50 by frequency — the argmax of this relation is the "
+    "pair a BPE trainer would merge first. The scale trick is the one "
+    "real BPE trainers use: aggregate the corpus to a word-frequency "
+    "VOCAB first (one corpus-wide shuffle of bare tokens; Heaps' law "
+    "makes the vocab sublinear in corpus size), then explode each "
+    "DISTINCT word into its pairs weighted by cnt — pair counting "
+    "never touches corpus-sized data again, and further BPE "
+    "iterations would rewrite only the vocab relation. Pair domain is "
+    "bounded by alphabet^2, so the final rank window orders a "
+    "constant-size relation. Exact integer counts end to end.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        agg.select(
+            "pair",
+            "pair_count",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 50)
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    prs AS (
+        SELECT c.vec_id AS neighbor_id, q.embedding AS qe, c.embedding AS ce
+        FROM embeddings c, q WHERE c.vec_id != q.vec_id
+    ),
+    dots AS (
+        SELECT neighbor_id,
+               CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_i,
+               CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(qe[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qq_i,
+               CAST(SUM(CAST(ROUND(CAST(ce[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS cc_i
+        FROM prs, generate_series(1, 64) AS g(i)
+        GROUP BY neighbor_id
+    ),
+    dense AS (
+        SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS dense_rank FROM (
+            SELECT neighbor_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND((dot_i / 1e12)
+                           / (sqrt(qq_i / 1e12) * sqrt(cc_i / 1e12)), 3) DESC,
+                           neighbor_id) AS rank
+            FROM dots
+        ) WHERE rank <= 20
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN ('spark', 'merge', 'vector')
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    contrib AS (
+        SELECT t.doc_id,
+               CAST(ROUND(((c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * ((t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * (d.dl / c.avgdl))))
+                    * 1e12) AS BIGINT) AS sc
+        FROM tf t
+        JOIN dfreq f USING (tok)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN corpus c
+    ),
+    sparse AS (
+        SELECT doc_id, rnk AS sparse_rank FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY CAST(SUM(sc) AS BIGINT) DESC, doc_id) AS INT) AS rnk
+            FROM contrib GROUP BY doc_id
+        ) WHERE rnk <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+               CAST(COALESCE(CAST(ROUND(1e12 / (60 + d.dense_rank)) AS BIGINT), 0)
+                  + COALESCE(CAST(ROUND(1e12 / (60 + s.sparse_rank)) AS BIGINT), 0)
+                    AS BIGINT) AS rrf_scaled,
+               CAST(COALESCE(d.dense_rank, 0) AS INT) AS dense_rank,
+               CAST(COALESCE(s.sparse_rank, 0) AS INT) AS sparse_rank
+        FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, rrf_scaled, dense_rank, sparse_rank, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """,
+    "Hybrid retrieval via reciprocal-rank fusion (k=60): the dense leg "
+    "is exact cosine top-20 for query vector 0 (brute_force_topk — the "
+    "same scaled-int portable cosine as knn_bruteforce_cosine), the "
+    "sparse leg is the BM25 top-20 of bm25_keyword_search, and fusion "
+    "scores sum ROUND(1e12/(60+rank)) per leg as exact BIGINTs "
+    "(doc absent from a leg contributes 0; absent ranks surface as 0). "
+    "Both legs end in top-k reductions, so the full-outer fusion join "
+    "sees two <=k-row relations — broadcast-sized no matter how big "
+    "the corpus or index is; at 100 TB each leg scales independently "
+    "(IVF/LSH for dense, posting-list pruning for sparse) and the "
+    "fusion cost stays O(k). This is the standard RAG retrieval "
+    "front-end (dense + keyword + RRF) as one declarative plan.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    sparse = bm25_keyword_search(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("sparse_rank")
+    )
+    fused = dense.join(sparse, "doc_id", "full_outer")
+
+    def contrib(c: str) -> F.Column:
+        return F.coalesce(
+            F.round(F.lit(1e12) / (F.lit(60) + F.col(c))).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+
+    scored = fused.select(
+        "doc_id",
+        (contrib("dense_rank") + contrib("sparse_rank")).alias("rrf_scaled"),
+        F.coalesce(F.col("dense_rank"), F.lit(0)).cast("int").alias("dense_rank"),
+        F.coalesce(F.col("sparse_rank"), F.lit(0)).cast("int").alias("sparse_rank"),
+    )
+    w = Window.orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= 10)
+    )

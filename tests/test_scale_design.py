@@ -559,6 +559,18 @@ _PLAN_FINGERPRINTS = {
     # Window node plus the partial/final WindowGroupLimit pair (the
     # map-side top-1 pre-prune is the load-bearing scale property)
     "cdc_log_compaction_orders": dict(exchanges=1, bhj=0, smj=0, windows=3, topk=0),
+    # r7: tokenizer pair stats — exchange 1 builds the word-frequency
+    # vocab (corpus-wide, map-combined), exchange 2 aggregates pairs
+    # over the VOCAB only; the rank window sees 50 rows thanks to the
+    # window-group-limit pushdown (TakeOrderedAndProject under Window)
+    "bpe_pair_counts": dict(exchanges=2, bhj=0, smj=0, windows=1, topk=1),
+    # r7: RRF fusion — the SMJ is the full-outer fusion of two <=20-row
+    # top-k legs (Spark cannot broadcast full-outer; both inputs are
+    # k-row reductions so the exchange is O(k) regardless of corpus);
+    # bhj=2 and the remaining exchanges belong to the BM25 leg;
+    # windows=5 counts the two legs' rank windows plus the group-limit
+    # partial/final pre-prune pair the rank<=k filters enable
+    "hybrid_search_rrf": dict(exchanges=9, bhj=2, smj=1, windows=5, topk=1),
     "mv_hll_maintenance_orders": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
     "text_metrics_arrow": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     "q3_shipping_priority": dict(exchanges=1, bhj=2, smj=0, windows=0, topk=1),
