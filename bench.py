@@ -125,6 +125,7 @@ HEADLINE = [
     "cdc_log_compaction_orders",
     "bpe_pair_counts",
     "hybrid_search_rrf",
+    "incremental_histogram_orders",
 ]
 
 

@@ -78,6 +78,51 @@ def _topk_merge(k: int):
     return merge
 
 
+def _hist_merge(n: int):
+    """The distribution algebra: state is a length-``n`` BIGINT
+    bin-count vector (equi-width histogram, or any fixed-width count
+    vector); two states merge by element-wise addition — associative/
+    commutative because integer vector addition is. This is how a
+    histogram/percentile dashboard stays maintainable MV state: refresh
+    touches only the delta, state is n counters per group, and any
+    quantile is read from the merged vector by prefix-summing bins.
+    Caller contract (mirrors topk's no-NULL-elements contract): state
+    arrays are length n with no NULL cells — a NULL cell is coalesced
+    to 0 defensively, and a NULL state *row* is dropped by
+    ``collect_list``, but arrays longer than n would widen the state
+    (``zip_with`` runs to the longer length) and are on the caller."""
+
+    def merge(col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        zero = F.array_repeat(F.lit(0).cast("bigint"), n)
+        return F.aggregate(
+            F.collect_list(c),
+            zero,
+            lambda acc, x: F.zip_with(
+                acc, x, lambda a, b: a + F.coalesce(b, F.lit(0).cast("bigint"))
+            ),
+        )
+
+    return merge
+
+
+def bins_to_array(n_bins: int, bin_col: str, cnt_col: str) -> Column:
+    """Aggregate expression assembling per-(group, bin) count rows into
+    the length-``n_bins`` BIGINT vector the ``hist:<n>`` algebra
+    merges. Use AFTER a ``groupBy(keys, bin).count()`` — that first
+    aggregate is map-combinable on the fact table, so the vector
+    assembly only ever touches the tiny (groups x bins) relation.
+    Missing bins become 0; the bin column must be INT in [0, n_bins)
+    and non-NULL (clamp + null-filter upstream)."""
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col(bin_col), F.col(cnt_col)))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("bigint")),
+    )
+
+
 def _set_merge(col: Column | str) -> Column:
     """The exact-distinct algebra for BOUNDED domains: state is the
     sorted array of a group's distinct values; merge = flatten +
@@ -108,6 +153,15 @@ def _merge_fn(how: str):
         if k <= 0:
             return None
         return _topk_merge(k)
+    if how.startswith("hist:"):
+        # same malformed-spec handling as topk (ADVICE r6)
+        try:
+            n = int(how.split(":", 1)[1])
+        except ValueError:
+            return None
+        if n <= 0:
+            return None
+        return _hist_merge(n)
     if how == "set":
         return _set_merge
     return _MERGES.get(how)
@@ -117,12 +171,13 @@ def _merge_fn(how: str):
 class StateCol:
     """One mergeable state column: ``name`` both in the partial-agg
     output and the stored state, merged with ``how``
-    (sum|min|max|hll|topk:<k>|set — "hll" unions DataSketches HLL
-    sketches built with ``F.hll_sketch_agg``, the maintainable
+    (sum|min|max|hll|topk:<k>|set|hist:<n> — "hll" unions DataSketches
+    HLL sketches built with ``F.hll_sketch_agg``, the maintainable
     approximate COUNT(DISTINCT); "topk:<k>" merges DESC-sorted top-k
     value arrays, the maintainable leaderboard; "set" unions sorted
     distinct-value arrays, the EXACT count-distinct for bounded
-    domains)."""
+    domains; "hist:<n>" adds length-n bin-count vectors element-wise,
+    the maintainable histogram/quantile distribution)."""
 
     name: str
     how: str

@@ -55,6 +55,9 @@ _TOUCHED_THIS_ROUND = (
     # reciprocal-rank-fusion hybrid retrieval (dense cosine + BM25).
     "bpe_pair_counts",
     "hybrid_search_rrf",
+    # r7 session 2: the 'hist:<n>' merge algebra completes the
+    # mergeable-state family with a distribution-shaped state.
+    "incremental_histogram_orders",
 )
 _TOUCHED_R6 = (
     # r6: the two items staged in r5 because the window filled

@@ -1155,6 +1155,77 @@ def incremental_distinct_years_orders(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "incremental_histogram_orders",
+    """
+    WITH binned AS (
+        SELECT o_orderpriority,
+               CAST(LEAST(15, GREATEST(0, FLOOR(o_totalprice / 31250.0)))
+                    AS INT) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT o_orderpriority, bin, CAST(COUNT(*) AS BIGINT) AS bin_count
+    FROM binned GROUP BY o_orderpriority, bin
+    """,
+    "Maintainable DISTRIBUTION state: per-priority 16-bin equi-width "
+    "histogram of order value kept as mergeable MV state via the "
+    "'hist:16' algebra (operators/incremental.py) — state is a "
+    "length-16 BIGINT bin-count vector, merge = element-wise addition "
+    "(zip_with), associative/commutative like sum. History "
+    "(o_orderdate < 1999-01-01, NULLs routed to history) is reduced "
+    "ONCE; each delta batch's vector partial merges in by union + "
+    "re-groupBy — one shuffle, no join, no history rescan. The "
+    "partial itself is two-stage for scale: groupBy(keys, bin).count() "
+    "is map-combinable ON THE FACT TABLE (the corpus-wide wire carries "
+    "(group, bin, count) rows, never vectors), then bins_to_array "
+    "assembles vectors over the tiny (groups x 16) relation. The "
+    "oracle is the full GROUP BY recompute, so the hash match proves "
+    "hist(A∪B) == hist(A) + hist(B) exactly; vectors are posexploded "
+    "to (priority, bin, count) scalar rows at read time with empty "
+    "bins dropped to mirror the oracle's present-groups-only output. "
+    "At 100 TB this is how a latency/price/length distribution "
+    "dashboard — and any percentile read off it by prefix-summing "
+    "bins — stays fresh at delta cost with n counters per group. "
+    "Completes the mergeable-state family: count/sum/min/max + hll + "
+    "topk:<k> + set + hist:<n>.",
+)
+def incremental_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import StateCol, bins_to_array, merge_agg_state
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+    bin_expr = (
+        F.least(
+            F.lit(15), F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / 31250.0))
+        )
+        .cast("int")
+        .alias("__bin")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        counts = df.select("o_orderpriority", bin_expr).groupBy(
+            "o_orderpriority", "__bin"
+        ).agg(F.count("*").cast("bigint").alias("__c"))
+        return counts.groupBy("o_orderpriority").agg(
+            bins_to_array(16, "__bin", "__c").alias("price_hist")
+        )
+
+    state = partial(
+        orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
+    )
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    merged = merge_agg_state(
+        state, delta, keys=["o_orderpriority"], cols=[StateCol("price_hist", "hist:16")]
+    )
+    return (
+        merged.select(
+            "o_orderpriority", F.posexplode("price_hist").alias("bin", "bin_count")
+        )
+        .where(F.col("bin_count") > 0)
+        .select(F.col("o_orderpriority"), F.col("bin").cast("int"), "bin_count")
+    )
+
+
 # --------------------------------------------------------------------------
 # association rules (market-basket lift) over order/brand baskets
 # --------------------------------------------------------------------------

@@ -439,3 +439,99 @@ def test_malformed_topk_spec_unified_error(spark, bad):
     df = spark.createDataFrame([(1, [1.0])], "g int, top array<double>")
     with pytest.raises(ValueError, match="unknown merge algebra"):
         merge_agg_state(df, df, keys=["g"], cols=[StateCol("top", bad)])
+
+
+def test_hist_state_merge_equals_full(spark):
+    """'hist:n' algebra: folding per-batch bin-count vectors over any
+    split equals the one-shot histogram — integer vector addition is
+    associative/commutative, so hist(A∪B) == hist(A) + hist(B)."""
+    from lichess_db_spark.operators.incremental import (
+        StateCol,
+        bins_to_array,
+        merge_agg_state,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    bin_expr = (
+        F.least(
+            F.lit(15), F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / 31250.0))
+        )
+        .cast("int")
+        .alias("__bin")
+    )
+
+    def partial(df):
+        counts = df.select("o_orderpriority", bin_expr).groupBy(
+            "o_orderpriority", "__bin"
+        ).agg(F.count("*").cast("bigint").alias("__c"))
+        return counts.groupBy("o_orderpriority").agg(
+            bins_to_array(16, "__bin", "__c").alias("h")
+        )
+
+    want = {r["o_orderpriority"]: r["h"] for r in partial(orders).collect()}
+    cols = [StateCol("h", "hist:16")]
+    state = partial(orders.where(F.col("o_orderkey") % 5 < 2))
+    for lo, hi in ((2, 3), (3, 5)):
+        delta = partial(
+            orders.where(
+                (F.col("o_orderkey") % 5 >= lo) & (F.col("o_orderkey") % 5 < hi)
+            )
+        )
+        state = merge_agg_state(state, delta, keys=["o_orderpriority"], cols=cols)
+    got = {r["o_orderpriority"]: r["h"] for r in state.collect()}
+    assert got == want
+    # sanity: vectors are length 16 and total to the group's row count
+    n_rows = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    for g, h in got.items():
+        assert len(h) == 16
+        assert sum(h) == n_rows[g]
+
+
+def test_hist_state_null_cells_coalesced(spark):
+    """A NULL cell in a caller-supplied state vector contributes 0
+    instead of nulling the merged bin (a + NULL would poison every
+    future merge); a NULL state ROW is dropped by collect_list."""
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    state = spark.createDataFrame(
+        [(1, [2, None, 1]), (1, None)], "g int, h array<bigint>"
+    )
+    delta = spark.createDataFrame([(1, [1, 4, 0])], "g int, h array<bigint>")
+    merged = merge_agg_state(state, delta, keys=["g"], cols=[StateCol("h", "hist:3")])
+    [row] = merged.collect()
+    assert row["h"] == [3, 4, 1]
+
+
+def test_hist_group_only_in_delta(spark):
+    """A group absent from state appears in the merged result with the
+    delta's vector (union+re-groupBy has no null-coalescing edge)."""
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    state = spark.createDataFrame([(1, [5, 0])], "g int, h array<bigint>")
+    delta = spark.createDataFrame([(2, [0, 7])], "g int, h array<bigint>")
+    merged = merge_agg_state(state, delta, keys=["g"], cols=[StateCol("h", "hist:2")])
+    got = {r["g"]: r["h"] for r in merged.collect()}
+    assert got == {1: [5, 0], 2: [0, 7]}
+
+
+@pytest.mark.parametrize("bad", ["hist:", "hist:abc", "hist:0", "hist:-4"])
+def test_malformed_hist_spec_unified_error(spark, bad):
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    df = spark.createDataFrame([(1, [1])], "g int, h array<bigint>")
+    with pytest.raises(ValueError, match="unknown merge algebra"):
+        merge_agg_state(df, df, keys=["g"], cols=[StateCol("h", bad)])
+
+
+def test_bins_to_array_missing_bins_zero(spark):
+    """bins_to_array fills absent bins with 0 and orders by bin index."""
+    from lichess_db_spark.operators.incremental import bins_to_array
+
+    rows = spark.createDataFrame(
+        [(1, 0, 3), (1, 2, 5)], "g int, b int, c bigint"
+    )
+    [r] = rows.groupBy("g").agg(bins_to_array(4, "b", "c").alias("h")).collect()
+    assert r["h"] == [3, 0, 5, 0]

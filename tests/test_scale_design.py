@@ -564,6 +564,11 @@ _PLAN_FINGERPRINTS = {
     # over the VOCAB only; the rank window sees 50 rows thanks to the
     # window-group-limit pushdown (TakeOrderedAndProject under Window)
     "bpe_pair_counts": dict(exchanges=2, bhj=0, smj=0, windows=1, topk=1),
+    # r7: hist:16 MV — 2 exchanges per side (map-combinable (key,bin)
+    # count on the fact, then vector assembly over the (groups x 16)
+    # relation); the union's merge agg re-uses the sides' key
+    # partitioning, so the merge itself adds NO exchange
+    "incremental_histogram_orders": dict(exchanges=4, bhj=0, smj=0, windows=0, topk=0),
     # r7: RRF fusion — the SMJ is the full-outer fusion of two <=20-row
     # top-k legs (Spark cannot broadcast full-outer; both inputs are
     # k-row reductions so the exchange is O(k) regardless of corpus);
