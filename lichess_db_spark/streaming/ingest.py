@@ -68,6 +68,46 @@ def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 
     )
 
 
+def stream_stream_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    watermark: str = "1 hour",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """T7 extension: watermarked stream-stream INNER join with an
+    event-time interval — attribute each click to the same user's view
+    at most ``within`` earlier (the ad-attribution / funnel-stitch
+    shape). Both sides carry a watermark and the join condition bounds
+    click_ts to [view_ts, view_ts + within], so Spark can expire
+    buffered state on BOTH sides: a view is dropped once the click
+    watermark passes view_ts + within, a click once the view watermark
+    passes click_ts — state is O(events inside the watermark horizon),
+    not O(stream history). Without the time bound (or the watermarks)
+    the join would buffer both streams forever; this function exists
+    to pin the bounded-state formulation. Batch twin: the identical
+    join expression on static frames (see
+    test_stream_stream_interval_join_matches_batch); the analogous
+    batch catalog entry is range_join_recent_clicks.
+    """
+    v = views.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("__c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("__c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+
+
 RUNNING_STATE_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
