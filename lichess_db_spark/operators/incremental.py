@@ -123,6 +123,35 @@ def bins_to_array(n_bins: int, bin_col: str, cnt_col: str) -> Column:
     )
 
 
+def hist_quantile(
+    hist_col: Column | str, q: float, lo: float, width: float
+) -> Column:
+    """Read an approximate quantile off a merged ``hist:<n>`` state
+    vector: the value at rank ceil(q * total) assuming bin b covers
+    [lo + b*width, lo + (b+1)*width). Returns the UPPER EDGE of the
+    bin containing that rank — error is bounded by one bin width,
+    which is the histogram-MV accuracy contract (tighten by adding
+    bins, not by rescanning history). Pure array expressions
+    (prefix-sum via aggregate + filter), so it runs wherever the
+    state lives — including right after ``merge_agg_state`` with no
+    extra shuffle."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"quantile must be in (0, 1], got {q}")
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    total = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    rank = F.ceil(F.lit(q) * total).cast("bigint")
+    # index of the first bin whose cumulative count reaches the rank:
+    # count the bins whose PRECEDING cumulative total stays below it
+    cum = F.transform(
+        F.sequence(F.lit(0), F.size(h) - 1),
+        lambda i: F.aggregate(
+            F.slice(h, 1, i + 1), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ),
+    )
+    bin_idx = F.size(F.filter(cum, lambda c: c < rank))
+    return F.lit(lo) + (bin_idx + 1) * F.lit(width)
+
+
 def _set_merge(col: Column | str) -> Column:
     """The exact-distinct algebra for BOUNDED domains: state is the
     sorted array of a group's distinct values; merge = flatten +

@@ -535,3 +535,79 @@ def test_bins_to_array_missing_bins_zero(spark):
     )
     [r] = rows.groupBy("g").agg(bins_to_array(4, "b", "c").alias("h")).collect()
     assert r["h"] == [3, 0, 5, 0]
+
+
+def test_hist_quantile_within_one_bin(spark):
+    """hist_quantile reads p50/p90/p99 off the merged hist:16 state
+    within one bin width of the exact quantile (the histogram-MV
+    accuracy contract), using only array expressions."""
+    from lichess_db_spark.operators.incremental import (
+        StateCol,
+        bins_to_array,
+        hist_quantile,
+        merge_agg_state,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    width, lo = 31250.0, 0.0
+    bin_expr = (
+        F.least(
+            F.lit(15), F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / width))
+        )
+        .cast("int")
+        .alias("__bin")
+    )
+
+    def partial(df):
+        counts = df.select("o_orderpriority", bin_expr).groupBy(
+            "o_orderpriority", "__bin"
+        ).agg(F.count("*").cast("bigint").alias("__c"))
+        return counts.groupBy("o_orderpriority").agg(
+            bins_to_array(16, "__bin", "__c").alias("h")
+        )
+
+    state = merge_agg_state(
+        partial(orders.where(F.col("o_orderkey") % 2 == 0)),
+        partial(orders.where(F.col("o_orderkey") % 2 == 1)),
+        keys=["o_orderpriority"],
+        cols=[StateCol("h", "hist:16")],
+    )
+    got = state.select(
+        "o_orderpriority",
+        hist_quantile("h", 0.5, lo, width).alias("p50"),
+        hist_quantile("h", 0.9, lo, width).alias("p90"),
+        hist_quantile("h", 0.99, lo, width).alias("p99"),
+    ).collect()
+    # exact value at the SAME rank definition (element at ceil(q*n)):
+    # hist_quantile must return the upper edge of the bin CONTAINING
+    # that element — i.e. the exact value lies in (edge - width, edge]
+    exact = {
+        r["o_orderpriority"]: (r["e50"], r["e90"], r["e99"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.sort_array(F.collect_list("o_totalprice")).alias("v"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            *[
+                F.element_at("v", F.ceil(F.lit(q) * F.col("n")).cast("int")).alias(a)
+                for q, a in ((0.5, "e50"), (0.9, "e90"), (0.99, "e99"))
+            ],
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        for col, ex in zip(("p50", "p90", "p99"), exact[r["o_orderpriority"]]):
+            assert r[col] - width < ex <= r[col], (
+                r["o_orderpriority"], col, r[col], ex,
+            )
+
+
+def test_hist_quantile_bad_q_raises(spark):
+    from lichess_db_spark.operators.incremental import hist_quantile
+
+    for q in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="quantile"):
+            hist_quantile("h", q, 0.0, 1.0)
