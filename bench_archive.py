@@ -39,6 +39,26 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: interpretation of the r7 120-batch partitioned-digest trickle run,
+#: kept with the generator so regenerated artifacts carry it.
+_R7_PARTITIONED_NOTE = (
+    "r7 partitioned-digest finding (120-batch trickle run): compaction "
+    "bounds the DETERMINISTIC costs - full-tree file count 6859 -> 311 "
+    "and full-listing time 1.83s -> 0.70s at batch 119 - but per-probe "
+    "wall time at local-disk fixture scale is dominated by Spark's "
+    "FileStatusCache interplay: append-only never invalidates cached "
+    "dir listings (probes stay ~1.1-1.3s flat), while each compaction "
+    "rewrite invalidates the cache and the following probes relist the "
+    "growing post-compaction tail (isolated fresh-process rerun: probe "
+    "resets to ~0.8s right after a compaction, then grows ~0.12s/batch "
+    "to ~3.2s). On an object store the cached-listing subsidy does not "
+    "exist (listing is per-request RPC) and the file/dir-count bound is "
+    "what holds probe cost down; on local disk, compact on the reader "
+    "cadence (before unpruned reads / compaction-dependent consumers), "
+    "not per-20-batches."
+)
+
+
 def _archive_stats(spark, path: str) -> dict:
     """file count + bytes via the Hadoop FS (what a scan would list)."""
     jvm = spark._jvm  # noqa: SLF001
@@ -287,7 +307,7 @@ def main() -> None:
             "(~2s/batch floor) and flip between runs — the cost the "
             "file counts proxy (one scan task + footer read per file, "
             "listing RPCs at object-store scale) is what compaction "
-            "bounds at 100 TB"
+            "bounds at 100 TB. " + _R7_PARTITIONED_NOTE
         ),
         "sf_dir": SF_DIR,
         "batches": args.batches,
