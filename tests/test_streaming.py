@@ -1002,3 +1002,70 @@ def test_stream_stream_interval_join_matches_batch(spark, staged_events):
     )
     assert len(want) > 0  # fixture must actually exercise the join
     assert got == want
+
+
+def test_stream_agg_maintenance_hist_state(spark, tmp_path):
+    """Composition: streaming MV maintenance carrying a hist:16 state
+    column — the per-priority price histogram served after two
+    arrivals exactly equals the one-shot histogram (the distribution
+    dashboard stays exact under incremental maintenance), and a
+    quantile read off the served state matches the one-shot read."""
+    from lichess_db_spark.operators.incremental import (
+        StateCol,
+        bins_to_array,
+        hist_quantile,
+    )
+    from lichess_db_spark.streaming.ingest import (
+        latest_agg_state,
+        stream_agg_maintenance,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [StateCol("n", "sum"), StateCol("h", "hist:16")]
+    bin_expr = (
+        F.least(
+            F.lit(15), F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / 31250.0))
+        )
+        .cast("int")
+        .alias("__bin")
+    )
+
+    def partial(df):
+        counts = df.select("o_orderpriority", bin_expr).groupBy(
+            "o_orderpriority", "__bin"
+        ).agg(F.count("*").cast("bigint").alias("__c"))
+        return counts.groupBy("o_orderpriority").agg(
+            F.sum("__c").alias("n"), bins_to_array(16, "__bin", "__c").alias("h")
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_agg_maintenance(
+            spark, stream, state, ckpt, ["o_orderpriority"], cols, partial
+        )
+        q.awaitTermination(120)
+
+    orders.where(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(src)
+    run_once()
+    orders.where(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+
+    srv = latest_agg_state(spark, state)
+    served = {
+        r["o_orderpriority"]: (r["n"], r["h"], r["p90"])
+        for r in srv.select(
+            "o_orderpriority", "n", "h",
+            hist_quantile("h", 0.9, 0.0, 31250.0).alias("p90"),
+        ).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], r["h"], r["p90"])
+        for r in partial(orders).select(
+            "o_orderpriority", "n", "h",
+            hist_quantile("h", 0.9, 0.0, 31250.0).alias("p90"),
+        ).collect()
+    }
+    assert served == want
