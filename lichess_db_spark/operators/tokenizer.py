@@ -1,0 +1,156 @@
+"""BPE tokenizer-training operators (staged r7 -> r8 catalog entry).
+
+``bpe_pair_counts`` (plans/catalog_north.py) computes merge step 1's
+pair statistics; this module runs the actual LEARNING loop: n merge
+iterations, each picking the most frequent adjacent symbol pair and
+rewriting the vocabulary with it — the algorithm behind every
+GPT/Llama-style tokenizer (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units").
+
+Scale design (the part that matters at 100 TB): the corpus is touched
+EXACTLY ONCE — one shuffle of bare whitespace tokens into a
+(word, count) vocabulary. Every merge iteration after that operates on
+the vocab relation only (Heaps-law sublinear in corpus size; ~10^5-10^7
+rows for web-scale corpora — broadcast-sized), so adding iterations
+costs vocab-sized work, not corpus scans. Each iteration is:
+
+1. pair counts: one explode + groupBy over the vocab (weighted by
+   word count);
+2. argmax pair: a 1-row TakeOrderedAndProject (ties broken
+   lexicographically so the learned merge sequence is deterministic);
+3. vocab rewrite: a map-only ``aggregate`` higher-order expression
+   applying the merge greedily left-to-right per word — no UDF, no
+   corpus, no shuffle.
+
+The vocab is persisted per iteration and the previous iteration's
+cache released, so the lineage does not grow with n_merges (the
+classic iterative-algorithm trap — same discipline as
+``pagerank_part_affinity``).
+
+Greedy-left-to-right semantics (matches reference BPE trainers): in
+"aaa" with merge (a,a), the first two symbols fuse and the third stays
+single — the fold's accumulator tail is the MERGED token, which no
+longer equals the left element of the pair, so overlapping matches
+cannot double-fire.
+
+Exactness: counts are integers end to end; the learned merge list for
+a given corpus is bit-deterministic (no RNG, total-order tiebreaks).
+Verified against a pure-Python reference implementation in
+tests/test_tokenizer.py (the iteration is not expressible as one
+ANSI-SQL oracle; the catalog entry to be registered in r8 is
+rows-only with this exact-twin test, like the HLL/GK entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass: whitespace words -> (syms array<string>, cnt).
+
+    The ONLY corpus-sized operation in BPE training; everything after
+    runs on this relation. Words shorter than 2 chars carry no pairs
+    and are dropped (they cannot influence any merge decision).
+    """
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .alias("syms"),
+            "cnt",
+        )
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the vocab, weighted by word count."""
+    pairs = vocab.where(F.size("syms") >= 2).select(
+        # the size guard matters: Spark's sequence(1, 0) is DESCENDING
+        # ([1, 0]), so a fully-fused 1-symbol word would emit two
+        # null-member pairs instead of none
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.sum("cnt").alias("pair_count"))
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right fusion of adjacent (a, b) into a+b —
+    a pure higher-order-function fold, no UDF."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, count)]
+    in learning order. Deterministic: ties on count break on (a, b)
+    lexicographically.
+
+    The returned list is driver-sized by construction (n_merges
+    rows); the corpus is scanned once and each iteration's work is
+    vocab-relation-sized (see module docstring). Iteration stops
+    early if no pair remains (vocab fully fused).
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    vocab = build_word_vocab(docs, text_col).persist()
+    vocab.count()  # materialize before the loop
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+            merges.append((a, b, cnt))
+            nxt = vocab.select(
+                _apply_merge(F.col("syms"), a, b).alias("syms"), "cnt"
+            ).persist()
+            nxt.count()  # cut lineage before releasing the old cache
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """The learned merge sequence as a DataFrame (step, left, right,
+    pair_count) — the r8 catalog-entry surface."""
+    merges = bpe_learn_merges(docs, n_merges, text_col)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "step int, left string, right string, pair_count bigint",
+    )
