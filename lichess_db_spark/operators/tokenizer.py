@@ -144,6 +144,50 @@ def bpe_learn_merges(
     return merges
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per whitespace
+    word, split to characters and apply each merge in learning order
+    (the standard BPE encode). Returns (id, tokens array<string>,
+    n_tokens) — the real token-count column a packing/budgeting
+    pipeline consumes (vs the whitespace proxy in text_stats).
+
+    This is the CORPUS-SIDED half of BPE: it is deliberately map-only
+    — the merge list is driver-sized (it came out of
+    :func:`bpe_learn_merges`), each merge application is one
+    higher-order fold over a word's symbol array, and no shuffle or
+    join touches the documents. n_merges sequential folds per word is
+    the textbook encode cost; real tokenizers trade this for a trie,
+    which a Pandas-UDF variant could adopt if profiling ever demands
+    it (it has not: expressions stay in codegen).
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty (learn them first)")
+    # empty words from repeated separators must be dropped BEFORE the
+    # char split: sequence(1, length("")) is sequence(1, 0), which
+    # Spark generates DESCENDING ([1, 0]) — it would fabricate tokens
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) >= 1)
+
+    def encode_expr(w: Column) -> Column:
+        e = F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+        )
+        for a, b in merges:
+            e = _apply_merge(e, a, b)
+        return e
+
+    toks = F.flatten(F.transform(words, encode_expr))
+    return docs.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
 def bpe_merge_table(
     spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> DataFrame:

@@ -121,3 +121,57 @@ def test_build_word_vocab_one_corpus_pass(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def _ref_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    out: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b in merges:
+            nxt: list[str] = []
+            for x in syms:
+                if nxt and nxt[-1] == a and x == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(x)
+            syms = nxt
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_matches_reference(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    merges = [(a, b) for a, b, _ in bpe_learn_merges(docs, 4)]
+    from lichess_db_spark.operators.tokenizer import bpe_encode
+
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        ref = _ref_encode(r["text"], merges)
+        assert got[r["doc_id"]] == (ref, len(ref)), r["doc_id"]
+
+
+def test_bpe_encode_empty_words_and_map_only(spark):
+    from lichess_db_spark.operators.tokenizer import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab  ab"), (2, "a")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bpe_encode(docs, [("a", "b")]).collect()}
+    assert rows[1]["tokens"] == ["ab", "ab"]  # double space fabricates nothing
+    assert rows[2]["tokens"] == ["a"]
+    enc = bpe_encode(docs, [("a", "b")])
+    plan = enc._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        enc._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_bpe_encode_requires_merges(spark):
+    from lichess_db_spark.operators.tokenizer import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="merges"):
+        bpe_encode(docs, [])
