@@ -126,6 +126,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "hybrid_search_rrf",
     "incremental_histogram_orders",
+    "bpe_encode_tokens",
 ]
 
 

@@ -3724,3 +3724,46 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= 10)
     )
+
+
+@register(
+    "bpe_encode_tokens",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+        SELECT doc_id,
+               CAST(SUM(len(w) - (len(w) - len(replace(w, 'er', ''))) / 2)
+                    AS BIGINT) AS n_tokens
+        FROM words WHERE len(w) >= 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN t USING (doc_id)
+    WHERE d.text IS NOT NULL
+    """,
+    "BPE ENCODE (corpus side of tokenizer training): token count per "
+    "document after applying the learned merge ('e','r') — the corpus's "
+    "most frequent pair per bpe_pair_counts — via "
+    "operators/tokenizer.bpe_encode: char split + greedy left-to-right "
+    "fusion as higher-order array folds, entirely map-only (zero "
+    "exchanges before the driver's collect; the merge table is "
+    "driver-sized, documents are never shuffled or joined). The oracle "
+    "exploits that for a merge (a,b) with a != b the greedy fold fires "
+    "exactly once per leftmost non-overlapping occurrence of the "
+    "2-char string ab, i.e. n_tokens = n_chars - occurrences(ab), with "
+    "occurrences computed by DuckDB's (equally leftmost-greedy) "
+    "replace(). Multi-merge encodes lose this closed form (the second "
+    "merge operates on the fused sequence) — they are exact-twin "
+    "tested against a Python reference in tests/test_tokenizer.py "
+    "instead. n_tokens is the REAL token-count column a packing/"
+    "token-budget pipeline consumes, vs text_stats' whitespace proxy.",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import bpe_encode
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return bpe_encode(d, [("e", "r")]).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
