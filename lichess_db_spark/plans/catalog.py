@@ -58,6 +58,9 @@ _TOUCHED_THIS_ROUND = (
     # r7 session 2: the 'hist:<n>' merge algebra completes the
     # mergeable-state family with a distribution-shaped state.
     "incremental_histogram_orders",
+    # r7 session 2: BPE encode driver row (closed-form single-merge
+    # oracle; multi-merge encodes are exact-twin tested instead).
+    "bpe_encode_tokens",
 )
 _TOUCHED_R6 = (
     # r6: the two items staged in r5 because the window filled
