@@ -188,6 +188,61 @@ def bpe_encode(
     )
 
 
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token COUNTS, vocab-memoized — the scale path.
+
+    :func:`bpe_encode` folds over every corpus character; higher-order
+    array functions are interpreted per element (not codegen), so that
+    costs ~1.4us/char (measured 2.2s for 1.5M chars at sf0.1) and at
+    100 TB it would burn the cluster on re-encoding repeated words.
+    Tokenization is word-deterministic, so this variant encodes each
+    DISTINCT word once (the fold runs over the Heaps-sublinear vocab
+    relation) and joins the per-word token count back to per-(doc,
+    word) occurrence counts: n_tokens(doc) = sum_w k(doc,w) * t(w).
+    Same memoization real tokenizer pipelines use (word-level cache).
+    Documents with no words (empty/whitespace text) surface with
+    n_tokens = 0 via the restoring left join.
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty (learn them first)")
+
+    def encode_expr(w: Column) -> Column:
+        e = F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+        )
+        for a, b in merges:
+            e = _apply_merge(e, a, b)
+        return e
+
+    words = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) >= 1)
+        ).alias("w"),
+    )
+    per = words.groupBy("__id", "w").agg(F.count("*").alias("__k"))
+    vocab = (
+        per.select("w")
+        .distinct()
+        .select("w", F.size(encode_expr(F.col("w"))).cast("bigint").alias("__t"))
+    )
+    counts = (
+        per.join(F.broadcast(vocab), "w")
+        .groupBy("__id")
+        .agg(F.sum(F.col("__k") * F.col("__t")).alias("__n"))
+    )
+    return docs.select(F.col(id_col)).join(
+        counts, F.col(id_col) == F.col("__id"), "left"
+    ).select(
+        id_col, F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_tokens")
+    )
+
+
 def bpe_merge_table(
     spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> DataFrame:

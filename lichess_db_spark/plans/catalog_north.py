@@ -3746,10 +3746,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BPE ENCODE (corpus side of tokenizer training): token count per "
     "document after applying the learned merge ('e','r') — the corpus's "
     "most frequent pair per bpe_pair_counts — via "
-    "operators/tokenizer.bpe_encode: char split + greedy left-to-right "
-    "fusion as higher-order array folds, entirely map-only (zero "
-    "exchanges before the driver's collect; the merge table is "
-    "driver-sized, documents are never shuffled or joined). The oracle "
+    "operators/tokenizer.bpe_encode_counts: the greedy left-to-right "
+    "fusion fold runs once per DISTINCT word (the Heaps-sublinear "
+    "vocab relation — higher-order array functions are interpreted, "
+    "~1.4us/char, so re-encoding repeated words is the scale killer; "
+    "the naive per-corpus-char bpe_encode measured 2.2s at sf0.1, "
+    "this shape 10x less fold work), then per-word token counts "
+    "broadcast-join back to (doc, word) occurrence counts and "
+    "aggregate: n_tokens = sum k(doc,w)*t(w), with empty docs "
+    "restored as 0 by a left join. The oracle "
     "exploits that for a merge (a,b) with a != b the greedy fold fires "
     "exactly once per leftmost non-overlapping occurrence of the "
     "2-char string ab, i.e. n_tokens = n_chars - occurrences(ab), with "
@@ -3761,9 +3766,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token-budget pipeline consumes, vs text_stats' whitespace proxy.",
 )
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.tokenizer import bpe_encode
+    from ..operators.tokenizer import bpe_encode_counts
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return bpe_encode(d, [("e", "r")]).select(
-        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
-    )
+    return bpe_encode_counts(d, [("e", "r")])

@@ -569,8 +569,12 @@ _PLAN_FINGERPRINTS = {
     # relation); the union's merge agg re-uses the sides' key
     # partitioning, so the merge itself adds NO exchange
     "incremental_histogram_orders": dict(exchanges=4, bhj=0, smj=0, windows=0, topk=0),
-    # r7: BPE encode is pure per-row expression work — zero exchanges
-    "bpe_encode_tokens": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
+    # r7: vocab-memoized BPE encode — exchanges: (doc,word) count,
+    # vocab distinct, per-doc re-agg; bhj 1 = the vocab token-count
+    # broadcast, bhj 2 = the wordless-doc restore join (broadcast at
+    # fixture stats; flips to SMJ at scale like any doc-sized dim —
+    # the legitimate-flip case the fingerprint header describes)
+    "bpe_encode_tokens": dict(exchanges=3, bhj=2, smj=0, windows=0, topk=0),
     # r7: RRF fusion — the SMJ is the full-outer fusion of two <=20-row
     # top-k legs (Spark cannot broadcast full-outer; both inputs are
     # k-row reductions so the exchange is O(k) regardless of corpus);

@@ -175,3 +175,29 @@ def test_bpe_encode_requires_merges(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="merges"):
         bpe_encode(docs, [])
+
+
+def test_bpe_encode_counts_matches_encode(spark):
+    """The vocab-memoized count path equals size(tokens) from the
+    naive per-char fold for every doc, and restores wordless docs as
+    n_tokens = 0."""
+    from lichess_db_spark.operators.tokenizer import bpe_encode, bpe_encode_counts
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(80)
+    merges = [("e", "r"), ("t", "h")]
+    want = {
+        r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, merges).collect()
+    }
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_counts(docs, merges).collect()
+    }
+    assert got == want
+    edge = spark.createDataFrame(
+        [(1, "ab er"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    got_edge = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_counts(edge, merges).collect()
+    }
+    assert got_edge == {1: 3, 2: 0, 3: 0}
