@@ -1,0 +1,136 @@
+"""Distributed Lloyd k-means over an embedding column (staged r7 ->
+r8 catalog entry).
+
+Semantic clustering is a first-class curation op (cluster-balanced
+sampling, topic discovery, near-dup cluster analysis); the IVF
+quantizer in operators/similarity.py trains driver-side on a bounded
+sample — right for a coarse quantizer, wrong for clustering the
+corpus. This operator runs textbook Lloyd iterations with the
+CORPUS-scale layout:
+
+- **assignment** is per-row expression math: squared L2 to each of
+  the k broadcast centroid literals (``zip_with`` + ``aggregate``),
+  argmin via ``array_position(d, array_min(d))`` — first occurrence,
+  so ties break on the LOWEST cluster index deterministically. No
+  shuffle, no UDF; the centroid matrix rides the plan as a literal
+  (k x d doubles — kilobytes).
+- **update** shuffles (cluster, dim) partial sums once per iteration
+  — the only exchange — with the sums accumulated as
+  ``round(x * 1e12)`` BIGINTs: integer addition is order-independent,
+  so the new centroids are bit-identical under ANY partitioning (a
+  float mean would drift with partition order and the drift COMPOUNDS
+  through iterations; determinism here is what makes runs
+  reproducible and the reference test exact).
+- driver state is the k x d centroid matrix only; the corpus is
+  scanned once per iteration and never collected.
+
+Init is deterministic: the k vectors with the smallest
+``xxhash64(id)`` (the same seeded-sample trick the IVF index uses) —
+no RNG state, stable across sessions.
+
+Verified in tests/test_clustering.py against a pure-numpy reference
+replicating the exact arithmetic (same init, same tiebreak, same
+scaled-int means); invariance under repartitioning and monotone
+non-increasing inertia are pinned separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1e12
+
+
+def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array<float/double> column to a
+    centroid literal, as one fold (exact IEEE double ops, per-row)."""
+    c = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec_col, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def init_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic seeding: the k vectors with smallest xxhash64(id)."""
+    rows = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: (id, cluster, dist2)."""
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min(dists).alias("dist2"),
+    )
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Run ``n_iter`` Lloyd iterations; returns (assignments,
+    final centroids, per-iteration inertia).
+
+    Assignments is the lazy (id, cluster, dist2) frame under the FINAL
+    centroids. An empty cluster keeps its previous centroid (the
+    standard Lloyd convention that avoids NaN centroids).
+    """
+    if k <= 0 or n_iter <= 0:
+        raise ValueError(f"k and n_iter must be positive, got k={k}, n_iter={n_iter}")
+    cents = init_centroids(emb, k, id_col, vec_col)
+    inertia: list[float] = []
+    for _ in range(n_iter):
+        assigned = assign_clusters(emb, cents, id_col, vec_col)
+        # one exchange: (cluster, dim) scaled-int partial sums + counts
+        upd = (
+            assigned.select(
+                "cluster",
+                F.posexplode(vec_col).alias("dim", "x"),
+                F.col("dist2"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * F.lit(_SCALE)).cast("bigint")
+                ).alias("s"),
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("dim") == 0, F.col("dist2"))).alias("d2"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        it_inertia = 0.0
+        for r in upd:
+            new[r["cluster"]][r["dim"]] = (r["s"] / _SCALE) / r["n"]
+            if r["dim"] == 0 and r["d2"] is not None:
+                it_inertia += r["d2"]
+        inertia.append(it_inertia)
+        cents = new
+    return assign_clusters(emb, cents, id_col, vec_col), cents, inertia

@@ -1,0 +1,111 @@
+"""Distributed Lloyd k-means vs an exact-arithmetic Python reference.
+
+The reference replicates the operator's arithmetic bit-for-bit:
+sequential left-to-right squared-distance accumulation (NOT numpy
+pairwise summation), first-occurrence argmin tiebreak, and
+scaled-integer centroid means — so the comparison is exact equality,
+not tolerance. Determinism under repartitioning and Lloyd's monotone
+inertia are pinned separately. The r8 catalog entry will be rows-only
+with this exact twin (iterative, not one-SQL-expressible — same
+pattern as BPE learning / HLL / GK).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lichess_db_spark.io import load_table
+from lichess_db_spark.operators.clustering import (
+    assign_clusters,
+    init_centroids,
+    lloyd_kmeans,
+)
+
+from .conftest import SF_SMALL
+
+SCALE = 1e12
+
+
+def _ref_assign(vecs, cents):
+    out = []
+    for v in vecs:
+        dists = []
+        for c in cents:
+            acc = 0.0
+            for a, b in zip(v, c):
+                acc += (float(a) - b) * (float(a) - b)
+            dists.append(acc)
+        m = min(dists)
+        out.append((dists.index(m), m))
+    return out
+
+
+def _ref_lloyd(ids, vecs, cents, n_iter):
+    cents = [list(c) for c in cents]
+    inertia = []
+    d = len(vecs[0])
+    for _ in range(n_iter):
+        lab = _ref_assign(vecs, cents)
+        inertia.append(sum(m for _, m in lab))
+        sums = {}
+        for (cl, _), v in zip(lab, vecs):
+            s, n = sums.setdefault(cl, ([0] * d, 0))
+            for i, x in enumerate(v):
+                s[i] += round(float(x) * SCALE)
+            sums[cl] = (s, n + 1)
+        for cl, (s, n) in sums.items():
+            cents[cl] = [(si / SCALE) / n for si in s]
+    return cents, [c for c, _ in _ref_assign(vecs, cents)], inertia
+
+
+def test_kmeans_matches_exact_reference(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [r["embedding"] for r in rows]
+    cents0 = init_centroids(emb, 4)
+    want_cents, want_lab, want_inertia = _ref_lloyd(ids, vecs, cents0, 3)
+
+    assigned, got_cents, got_inertia = lloyd_kmeans(emb, 4, 3)
+    assert got_cents == want_cents  # exact: scaled-int means
+    got_lab = {
+        r["vec_id"]: r["cluster"] for r in assigned.collect()
+    }
+    assert [got_lab[i] for i in ids] == want_lab
+    # inertia is a diagnostic double sum (order-dependent last bits):
+    # compare with tolerance, and require Lloyd's monotone descent
+    assert len(got_inertia) == 3
+    for g, w in zip(got_inertia, want_inertia):
+        assert abs(g - w) <= 1e-6 * max(1.0, abs(w))
+    assert all(
+        got_inertia[i + 1] <= got_inertia[i] + 1e-9
+        for i in range(len(got_inertia) - 1)
+    )
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """Scaled-int centroid sums make every iteration's state identical
+    under any partitioning — the property float means do not have."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    _, c1, _ = lloyd_kmeans(emb, 3, 2)
+    _, c2, _ = lloyd_kmeans(emb.repartition(13), 3, 2)
+    assert c1 == c2
+
+
+def test_assign_is_map_only(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = init_centroids(emb, 4)
+    a = assign_clusters(emb, cents)
+    plan = a._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        a._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_kmeans_validation(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="positive"):
+        lloyd_kmeans(emb, 0, 1)
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        init_centroids(emb.limit(2), 5)
