@@ -127,6 +127,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "incremental_histogram_orders",
     "bpe_encode_tokens",
+    "kmeans_portable_embeddings",
 ]
 
 

@@ -88,6 +88,88 @@ def assign_clusters(
     )
 
 
+def _sq_dist_scaled(vec_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance as an EXACT scaled integer: each per-dim
+    term is ROUND((a-b)^2 * 1e12) as BIGINT, summed by a fold —
+    integer addition is order-free, so the distance (and every argmin
+    on it) is identical under any evaluation order AND reproducible in
+    SQL (the same trick as the KNN oracle's scaled-int cosine)."""
+    c = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    terms = F.zip_with(
+        vec_col,
+        c,
+        lambda a, b: F.round(
+            (a.cast("double") - b) * (a.cast("double") - b) * F.lit(_SCALE)
+        ).cast("bigint"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def portable_init_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Engine-portable deterministic seeding: the k vectors with the
+    smallest (md5(id), id) — md5 of the decimal id string reproduces
+    bit-for-bit in DuckDB, unlike xxhash64."""
+    rows = (
+        emb.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("__h"), id_col)
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def portable_kmeans_step(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE fully hash-checkable Lloyd step: portable init -> exact
+    scaled-int nearest-centroid assignment -> scaled-int centroid
+    update. Returns long-form (cluster, dim, centroid_scaled_sum,
+    n_vectors, centroid) — every column either an exact integer or a
+    single IEEE division of exact integers, so a DuckDB oracle
+    reproduces the whole step bit-for-bit (catalog:
+    kmeans_portable_embeddings). The production multi-iteration path
+    is :func:`lloyd_kmeans` (same arithmetic, xxhash64 init, k x d
+    driver state); this entry exists to pin the per-iteration
+    semantics under the driver's hash gate.
+    """
+    cents = portable_init_centroids(emb, k, id_col, vec_col)
+    dists = F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in cents])
+    assigned = emb.select(
+        F.col(vec_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+    return (
+        assigned.select(
+            "cluster", F.posexplode(vec_col).alias("pos", "x")
+        )
+        .groupBy("cluster", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * F.lit(_SCALE)).cast("bigint")
+            ).alias("centroid_scaled_sum"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+        .select(
+            "cluster",
+            "dim",
+            "centroid_scaled_sum",
+            "n_vectors",
+            (
+                (F.col("centroid_scaled_sum") / F.lit(_SCALE)) / F.col("n_vectors")
+            ).alias("centroid"),
+        )
+    )
+
+
 def lloyd_kmeans(
     emb: DataFrame,
     k: int,

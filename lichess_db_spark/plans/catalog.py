@@ -61,6 +61,9 @@ _TOUCHED_THIS_ROUND = (
     # r7 session 2: BPE encode driver row (closed-form single-merge
     # oracle; multi-merge encodes are exact-twin tested instead).
     "bpe_encode_tokens",
+    # r7 session 2: hash-checkable distributed k-means (one Lloyd
+    # step; multi-iteration twin exact-reference-tested).
+    "kmeans_portable_embeddings",
 )
 _TOUCHED_R6 = (
     # r6: the two items staged in r5 because the window filled

@@ -3770,3 +3770,65 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return bpe_encode_counts(d, [("e", "r")])
+
+
+@register(
+    "kmeans_portable_embeddings",
+    """
+    WITH ranked AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+    ),
+    cent0 AS (SELECT CAST(rn - 1 AS INT) AS c, embedding AS ce
+              FROM ranked WHERE rn <= 4),
+    d AS (
+        SELECT v.vec_id, c.c,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(v.embedding[g.i] AS DOUBLE) - CAST(c.ce[g.i] AS DOUBLE))
+                 * (CAST(v.embedding[g.i] AS DOUBLE) - CAST(c.ce[g.i] AS DOUBLE))
+                 * 1e12) AS BIGINT)) AS BIGINT) AS dist_i
+        FROM embeddings v, cent0 c, generate_series(1, 64) AS g(i)
+        GROUP BY v.vec_id, c.c
+    ),
+    a0 AS (
+        SELECT vec_id, c AS cluster FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_i, c) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+    SELECT cluster, dim, centroid_scaled_sum, n_vectors,
+           (centroid_scaled_sum / 1e12) / n_vectors AS centroid
+    FROM (
+        SELECT a0.cluster AS cluster, CAST(g.i AS INT) AS dim,
+               CAST(SUM(CAST(ROUND(CAST(v.embedding[g.i] AS DOUBLE) * 1e12)
+                    AS BIGINT)) AS BIGINT) AS centroid_scaled_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM a0 JOIN embeddings v USING (vec_id),
+             generate_series(1, 64) AS g(i)
+        GROUP BY a0.cluster, g.i
+    )
+    """,
+    "Distributed k-means, HASH-CHECKABLE end to end (one Lloyd step, "
+    "k=4): portable md5 seeding, nearest-centroid assignment on EXACT "
+    "scaled-integer distances (per-dim ROUND((a-b)^2 * 1e12) BIGINTs "
+    "summed order-free — the argmin can never flip with partitioning "
+    "or evaluation order, and DuckDB reproduces it bit-for-bit, the "
+    "same portability kit as knn_lsh_cosine_portable), then a "
+    "scaled-int centroid update emitted long-form (cluster, dim, "
+    "exact sum, count, one IEEE division). Plan shape: assignment is "
+    "MAP-ONLY (the k x d centroid literal rides the plan — kilobytes "
+    "at any corpus size), the update is ONE (cluster, dim) exchange — "
+    "per-iteration cost at 100 TB is one scan + one shuffle of "
+    "(k x d) partials. The production multi-iteration twin is "
+    "operators/clustering.lloyd_kmeans (same arithmetic, xxhash64 "
+    "seeding), exact-reference- and invariance-tested; this entry "
+    "pins the per-iteration semantics under the driver's hash gate.",
+)
+def kmeans_portable_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import portable_kmeans_step
+
+    return portable_kmeans_step(_t(spark, sf_dir, "embeddings"), k=4)

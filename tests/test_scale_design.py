@@ -575,6 +575,9 @@ _PLAN_FINGERPRINTS = {
     # fixture stats; flips to SMJ at scale like any doc-sized dim —
     # the legitimate-flip case the fingerprint header describes)
     "bpe_encode_tokens": dict(exchanges=3, bhj=2, smj=0, windows=0, topk=0),
+    # r7: one Lloyd step — map-only assignment (centroid literal in
+    # the plan), ONE (cluster, dim) update exchange
+    "kmeans_portable_embeddings": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
     # r7: RRF fusion — the SMJ is the full-outer fusion of two <=20-row
     # top-k legs (Spark cannot broadcast full-outer; both inputs are
     # k-row reductions so the exchange is O(k) regardless of corpus);
