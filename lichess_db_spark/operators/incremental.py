@@ -113,7 +113,10 @@ def bins_to_array(n_bins: int, bin_col: str, cnt_col: str) -> Column:
     aggregate is map-combinable on the fact table, so the vector
     assembly only ever touches the tiny (groups x bins) relation.
     Missing bins become 0; the bin column must be INT in [0, n_bins)
-    and non-NULL (clamp + null-filter upstream)."""
+    and non-NULL (clamp + null-filter upstream). Rows must already be
+    one-per-(group, bin) — a duplicate bin key fails loud inside
+    ``map_from_entries`` (DUPLICATED_MAP_KEY) rather than silently
+    keeping one count."""
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col(bin_col), F.col(cnt_col)))
     )
