@@ -137,7 +137,9 @@ def hist_quantile(
     bins, not by rescanning history). Pure array expressions
     (prefix-sum via aggregate + filter), so it runs wherever the
     state lives — including right after ``merge_agg_state`` with no
-    extra shuffle."""
+    extra shuffle. The prefix-sum expression is O(n^2) adds per STATE
+    ROW (slice+fold per bin) — trivial at MV-state cardinality (one
+    row per group), wrong for corpus-sized relations."""
     if not (0.0 < q <= 1.0):
         raise ValueError(f"quantile must be in (0, 1], got {q}")
     h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
