@@ -109,3 +109,38 @@ def test_kmeans_validation(spark):
         lloyd_kmeans(emb, 0, 1)
     with pytest.raises(ValueError, match="exceeds corpus"):
         init_centroids(emb.limit(2), 5)
+
+
+def test_cluster_balanced_sampling_composition(spark):
+    """r8-staged composition: priority_sample_grouped over learned
+    k-means clusters — equal-depth weighted samples per semantic
+    cluster, the cluster-balanced curation draw. Verifies the two
+    operators compose: every cluster contributes exactly min(k,
+    cluster_size) docs and the draw is deterministic."""
+    from lichess_db_spark.operators.sampling import priority_sample_grouped
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assigned, _, _ = lloyd_kmeans(emb, 3, 2)
+    weighted = assigned.select(
+        "vec_id", "cluster", (F.lit(1.0) + F.col("dist2")).alias("w")
+    )
+    s1 = priority_sample_grouped(
+        weighted, k=10, group_col="cluster", weight_col="w", id_col="vec_id"
+    )
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in s1.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    cluster_sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {c: min(10, n) for c, n in cluster_sizes.items()}
+    # determinism: same draw under a different partitioning
+    s2 = priority_sample_grouped(
+        weighted.repartition(7), k=10, group_col="cluster", weight_col="w",
+        id_col="vec_id",
+    )
+    assert sorted(r["vec_id"] for r in s1.collect()) == sorted(
+        r["vec_id"] for r in s2.collect()
+    )
