@@ -611,3 +611,42 @@ def test_hist_quantile_bad_q_raises(spark):
     for q in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError, match="quantile"):
             hist_quantile("h", q, 0.0, 1.0)
+
+
+def test_hist_merge_random_folds_vs_python(spark):
+    """Seeded-random bin vectors folded in random group splits — the
+    hist algebra must equal element-wise Python sums regardless of
+    how rows are distributed over merge batches."""
+    import random
+
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    rng = random.Random(7)
+    n, groups = 6, 4
+    rows = [
+        (g, [rng.randint(0, 1000) for _ in range(n)])
+        for g in range(groups)
+        for _ in range(rng.randint(1, 8))
+    ]
+    want = {}
+    for g, h in rows:
+        acc = want.setdefault(g, [0] * n)
+        for i, x in enumerate(h):
+            acc[i] += x
+    # random 3-way split, folded pairwise
+    rng.shuffle(rows)
+    parts = [rows[0::3], rows[1::3], rows[2::3]]
+    dfs = [
+        spark.createDataFrame(p, "g int, h array<bigint>")
+        .groupBy("g")
+        .agg(StateCol("h", f"hist:{n}").merge_expr())
+        for p in parts
+        if p
+    ]
+    state = dfs[0]
+    for d in dfs[1:]:
+        state = merge_agg_state(
+            state, d, keys=["g"], cols=[StateCol("h", f"hist:{n}")]
+        )
+    got = {r["g"]: list(r["h"]) for r in state.collect()}
+    assert got == want

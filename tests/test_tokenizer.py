@@ -201,3 +201,32 @@ def test_bpe_encode_counts_matches_encode(spark):
         for r in bpe_encode_counts(edge, merges).collect()
     }
     assert got_edge == {1: 3, 2: 0, 3: 0}
+
+
+def test_bpe_fold_random_words_vs_reference(spark):
+    """Adversarial + seeded-random words through a CHAINED merge list
+    (later merges consume earlier merges' output tokens, including a
+    self-pair) — the greedy fold must match the Python reference on
+    every word in one Spark round-trip."""
+    import random
+
+    from lichess_db_spark.operators.tokenizer import bpe_encode
+
+    rng = random.Random(42)
+    words = [
+        "aaa", "abab", "abcabc", "aabbccabcabc", "cab", "ababab",
+        "ba", "abc", "aabc", "abcc", "aaaa", "abba",
+    ] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    merges = [("a", "b"), ("ab", "c"), ("a", "a")]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _ref_encode(w, merges), (w, got[i])
