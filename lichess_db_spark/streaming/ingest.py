@@ -854,6 +854,17 @@ def stream_documents_curation(
     BENCH_ARCHIVE.json). Every batch self-heals an interrupted state
     compaction before its state probe, so the swap's crash window can
     never read as an empty first-batch state.
+
+    Cadence guidance (r7 BENCH_ARCHIVE finding): pick N by where the
+    state LIVES. On an object store, compact eagerly (small N) — every
+    probe pays per-directory listing RPCs, and the file/dir-count
+    bound is what holds probe cost flat. On a LOCAL filesystem,
+    Spark's FileStatusCache makes appended batch dirs nearly free to
+    re-list while every compaction rewrite invalidates the cache and
+    the next probes re-list the tree (measured: probes reset to ~0.8s
+    post-compaction then grow ~0.12s/batch, vs flat ~1.2s append-only
+    at 22x the file count) — so compact on the READER's cadence
+    (before unpruned scans / downstream consumers), not per-N-batches.
     """
     from pyspark.sql import Window
 
