@@ -128,6 +128,7 @@ HEADLINE = [
     "incremental_histogram_orders",
     "bpe_encode_tokens",
     "kmeans_portable_embeddings",
+    "bpe_learned_merges",
 ]
 
 

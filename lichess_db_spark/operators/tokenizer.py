@@ -251,5 +251,5 @@ def bpe_merge_table(
     merges = bpe_learn_merges(docs, n_merges, text_col)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
-        "step int, left string, right string, pair_count bigint",
+        "step int, lhs string, rhs string, pair_count bigint",
     )

@@ -64,6 +64,9 @@ _TOUCHED_THIS_ROUND = (
     # r7 session 2: hash-checkable distributed k-means (one Lloyd
     # step; multi-iteration twin exact-reference-tested).
     "kmeans_portable_embeddings",
+    # r7 session 2: BPE LEARNING loop under the hash gate (3 unrolled
+    # oracle iterations via placeholder-char rewrites).
+    "bpe_learned_merges",
 )
 _TOUCHED_R6 = (
     # r6: the two items staged in r5 because the window filled

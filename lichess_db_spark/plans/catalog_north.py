@@ -3832,3 +3832,94 @@ def kmeans_portable_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import portable_kmeans_step
 
     return portable_kmeans_step(_t(spark, sf_dir, "embeddings"), k=4)
+
+
+@register(
+    "bpe_learned_merges",
+    """
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    p1 AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS a,
+               substr(w, CAST(i AS INT) + 1, 1) AS b, cnt
+        FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM words)
+    ),
+    t1 AS (
+        SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM p1 GROUP BY a, b
+        ORDER BY SUM(cnt) DESC, a, b LIMIT 1
+    ),
+    w1 AS (
+        SELECT replace(w, (SELECT a || b FROM t1), chr(1)) AS w, cnt FROM words
+    ),
+    p2 AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS ca,
+               substr(w, CAST(i AS INT) + 1, 1) AS cb, cnt
+        FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w1)
+    ),
+    e2 AS (
+        SELECT CASE WHEN ca = chr(1) THEN (SELECT a || b FROM t1) ELSE ca END AS a,
+               CASE WHEN cb = chr(1) THEN (SELECT a || b FROM t1) ELSE cb END AS b,
+               cnt
+        FROM p2
+    ),
+    t2 AS (
+        SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM e2 GROUP BY a, b
+        ORDER BY SUM(cnt) DESC, a, b LIMIT 1
+    ),
+    w2 AS (
+        SELECT replace(w, (
+            SELECT (CASE WHEN a = (SELECT a || b FROM t1) THEN chr(1) ELSE a END)
+                || (CASE WHEN b = (SELECT a || b FROM t1) THEN chr(1) ELSE b END)
+            FROM t2), chr(2)) AS w, cnt
+        FROM w1
+    ),
+    p3 AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS ca,
+               substr(w, CAST(i AS INT) + 1, 1) AS cb, cnt
+        FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM w2)
+    ),
+    e3 AS (
+        SELECT CASE WHEN ca = chr(1) THEN (SELECT a || b FROM t1)
+                    WHEN ca = chr(2) THEN (SELECT a || b FROM t2)
+                    ELSE ca END AS a,
+               CASE WHEN cb = chr(1) THEN (SELECT a || b FROM t1)
+                    WHEN cb = chr(2) THEN (SELECT a || b FROM t2)
+                    ELSE cb END AS b,
+               cnt
+        FROM p3
+    ),
+    t3 AS (
+        SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM e3 GROUP BY a, b
+        ORDER BY SUM(cnt) DESC, a, b LIMIT 1
+    )
+    SELECT CAST(1 AS INT) AS step, a AS lhs, b AS rhs, c AS pair_count FROM t1
+    UNION ALL SELECT CAST(2 AS INT), a, b, c FROM t2
+    UNION ALL SELECT CAST(3 AS INT), a, b, c FROM t3
+    """,
+    "BPE LEARNING under the hash gate: the first THREE learned merges "
+    "(lhs, rhs, weighted pair count) from operators/tokenizer."
+    "bpe_learn_merges — the iterative tokenizer-training loop itself, "
+    "not just step-1 statistics (bpe_pair_counts) or a fixed-merge "
+    "encode (bpe_encode_tokens). Spark runs the real loop: corpus -> "
+    "word-frequency vocab ONCE, then per merge a vocab-sized pair "
+    "count, a 1-row argmax (ties broken on count DESC, lhs, rhs), and "
+    "a map-only greedy fold rewrite. The oracle unrolls the same three "
+    "iterations in SQL by keeping the vocab in string-land: each "
+    "learned merge's token is rewritten into a single PLACEHOLDER "
+    "char (chr(1), chr(2)) via leftmost-nonoverlapping replace() — "
+    "exactly the greedy fold's semantics — and pair extraction stays "
+    "substr()-based, with CASE mappings expanding placeholders back "
+    "to token strings so counts and tiebreaks compare the REAL "
+    "tokens. Contract: corpus text must not contain chr(1)/chr(2) "
+    "(printable-text corpora; the fixture is ASCII). Deeper merge "
+    "lists stay exact-twin tested (tests/test_tokenizer.py) — the "
+    "unrolled-oracle pattern is bfs_copurchase_hops', demonstrated "
+    "here to depth 3.",
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import bpe_merge_table
+
+    return bpe_merge_table(spark, _t(spark, sf_dir, "documents"), 3)

@@ -578,6 +578,10 @@ _PLAN_FINGERPRINTS = {
     # r7: one Lloyd step — map-only assignment (centroid literal in
     # the plan), ONE (cluster, dim) update exchange
     "kmeans_portable_embeddings": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    # r7: the BPE learning loop runs its vocab-sized jobs at BUILD
+    # time (like knn_ivf's training); the returned merge table is a
+    # LocalTableScan — nothing to pin beyond zero-everything
+    "bpe_learned_merges": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     # r7: RRF fusion — the SMJ is the full-outer fusion of two <=20-row
     # top-k legs (Spark cannot broadcast full-outer; both inputs are
     # k-row reductions so the exchange is O(k) regardless of corpus);
