@@ -144,3 +144,49 @@ def test_cluster_balanced_sampling_composition(spark):
     assert sorted(r["vec_id"] for r in s1.collect()) == sorted(
         r["vec_id"] for r in s2.collect()
     )
+
+
+def test_arrow_assignment_bit_identical_and_faster_shape(spark):
+    """The Arrow assignment kernel must agree with the scaled-int
+    expression path on EVERY vector (same argmin, including ties —
+    np.argmin and array_position both take the first minimum)."""
+    from lichess_db_spark.operators.clustering import (
+        assign_clusters_arrow,
+        portable_init_centroids,
+        _sq_dist_scaled,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = portable_init_centroids(emb, 6)
+    dists = F.array(*[_sq_dist_scaled(F.col("embedding"), c) for c in cents])
+    expr = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("c"),
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_arrow(emb, cents).collect()
+    }
+    assert arrow == expr
+    # exact tie: duplicated centroid -> both paths must pick the
+    # LOWER cluster index for vectors nearest the duplicated centroid
+    dup = [cents[0], cents[0], cents[1]]
+    d2 = F.array(*[_sq_dist_scaled(F.col("embedding"), c) for c in dup])
+    e2 = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            (F.array_position(d2, F.array_min(d2)) - 1).cast("int").alias("c"),
+        ).collect()
+    }
+    a2 = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_arrow(emb, dup).collect()
+    }
+    assert a2 == e2
+    assert 1 not in set(a2.values())  # index 1 never wins a tie with 0
