@@ -1,13 +1,15 @@
 """Distributed Lloyd k-means vs an exact-arithmetic Python reference.
 
 The reference replicates the operator's arithmetic bit-for-bit:
-sequential left-to-right squared-distance accumulation (NOT numpy
-pairwise summation), first-occurrence argmin tiebreak, and
-scaled-integer centroid means — so the comparison is exact equality,
-not tolerance. Determinism under repartitioning and Lloyd's monotone
-inertia are pinned separately. The r8 catalog entry will be rows-only
-with this exact twin (iterative, not one-SQL-expressible — same
-pattern as BPE learning / HLL / GK).
+scaled-integer distances (per-dim floor(d^2*1e12+0.5), order-free int
+sums), first-occurrence argmin tiebreak, and scaled-integer centroid
+means — so the comparison is exact equality, not tolerance.
+Determinism under repartitioning, Lloyd's monotone inertia, and the
+Arrow-kernel/expression interchangeability are pinned separately. The
+single-step portable twin is the hash-green driver row
+(kmeans_portable_embeddings); a multi-iteration r8 entry would be
+rows-only with this exact twin (iterative — same pattern as BPE
+learning / HLL / GK).
 """
 
 from __future__ import annotations
@@ -28,16 +30,22 @@ SCALE = 1e12
 
 
 def _ref_assign(vecs, cents):
+    # scaled-int distances, exactly as _sq_dist_scaled computes them:
+    # per-dim floor(d^2 * 1e12 + 0.5) int terms (HALF_UP == floor(x+.5)
+    # for non-negative values), order-free integer sum
+    import math
+
     out = []
     for v in vecs:
         dists = []
         for c in cents:
-            acc = 0.0
+            acc = 0
             for a, b in zip(v, c):
-                acc += (float(a) - b) * (float(a) - b)
+                d = float(a) - b
+                acc += int(math.floor(d * d * SCALE + 0.5))
             dists.append(acc)
         m = min(dists)
-        out.append((dists.index(m), m))
+        out.append((dists.index(m), m / SCALE))
     return out
 
 
@@ -190,3 +198,17 @@ def test_arrow_assignment_bit_identical_and_faster_shape(spark):
     }
     assert a2 == e2
     assert 1 not in set(a2.values())  # index 1 never wins a tie with 0
+
+
+def test_lloyd_arrow_path_bit_identical(spark):
+    """use_arrow=True is an implementation toggle, not a semantics
+    change: centroids, assignments, and inertia match the expression
+    path exactly across iterations."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a_assigned, a_cents, a_inertia = lloyd_kmeans(emb, 3, 2, use_arrow=False)
+    b_assigned, b_cents, b_inertia = lloyd_kmeans(emb, 3, 2, use_arrow=True)
+    assert a_cents == b_cents
+    assert a_inertia == b_inertia
+    a_map = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a_assigned.collect()}
+    b_map = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in b_assigned.collect()}
+    assert a_map == b_map
