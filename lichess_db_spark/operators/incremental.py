@@ -175,7 +175,50 @@ def _set_merge(col: Column | str) -> Column:
     return F.array_sort(F.array_distinct(flat))
 
 
+def _fi_merge(max_tracked: int):
+    """The frequent-items algebra (Spark 4 ``approx_top_k`` sketch —
+    Misra-Gries-style heavy hitters): state is the sketch struct from
+    ``approx_top_k_accumulate(col, max_tracked)``; merge is
+    ``approx_top_k_combine`` at the same capacity. CAPACITY-EXACT like
+    approx_topk_terms: when max_tracked >= the group's distinct-value
+    count the sketch degrades to exact counting, so the merged top-k
+    equals the exact GROUP BY — tested; beyond capacity it is the
+    standard approximate heavy-hitter guarantee. Read back with
+    ``approx_top_k_estimate(state, k)``. Completes the sketch corner
+    of the mergeable family next to "hll" (distinct counts) and the
+    exact "topk:<k>" (order statistics): this one ranks by FREQUENCY.
+    Staged r7; the r8 catalog entry is rows-only with the exact twin,
+    like mv_hll_maintenance_orders."""
+
+    def merge(col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.call_function("approx_top_k_combine", c, F.lit(max_tracked))
+
+    return merge
+
+
+def fi_accumulate(col: Column | str, max_tracked: int) -> Column:
+    """Partial-build helper for the ``fi:<n>`` algebra (the accumulate
+    side of the sketch; use inside the per-batch groupBy agg)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.call_function("approx_top_k_accumulate", c, F.lit(max_tracked))
+
+
+def fi_estimate(col: Column | str, k: int) -> Column:
+    """Read the top-k (item, count) structs off merged ``fi`` state."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.call_function("approx_top_k_estimate", c, F.lit(k))
+
+
 def _merge_fn(how: str):
+    if how.startswith("fi:"):
+        try:
+            n = int(how.split(":", 1)[1])
+        except ValueError:
+            return None
+        if n <= 0:
+            return None
+        return _fi_merge(n)
     if how.startswith("topk:"):
         # malformed specs ("topk:", "topk:abc", "topk:0") report
         # through the unified unknown-algebra error (ADVICE r6), not a
@@ -205,13 +248,15 @@ def _merge_fn(how: str):
 class StateCol:
     """One mergeable state column: ``name`` both in the partial-agg
     output and the stored state, merged with ``how``
-    (sum|min|max|hll|topk:<k>|set|hist:<n> — "hll" unions DataSketches
+    (sum|min|max|hll|topk:<k>|set|hist:<n>|fi:<n> — "hll" unions DataSketches
     HLL sketches built with ``F.hll_sketch_agg``, the maintainable
     approximate COUNT(DISTINCT); "topk:<k>" merges DESC-sorted top-k
     value arrays, the maintainable leaderboard; "set" unions sorted
     distinct-value arrays, the EXACT count-distinct for bounded
     domains; "hist:<n>" adds length-n bin-count vectors element-wise,
-    the maintainable histogram/quantile distribution)."""
+    the maintainable histogram/quantile distribution; "fi:<n>" combines
+    Spark-4 approx_top_k sketches, the maintainable frequency heavy
+    hitters — capacity-exact when n covers the domain)."""
 
     name: str
     how: str

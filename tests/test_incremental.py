@@ -650,3 +650,73 @@ def test_hist_merge_random_folds_vs_python(spark):
         )
     got = {r["g"]: list(r["h"]) for r in state.collect()}
     assert got == want
+
+
+def test_fi_state_merge_capacity_exact(spark):
+    """'fi:n' algebra (Spark 4 approx_top_k sketch): with capacity >=
+    the distinct-value count the sketch is EXACT, so folding per-batch
+    sketches over any split must reproduce the exact per-group
+    frequency ranking — and the merged estimate must equal the
+    one-shot sketch estimate (the hll-style merge contract)."""
+    from lichess_db_spark.operators.incremental import (
+        StateCol,
+        fi_accumulate,
+        fi_estimate,
+        merge_agg_state,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "cust_bucket", (F.col("o_custkey") % 20).cast("string")
+    )
+    cap = 64  # >> the 20 distinct cust_bucket values
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            fi_accumulate("cust_bucket", cap).alias("fi")
+        )
+
+    cols = [StateCol("fi", f"fi:{cap}")]
+    state = partial(orders.where(F.col("o_orderkey") % 3 == 0))
+    for m in (1, 2):
+        delta = partial(orders.where(F.col("o_orderkey") % 3 == m))
+        state = merge_agg_state(state, delta, keys=["o_orderpriority"], cols=cols)
+
+    got = {
+        r["o_orderpriority"]: [(e["item"], e["count"]) for e in r["top"]]
+        for r in state.select(
+            "o_orderpriority", fi_estimate("fi", 3).alias("top")
+        ).collect()
+    }
+    # one-shot sketch == merged sketch estimate
+    oneshot = {
+        r["o_orderpriority"]: [(e["item"], e["count"]) for e in r["top"]]
+        for r in partial(orders)
+        .select("o_orderpriority", fi_estimate("fi", 3).alias("top"))
+        .collect()
+    }
+    assert got == oneshot
+    # and capacity-exact: counts match the exact GROUP BY top-3
+    exact = {}
+    for r in (
+        orders.groupBy("o_orderpriority", "cust_bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        exact.setdefault(r["o_orderpriority"], []).append(
+            (r["cust_bucket"], r["n"])
+        )
+    for g, top in got.items():
+        want_counts = sorted((n for _, n in exact[g]), reverse=True)[: len(top)]
+        assert [n for _, n in top] == want_counts, (g, top, want_counts)
+        by_item = dict(exact[g])
+        for item, n in top:
+            assert by_item[item] == n
+
+
+@pytest.mark.parametrize("bad", ["fi:", "fi:abc", "fi:0", "fi:-2"])
+def test_malformed_fi_spec_unified_error(spark, bad):
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    df = spark.createDataFrame([(1, "x")], "g int, fi string")
+    with pytest.raises(ValueError, match="unknown merge algebra"):
+        merge_agg_state(df, df, keys=["g"], cols=[StateCol("fi", bad)])
