@@ -1069,3 +1069,54 @@ def test_stream_agg_maintenance_hist_state(spark, tmp_path):
         ).collect()
     }
     assert served == want
+
+
+def test_stream_agg_maintenance_fi_state(spark, tmp_path):
+    """Composition: streaming MV maintenance carrying an fi:64 sketch
+    state column — the served heavy-hitter estimate after two arrivals
+    equals the one-shot sketch (capacity-exact at this domain size)."""
+    from lichess_db_spark.operators.incremental import (
+        StateCol,
+        fi_accumulate,
+        fi_estimate,
+    )
+    from lichess_db_spark.streaming.ingest import (
+        latest_agg_state,
+        stream_agg_maintenance,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "cust_bucket", (F.col("o_custkey") % 20).cast("string")
+    )
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [StateCol("n", "sum"), StateCol("fi", "fi:64")]
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), fi_accumulate("cust_bucket", 64).alias("fi")
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_agg_maintenance(
+            spark, stream, state, ckpt, ["o_orderpriority"], cols, partial
+        )
+        q.awaitTermination(120)
+
+    orders.where(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(src)
+    run_once()
+    orders.where(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+
+    read = lambda df: {  # noqa: E731
+        r["o_orderpriority"]: (
+            r["n"],
+            [(e["item"], e["count"]) for e in r["top"]],
+        )
+        for r in df.select(
+            "o_orderpriority", "n", fi_estimate("fi", 3).alias("top")
+        ).collect()
+    }
+    assert read(latest_agg_state(spark, state)) == read(partial(orders))
