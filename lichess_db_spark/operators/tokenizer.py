@@ -11,7 +11,7 @@ Scale design (the part that matters at 100 TB): the corpus is touched
 EXACTLY ONCE — one shuffle of bare whitespace tokens into a
 (word, count) vocabulary. Every merge iteration after that operates on
 the vocab relation only (Heaps-law sublinear in corpus size; ~10^5-10^7
-rows for web-scale corpora — broadcast-sized), so adding iterations
+rows for web-scale corpora), so adding iterations
 costs vocab-sized work, not corpus scans. Each iteration is:
 
 1. pair counts: one explode + groupBy over the vocab (weighted by
@@ -36,9 +36,10 @@ cannot double-fire.
 Exactness: counts are integers end to end; the learned merge list for
 a given corpus is bit-deterministic (no RNG, total-order tiebreaks).
 Verified against a pure-Python reference implementation in
-tests/test_tokenizer.py (the iteration is not expressible as one
-ANSI-SQL oracle; the catalog entry to be registered in r8 is
-rows-only with this exact-twin test, like the HLL/GK entries).
+tests/test_tokenizer.py, and — to depth 3 — against the driver's hash
+gate: catalog:`bpe_learned_merges` unrolls three iterations in SQL by
+rewriting each learned merge into a placeholder char (deeper merge
+lists stay exact-twin tested).
 """
 
 from __future__ import annotations
@@ -203,7 +204,9 @@ def bpe_encode_counts(
     Tokenization is word-deterministic, so this variant encodes each
     DISTINCT word once (the fold runs over the Heaps-sublinear vocab
     relation) and joins the per-word token count back to per-(doc,
-    word) occurrence counts: n_tokens(doc) = sum_w k(doc,w) * t(w).
+    word) occurrence counts: n_tokens(doc) = sum_w k(doc,w) * t(w)
+    (join strategy left to AQE — the vocab broadcasts when it fits,
+    shuffles on the word when it doesn't).
     Same memoization real tokenizer pipelines use (word-level cache).
     Documents with no words (empty/whitespace text) surface with
     n_tokens = 0 via the restoring left join.
@@ -231,8 +234,12 @@ def bpe_encode_counts(
         .distinct()
         .select("w", F.size(encode_expr(F.col("w"))).cast("bigint").alias("__t"))
     )
+    # no broadcast HINT on the vocab side: Heaps-sublinear is not
+    # broadcast-SIZED at 100 TB (hundreds of millions of distinct
+    # words); AQE broadcasts it when it actually fits and otherwise
+    # shuffles both sides on the word — the correct join either way
     counts = (
-        per.join(F.broadcast(vocab), "w")
+        per.join(vocab, "w")
         .groupBy("__id")
         .agg(F.sum(F.col("__k") * F.col("__t")).alias("__n"))
     )
