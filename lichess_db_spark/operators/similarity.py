@@ -781,3 +781,53 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-level eval decontamination: every (corpus, eval) pair
+    whose exact cosine clears ``threshold`` — the modern semantic
+    complement to the n-gram ``contamination_eval_overlap`` (paraphrased
+    or reformatted eval leakage survives n-gram matching but not an
+    embedding match). Returns (corpus_id, eval_id, score) with the
+    same rounded-to-3 exact scaled-int cosine as brute_force_topk, so
+    the pair set is engine-portable and partitioning-invariant.
+
+    Scale shape: the EVAL side is bounded by construction (benchmark
+    suites are thousands of rows, not corpus-sized), so it broadcasts
+    and the scan is one map-side nested loop over the corpus — no
+    shuffle at all; the threshold filter collapses output to the
+    (rare) contaminated pairs. For eval sets too large to broadcast,
+    route through the LSH bucket join (``lsh_bucket_topk``'s candidate
+    stage) instead — same verdict semantics, candidate-bounded.
+    """
+    eid = eval_id_col or id_col
+    q = F.broadcast(
+        evals.select(
+            F.col(eid).alias("eval_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_exact(F.col(vec_col)).alias("q_norm"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("c_norm"),
+    )
+    return (
+        c.crossJoin(q)
+        .select(
+            "corpus_id",
+            "eval_id",
+            F.round(
+                dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 3
+            ).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(threshold))
+    )

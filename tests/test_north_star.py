@@ -950,3 +950,48 @@ def test_hll_sketch_union_semantics(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
     ).collect()[0]["e"]
     assert got["ALL"] == direct
+
+
+def test_embedding_contamination_matches_exact(spark):
+    """embedding_contamination == the thresholded exact cosine set
+    (computed independently via brute_force_topk's full ranking), is
+    map-only (no exchange), and is empty at an impossible threshold."""
+    from lichess_db_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_contamination,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    evals = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("eval_vid"), "embedding"
+    )
+    got = {
+        (r["corpus_id"], r["eval_id"])
+        for r in embedding_contamination(
+            emb, evals, threshold=0.5, eval_id_col="eval_vid"
+        ).collect()
+    }
+    # independent truth: full ranking from brute_force_topk with k
+    # large enough to cover everything, filtered at the threshold
+    n = emb.count()
+    want = {
+        (r["neighbor_id"], r["query_id"])
+        for r in brute_force_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=n
+        ).collect()
+        if r["score"] >= 0.5
+    }
+    # brute excludes self-pairs; contamination keeps them (an eval row
+    # leaked verbatim IS the worst case) — align by dropping them
+    got_noself = {(c, e) for c, e in got if c != e}
+    assert got_noself == want
+    assert {(c, e) for c, e in got if c == e} == {(i, i) for i in range(5)}
+    plan = embedding_contamination(emb, evals, 0.5, eval_id_col="eval_vid")
+    p = plan._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        plan._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange hashpartitioning" not in p, p
+    assert (
+        embedding_contamination(emb, evals, 1.001, eval_id_col="eval_vid").count()
+        == 0
+    )
