@@ -995,3 +995,49 @@ def test_embedding_contamination_matches_exact(spark):
         embedding_contamination(emb, evals, 1.001, eval_id_col="eval_vid").count()
         == 0
     )
+
+
+EMBEDDING_CONTAMINATION_SQL = """
+WITH q AS (SELECT vec_id AS eval_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+prs AS (
+    SELECT c.vec_id AS corpus_id, q.eval_id, q.qe, c.embedding AS ce
+    FROM embeddings c, q
+),
+dots AS (
+    SELECT corpus_id, eval_id,
+        CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_i,
+        CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(qe[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qq_i,
+        CAST(SUM(CAST(ROUND(CAST(ce[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS cc_i
+    FROM prs, generate_series(1, 64) AS g(i)
+    GROUP BY corpus_id, eval_id
+)
+SELECT corpus_id, eval_id, score FROM (
+    SELECT corpus_id, eval_id,
+           ROUND((dot_i / 1e12) / (sqrt(qq_i / 1e12) * sqrt(cc_i / 1e12)), 3)
+               AS score
+    FROM dots
+) WHERE score >= 0.5
+"""
+
+
+def test_embedding_contamination_oracle_ready(spark):
+    """Pre-verifies the staged r8 FULL oracle for embedding
+    contamination (the knn scaled-int SQL kit with a threshold WHERE
+    instead of a rank cut): Spark and DuckDB agree exactly at
+    sf0.001 AND sf0.01, so the r8 registration is a one-block
+    @register with no unknowns."""
+    from lichess_db_spark.operators.similarity import embedding_contamination
+
+    from .oracle_utils import compare, duck_con
+
+    for sf in (SF_SMALL, "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings")
+        evals = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("eval_id"), "embedding"
+        )
+        got = embedding_contamination(
+            emb, evals, threshold=0.5, eval_id_col="eval_id"
+        )
+        compare(got, duck_con(sf), EMBEDDING_CONTAMINATION_SQL,
+                f"embedding_contamination@{sf}")
