@@ -30,9 +30,11 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    last-green round, registration order as tiebreaker).
 _ROUND = 7
 _TOUCHED_THIS_ROUND = (
-    # r7 is deliberately NARROW (VERDICT r6 item 3): the rotation tail
-    # should re-green the ~32 oldest r3-vintage entries, so new/changed
-    # work is capped at a handful of slots.
+    # r7 budget (VERDICT r6 item 3): the 30 oldest r3-vintage entries
+    # must stay in the window — they do (new entries rank BELOW
+    # sentinels but above the rotation tail, so each new/changed slot
+    # displaced an r4-tail entry, never an r3 one; final shape is 12
+    # touched + 2 sentinels + 30 r3 + 6 r4, verified in the session).
     # VERDICT r6 item 2: the staged 'set' merge algebra lands as a
     # full-oracle entry, completing the mergeable-MV family.
     "incremental_distinct_years_orders",
