@@ -88,9 +88,13 @@ def _hist_merge(n: int):
     quantile is read from the merged vector by prefix-summing bins.
     Caller contract (mirrors topk's no-NULL-elements contract): state
     arrays are length n with no NULL cells — a NULL cell is coalesced
-    to 0 defensively, and a NULL state *row* is dropped by
-    ``collect_list``, but arrays longer than n would widen the state
-    (``zip_with`` runs to the longer length) and are on the caller."""
+    to 0 defensively, a NULL state *row* is dropped by
+    ``collect_list``, and an OVER-length array is truncated to its
+    first n cells (ADVICE r7: ``zip_with`` runs to the longer length,
+    so without the ``F.slice`` an over-length vector would widen the
+    accumulator with NULL cells that poison every future merge —
+    NULL + x stays NULL). Under-length arrays zero-fill (the zip's
+    missing tail coalesces to 0)."""
 
     def merge(col: Column | str) -> Column:
         c = F.col(col) if isinstance(col, str) else col
@@ -99,7 +103,9 @@ def _hist_merge(n: int):
             F.collect_list(c),
             zero,
             lambda acc, x: F.zip_with(
-                acc, x, lambda a, b: a + F.coalesce(b, F.lit(0).cast("bigint"))
+                acc,
+                F.slice(x, 1, n),
+                lambda a, b: a + F.coalesce(b, F.lit(0).cast("bigint")),
             ),
         )
 

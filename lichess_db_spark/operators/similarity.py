@@ -795,9 +795,12 @@ def embedding_contamination(
     whose exact cosine clears ``threshold`` — the modern semantic
     complement to the n-gram ``contamination_eval_overlap`` (paraphrased
     or reformatted eval leakage survives n-gram matching but not an
-    embedding match). Returns (corpus_id, eval_id, score) with the
-    same rounded-to-3 exact scaled-int cosine as brute_force_topk, so
-    the pair set is engine-portable and partitioning-invariant.
+    embedding match). The threshold compares against the UNROUNDED
+    exact scaled-int cosine (ADVICE r7: no round-to-3 boundary slop);
+    only the reported ``score`` column is rounded to 3 decimals, like
+    brute_force_topk's, so the pair set stays engine-portable and
+    partitioning-invariant (integer sums + correctly-rounded IEEE
+    sqrt/divide give bit-identical doubles in any engine).
 
     Scale shape: the EVAL side is bounded by construction (benchmark
     suites are thousands of rows, not corpus-sized), so it broadcasts
@@ -825,9 +828,14 @@ def embedding_contamination(
         .select(
             "corpus_id",
             "eval_id",
-            F.round(
-                dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 3
-            ).alias("score"),
+            (
+                dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("__exact"),
         )
-        .where(F.col("score") >= F.lit(threshold))
+        .where(F.col("__exact") >= F.lit(threshold))
+        .select(
+            "corpus_id",
+            "eval_id",
+            F.round(F.col("__exact"), 3).alias("score"),
+        )
     )

@@ -89,6 +89,23 @@ def stream_stream_interval_join(
     test_stream_stream_interval_join_matches_batch); the analogous
     batch catalog entry is range_join_recent_clicks.
     """
+    # ADVICE r7: `within` is caller-supplied — parse it instead of
+    # interpolating into F.expr, where a malformed value ('10min') or
+    # an injected expression surfaces as an opaque Catalyst error or a
+    # silently different join bound.
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(second|minute|hour|day)s?\s*", within, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            "within must be '<n> second(s)|minute(s)|hour(s)|day(s)', "
+            f"got {within!r}"
+        )
+    secs = int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400
+    }[m.group(2).lower()]
     v = views.select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -103,7 +120,10 @@ def stream_stream_interval_join(
         c,
         (F.col("user_id") == F.col("__c_user_id"))
         & (F.col("click_ts") >= F.col("view_ts"))
-        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.make_dt_interval(secs=F.lit(secs))
+        ),
         "inner",
     ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
 

@@ -505,6 +505,27 @@ def test_hist_state_null_cells_coalesced(spark):
     assert row["h"] == [3, 4, 1]
 
 
+def test_hist_merge_overlength_state_truncated(spark):
+    """ADVICE r7: an over-length state vector is truncated to its
+    first n cells instead of widening the accumulator with NULL bins
+    (zip_with runs to the LONGER length; NULL + x stays NULL and would
+    silently poison those bins through all future merges)."""
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    state = spark.createDataFrame(
+        [(1, [2, 1, 9, 9])], "g int, h array<bigint>"  # len 4 > n=2
+    )
+    delta = spark.createDataFrame([(1, [1, 4])], "g int, h array<bigint>")
+    merged = merge_agg_state(state, delta, keys=["g"], cols=[StateCol("h", "hist:2")])
+    [row] = merged.collect()
+    assert row["h"] == [3, 5]  # length stays 2, no NULL cells
+    # and the result merges cleanly again (no poisoned bins)
+    again = merge_agg_state(
+        merged, delta, keys=["g"], cols=[StateCol("h", "hist:2")]
+    )
+    assert again.collect()[0]["h"] == [4, 9]
+
+
 def test_hist_group_only_in_delta(spark):
     """A group absent from state appears in the merged result with the
     delta's vector (union+re-groupBy has no null-coalescing edge)."""

@@ -1012,12 +1012,11 @@ dots AS (
     FROM prs, generate_series(1, 64) AS g(i)
     GROUP BY corpus_id, eval_id
 )
-SELECT corpus_id, eval_id, score FROM (
+SELECT corpus_id, eval_id, ROUND(exact, 3) AS score FROM (
     SELECT corpus_id, eval_id,
-           ROUND((dot_i / 1e12) / (sqrt(qq_i / 1e12) * sqrt(cc_i / 1e12)), 3)
-               AS score
+           (dot_i / 1e12) / (sqrt(qq_i / 1e12) * sqrt(cc_i / 1e12)) AS exact
     FROM dots
-) WHERE score >= 0.5
+) WHERE exact >= 0.5
 """
 
 

@@ -1004,6 +1004,27 @@ def test_stream_stream_interval_join_matches_batch(spark, staged_events):
     assert got == want
 
 
+def test_stream_stream_interval_join_rejects_malformed_within(spark, staged_events):
+    """ADVICE r7: a malformed `within` raises a clear ValueError at
+    plan-build time instead of interpolating into F.expr (where
+    '10min' surfaces as an opaque Catalyst parse error and an injected
+    expression could silently change the join bound)."""
+    import pytest as _pytest
+
+    from lichess_db_spark.streaming.ingest import stream_stream_interval_join
+
+    _, ev = staged_events
+    bv = ev.where(F.col("event_type") == "view")
+    bc = ev.where(F.col("event_type") == "click")
+    for bad in ("10min", "10", "minutes", "10 fortnights", "1 minute OR 1=1"):
+        with _pytest.raises(ValueError, match="within must be"):
+            stream_stream_interval_join(bv, bc, within=bad)
+    # singular/plural + case accepted
+    assert stream_stream_interval_join(bv, bc, within="1 Minute").columns == [
+        "user_id", "view_id", "view_ts", "click_id", "click_ts",
+    ]
+
+
 def test_stream_agg_maintenance_hist_state(spark, tmp_path):
     """Composition: streaming MV maintenance carrying a hist:16 state
     column — the per-priority price histogram served after two
