@@ -129,6 +129,20 @@ HEADLINE = [
     "bpe_encode_tokens",
     "kmeans_portable_embeddings",
     "bpe_learned_merges",
+    # r8: staged-operator registrations — semantic decontamination,
+    # frequent-items MV, BPE-count-driven packing, cluster-balanced
+    # sampling, iterated Lloyd
+    "embedding_contamination",
+    "incremental_freq_items_orders",
+    "pack_sequences_bpe",
+    "kmeans_cluster_sample",
+    "lloyd_kmeans_clusters",
+    # r8 breadth: mix assembly, tokenizer eval, LM scoring, quantization
+    "dataset_split_counts",
+    "upsample_epochs_docs",
+    "tokenizer_fertility_by_lang",
+    "bigram_lm_score",
+    "embedding_int8_quantize",
 ]
 
 

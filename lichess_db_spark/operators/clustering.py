@@ -221,6 +221,29 @@ def portable_kmeans_step(
     )
 
 
+def portable_assign(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) under the engine-portable single Lloyd step:
+    md5-seeded init + exact scaled-int nearest-centroid argmin (first
+    minimum on ties — DuckDB mirrors with ORDER BY dist, c). The
+    assignment half of :func:`portable_kmeans_step`, exposed so
+    downstream hash-checkable compositions (cluster-balanced
+    sampling, per-cluster stats) can reuse it; map-only — the k x d
+    centroid literal rides the plan."""
+    cents = portable_init_centroids(emb, k, id_col, vec_col)
+    dists = F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in cents])
+    return emb.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
 def lloyd_kmeans(
     emb: DataFrame,
     k: int,

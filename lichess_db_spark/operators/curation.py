@@ -147,6 +147,7 @@ def pack_sequences(
     part_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: concatenate documents (in stable id
     order, per ``part_col`` stream) and cut every ``seq_len`` tokens;
@@ -154,12 +155,20 @@ def pack_sequences(
 
     One running-sum window per stream key — a single hash shuffle; at
     100 TB the stream key is the shard (here: lang), so no global
-    order is ever materialized. Token count is whitespace split —
-    swap in a real tokenizer count upstream without changing the
-    packing. Returns per-(stream, seq_id) accounting: docs packed and
-    exact token count (integers -> engine-portable).
+    order is ever materialized. Token counting: by default the
+    whitespace-split proxy over ``text_col`` (bit-for-bit the r4
+    semantics); pass ``tokens_col`` naming a precomputed integer
+    token-count column (e.g. ``tokenizer.bpe_encode_counts``'s
+    n_tokens) to pack by REAL tokenizer counts — the packing plan is
+    unchanged, only the per-doc length input swaps. Returns
+    per-(stream, seq_id) accounting: docs packed and exact token
+    count (integers -> engine-portable).
     """
-    tokens = F.size(F.split(F.col(text_col), " "))
+    tokens = (
+        F.col(tokens_col).cast("bigint")
+        if tokens_col is not None
+        else F.size(F.split(F.col(text_col), " "))
+    )
     w = (
         Window.partitionBy(part_col)
         .orderBy(id_col)
@@ -260,6 +269,89 @@ def repeated_passages(
             F.count("*").alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "-split",
+) -> DataFrame:
+    """Deterministic named train/val/test assignment: each row gets a
+    ``split`` label by its md5(id || salt) percent-bucket, carved into
+    cumulative ranges in ``fractions`` insertion order (percents must
+    sum to 100). The generalized form of export_plan's 2-way tag: the
+    assignment is a pure function of the id — reshuffle-proof, stable
+    as the corpus grows (a doc never migrates splits when new data
+    arrives, the property eval-set hygiene depends on), and
+    reproducible in ANSI SQL. Map-only at any scale; change ``salt``
+    to draw an independent assignment.
+    """
+    fractions = fractions or {"train": 80, "val": 10, "test": 10}
+    if sum(fractions.values()) != 100 or any(v <= 0 for v in fractions.values()):
+        raise ValueError(f"fractions must be positive and sum to 100: {fractions}")
+    bucket = _md5_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)), 100
+    )
+    expr = None
+    cum = 0
+    for name, pct in fractions.items():
+        cum += pct
+        expr = (
+            F.when(bucket < cum, name)
+            if expr is None
+            else expr.when(bucket < cum, name)
+        )
+    return df.withColumn("split", expr)
+
+
+def upsample_epochs(
+    df: DataFrame,
+    epochs: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+) -> DataFrame:
+    """Per-source epoch replication for a training mix: a source with
+    ``epochs[src] = 2.5`` emits every doc twice plus a deterministic
+    md5-selected half a third time (the standard small-high-quality-
+    source upsampling; fractional epochs select a stable id subset, so
+    reruns and engines agree). Output rows carry ``epoch`` (1-based
+    pass index); a rate <= 0 drops the source. Plan shape: one
+    when-chain (the epochs dict is dims-sized) + explode of a
+    row-local sequence — map-only, output size = sum of rates x rows,
+    no shuffle; the epoch index is what downstream shard writers
+    interleave on so repeated passes don't cluster.
+    """
+    full_expr = None
+    frac_expr = None
+    for src, e in epochs.items():
+        fl = int(e) if e > 0 else 0
+        fb = max(0, min(10000, round((e - fl) * 10000))) if e > 0 else 0
+        cond = F.col(key_col) == src
+        full_expr = (
+            F.when(cond, fl) if full_expr is None else full_expr.when(cond, fl)
+        )
+        frac_expr = (
+            F.when(cond, fb) if frac_expr is None else frac_expr.when(cond, fb)
+        )
+    d_fl = int(default) if default > 0 else 0
+    d_fb = max(0, min(10000, round((default - d_fl) * 10000))) if default > 0 else 0
+    full_expr = (full_expr.otherwise(d_fl)) if full_expr is not None else F.lit(d_fl)
+    frac_expr = (frac_expr.otherwise(d_fb)) if frac_expr is not None else F.lit(d_fb)
+    extra = F.when(
+        _md5_bucket(F.concat(F.col(id_col).cast("string"), F.lit("-ep")), 10000)
+        < frac_expr,
+        1,
+    ).otherwise(0)
+    n_ep = (full_expr + extra).cast("int")
+    # sequence(1, 0) generates DESCENDING [1, 0] — filter before explode
+    return (
+        df.withColumn("__n_ep", n_ep)
+        .where(F.col("__n_ep") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n_ep"))))
+        .drop("__n_ep")
     )
 
 

@@ -28,8 +28,53 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    suite (tests/test_catalog_oracle.py).
 # 3. Everything else, least-recently-driver-verified first (ascending
 #    last-green round, registration order as tiebreaker).
-_ROUND = 7
+_ROUND = 8
 _TOUCHED_THIS_ROUND = (
+    # r8 window budget: 10 touched + 2 sentinels leaves 38 rotation
+    # slots — enough for every r4-vintage oldest-green entry (VERDICT
+    # r7 #4 asked for >=30), so no new/changed slot displaces an r4
+    # re-green this round.
+    #
+    # VERDICT r7 #1: the staged embedding-level decontamination scan
+    # lands as a FULL-ORACLE entry (oracle pre-verified at two SFs in
+    # r7; threshold semantics tightened per ADVICE — unrounded compare,
+    # rounded report).
+    "embedding_contamination",
+    # VERDICT r7 #2: the 'fi:<n>' frequent-items algebra completes the
+    # sketch corner of the mergeable-MV family — registered FULL
+    # oracle (capacity-exact + full-capacity estimate read + det
+    # re-rank), stronger than the rows-only slot planned.
+    "incremental_freq_items_orders",
+    # VERDICT r7 #3: pack_sequences(tokens_col=...) — real BPE token
+    # counts drive packing; the default whitespace path is bit-for-bit
+    # (tested), and its direct consumers re-enter per the contract.
+    "pack_sequences_bpe",
+    "pack_sequences_lang",
+    "pack_efficiency_profile",
+    # VERDICT r7 #5: cluster-balanced sampling (portable k-means
+    # assignment x grouped DLT sample, FULL oracle) + the iterated
+    # Lloyd path as a rows-only row; clustering.py grew
+    # portable_assign, so its existing entry re-enters.
+    "kmeans_cluster_sample",
+    "lloyd_kmeans_clusters",
+    "kmeans_portable_embeddings",
+    # helper re-entries (rotation contract): operators/incremental.py
+    # _hist_merge changed (ADVICE r7: over-length state slice guard)
+    # and operators/tokenizer.py bpe_learn_merges changed (ADVICE r7:
+    # unpersist-on-failure) — their dependents re-enter.
+    "incremental_histogram_orders",
+    "bpe_learned_merges",
+    # r8 breadth (training-mix assembly + tokenizer eval + LM scoring
+    # + quantization; each displaces one rotation-tail slot — final
+    # window shape: 15 touched + 2 sentinels + 33 r4-vintage
+    # re-greens, still over the >=30 target):
+    "dataset_split_counts",
+    "upsample_epochs_docs",
+    "tokenizer_fertility_by_lang",
+    "bigram_lm_score",
+    "embedding_int8_quantize",
+)
+_TOUCHED_R7 = (
     # r7 budget (VERDICT r6 item 3): the 30 oldest r3-vintage entries
     # must stay in the window — they do (new entries rank BELOW
     # sentinels but above the rotation tail, so each new/changed slot

@@ -937,6 +937,56 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_contamination",
+    """
+    WITH q AS (SELECT vec_id AS eval_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    prs AS (
+        SELECT c.vec_id AS corpus_id, q.eval_id, q.qe, c.embedding AS ce
+        FROM embeddings c, q
+    ),
+    dots AS (
+        SELECT corpus_id, eval_id,
+            CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_i,
+            CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(qe[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS qq_i,
+            CAST(SUM(CAST(ROUND(CAST(ce[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS cc_i
+        FROM prs, generate_series(1, 64) AS g(i)
+        GROUP BY corpus_id, eval_id
+    )
+    SELECT corpus_id, eval_id, ROUND(exact, 3) AS score FROM (
+        SELECT corpus_id, eval_id,
+               (dot_i / 1e12) / (sqrt(qq_i / 1e12) * sqrt(cc_i / 1e12)) AS exact
+        FROM dots
+    ) WHERE exact >= 0.5
+    """,
+    "EMBEDDING-level eval decontamination (VERDICT r7 #1): every "
+    "(corpus, eval) pair whose exact cosine clears the threshold — "
+    "the semantic complement to contamination_eval_overlap "
+    "(paraphrased/reformatted eval leakage survives n-gram matching "
+    "but not an embedding match). The threshold compares the "
+    "UNROUNDED exact cosine (scaled-int dot/norm sums + correctly-"
+    "rounded IEEE sqrt/divide -> bit-identical in any engine; only "
+    "the reported score is rounded to 3). Scale shape: the eval side "
+    "is bounded by construction (benchmark suites, not corpora), so "
+    "it broadcasts and the scan is ONE map-side pass over the corpus "
+    "— no shuffle at all; the threshold collapses output to the rare "
+    "contaminated pairs. Self-pairs are kept deliberately (an eval "
+    "row leaked verbatim is the worst case). For eval sets too large "
+    "to broadcast, route candidates through the LSH bucket join "
+    "(operators/similarity.py:lsh_bucket_topk) — same verdict "
+    "semantics, candidate-bounded.",
+)
+def embedding_contamination_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    return embedding_contamination(emb, evals, threshold=0.5, eval_id_col="eval_id")
+
+
+@register(
     "pack_sequences_lang",
     """
     WITH t AS (
@@ -3773,6 +3823,58 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_bpe",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+        SELECT doc_id,
+               CAST(SUM(len(w) - (len(w) - len(replace(w, 'er', ''))) / 2)
+                    AS BIGINT) AS n_tok
+        FROM words WHERE len(w) >= 1 GROUP BY doc_id
+    ),
+    base AS (
+        SELECT d.lang, d.doc_id, CAST(COALESCE(t.n_tok, 0) AS BIGINT) AS n_tok
+        FROM documents d LEFT JOIN t USING (doc_id)
+        WHERE d.text IS NOT NULL
+    ),
+    c AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM base
+    )
+    SELECT lang, CAST((cum_end - n_tok) // 2048 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY lang, seq_id
+    """,
+    "Sequence packing driven by REAL tokenizer counts (ROADMAP r8 / "
+    "VERDICT r7 #3): the same greedy per-lang-stream packing window "
+    "as pack_sequences_lang, but each document's length is its BPE "
+    "token count from tokenizer.bpe_encode_counts (merge ('e','r'), "
+    "the corpus's top pair per bpe_pair_counts) instead of the "
+    "whitespace proxy — curation.pack_sequences(tokens_col=...) swaps "
+    "only the per-doc length input, the packing plan is unchanged. "
+    "Pipeline shape at 100 TB: the vocab-memoized encode (fold once "
+    "per DISTINCT word, AQE-decided count join) + one doc_id join to "
+    "carry the stream key + ONE running-sum window per lang stream. "
+    "Oracle reuses bpe_encode_tokens' closed form (single merge a!=b "
+    "fires once per leftmost non-overlapping 'er': n_tok = n_chars - "
+    "occurrences) composed with the packing window SQL.",
+)
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pack_sequences
+    from ..operators.tokenizer import bpe_encode_counts
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counts = bpe_encode_counts(d, [("e", "r")])
+    base = d.select("lang", "doc_id").join(counts, "doc_id")
+    return pack_sequences(base, seq_len=2048, tokens_col="n_tokens")
+
+
+@register(
     "kmeans_portable_embeddings",
     """
     WITH ranked AS (
@@ -3832,6 +3934,125 @@ def kmeans_portable_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import portable_kmeans_step
 
     return portable_kmeans_step(_t(spark, sf_dir, "embeddings"), k=4)
+
+
+@register(
+    "kmeans_cluster_sample",
+    f"""
+    WITH ranked AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+    ),
+    cent0 AS (SELECT CAST(rn - 1 AS INT) AS c, embedding AS ce
+              FROM ranked WHERE rn <= 4),
+    dst AS (
+        SELECT v.vec_id, c.c,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(v.embedding[g.i] AS DOUBLE) - CAST(c.ce[g.i] AS DOUBLE))
+                 * (CAST(v.embedding[g.i] AS DOUBLE) - CAST(c.ce[g.i] AS DOUBLE))
+                 * 1e12) AS BIGINT)) AS BIGINT) AS dist_i
+        FROM embeddings v, cent0 c, generate_series(1, 64) AS g(i)
+        GROUP BY v.vec_id, c.c
+    ),
+    a0 AS (
+        SELECT vec_id, c AS cluster FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_i, c) AS rn
+            FROM dst
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a0.cluster, d2.doc_id, CAST(d2.n_chars AS BIGINT) AS weight,
+               CAST({_PS_KEY} AS HUGEINT) AS pri
+        FROM a0 JOIN documents d2 ON d2.doc_id = a0.vec_id
+        WHERE d2.n_chars IS NOT NULL AND d2.n_chars > 0
+    ),
+    rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY pri DESC, doc_id) AS rn
+        FROM scored
+    ),
+    tau AS (
+        SELECT cluster, MAX(CASE WHEN rn = 6 THEN pri END) AS tau_raw
+        FROM rk GROUP BY cluster
+    )
+    SELECT r.cluster, doc_id, weight, CAST(pri AS VARCHAR) AS priority,
+           GREATEST(CAST(weight AS DOUBLE),
+                    CAST(COALESCE(tau_raw, 0) AS DOUBLE)) AS est_weight
+    FROM rk r JOIN tau t ON r.cluster = t.cluster
+    WHERE rn <= 5
+    """,
+    "CLUSTER-BALANCED sampling (VERDICT r7 #5): an independent 5-doc "
+    "DLT priority sample per LEARNED k-means cluster — the "
+    "composition a curation pipeline runs to keep every region of "
+    "embedding space represented in a training mix (per-topic budget "
+    "instead of per-language). Composes two verified operators, "
+    "FULLY hash-checked end to end: clustering.portable_assign "
+    "(md5-seeded init + exact scaled-int argmin, the "
+    "kmeans_portable_embeddings assignment) feeds "
+    "sampling.priority_sample_grouped (exact-integer DLT keys from "
+    "md5-of-id, skew-resistant two-window prune) grouped by cluster "
+    "with n_chars weights. Plan at 100 TB: assignment is map-only "
+    "(k x d literal), one id-keyed join carries the weight, and the "
+    "grouped sampler's local top-(k+1) prune means only <= "
+    "(k+1) x partitions rows per cluster reach the rank window. "
+    "Oracle = the kmeans_portable assignment CTEs composed with the "
+    "priority_sample_by_lang sample SQL, group swapped to cluster.",
+)
+def kmeans_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import portable_assign
+    from ..operators.sampling import priority_sample_grouped
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    assigned = portable_assign(emb, k=4)
+    base = docs.join(assigned, docs.doc_id == assigned.vec_id).select(
+        "cluster", "doc_id", "n_chars"
+    )
+    return priority_sample_grouped(
+        base, "doc_id", "n_chars", 5, "cluster"
+    ).withColumn("priority", F.col("priority").cast("string"))
+
+
+@register(
+    "lloyd_kmeans_clusters",
+    None,  # multi-iteration Lloyd: init is xxhash64-seeded (not
+    # DuckDB-expressible) and the iterated centroids depend on the
+    # previous iteration's driver state; exactness of the iterated
+    # path is pinned against a Python reference implementation and
+    # partitioning-invariance tests in tests/test_clustering.py, and
+    # the per-iteration semantics are hash-checked by the
+    # kmeans_portable_embeddings / kmeans_cluster_sample twins.
+    "Multi-iteration distributed Lloyd k-means under the driver gate "
+    "(VERDICT r7 #5): 2 full iterations at k=4 over the embeddings "
+    "corpus via clustering.lloyd_kmeans, reporting per-cluster sizes "
+    "and EXACT scaled-int inertia (sum of round(dist2 * 1e12) BIGINTs "
+    "— order-free, so the row set is deterministic under any "
+    "partitioning even though no SQL oracle can replay the iterated "
+    "driver state). Per iteration: one map-only assignment against "
+    "broadcast centroid literals + ONE (cluster, dim) exchange of "
+    "scaled-int partials; driver state is k x d floats. Rows-only by "
+    "design, like mv_hll_maintenance_orders.",
+)
+def lloyd_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cents, _inertia = lloyd_kmeans(emb, k=4, n_iter=2)
+    return (
+        assigned.select(
+            "cluster",
+            F.round(F.col("dist2") * F.lit(1e12)).cast("bigint").alias("__d"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum("__d").alias("inertia_scaled"),
+        )
+    )
 
 
 @register(
@@ -3923,3 +4144,258 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tokenizer import bpe_merge_table
 
     return bpe_merge_table(spark, _t(spark, sf_dir, "documents"), 3)
+
+
+# --------------------------------------------------------------------------
+# r8 breadth: training-mix assembly (splits, epoch upsampling), tokenizer
+# evaluation, bigram LM scoring, embedding quantization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dataset_split_counts",
+    """
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT *,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-split'),
+                                   1, 8))::BIGINT % 100 AS b
+            FROM documents
+        )
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM tagged GROUP BY split, lang
+    """,
+    "Deterministic train/val/test assignment (curation.dataset_split, "
+    "80/10/10): each doc's split is a pure function of md5(id || "
+    "salt) percent-buckets — reshuffle-proof and STABLE AS THE CORPUS "
+    "GROWS (a doc never migrates splits when new data arrives, the "
+    "property eval hygiene depends on; contrast randomSplit, which "
+    "reassigns everything on every re-run). Map-only tag + one "
+    "(split, lang) aggregate; the salt draws independent assignments "
+    "for ablations. The per-(split, lang) doc/char accounting is what "
+    "a mix designer actually reads off this step.",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import dataset_split
+
+    d = _t(spark, sf_dir, "documents")
+    return dataset_split(d).groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+@register(
+    "upsample_epochs_docs",
+    """
+    WITH spec AS (
+        SELECT * FROM (VALUES ('src0', 3, 0), ('src1', 2, 5000),
+                              ('src2', 0, 0)) s(source, fl, fb)
+    ),
+    base AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(s.fl, 1) +
+               CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                               || '-ep'), 1, 8))::BIGINT % 10000)
+                         < COALESCE(s.fb, 0) THEN 1 ELSE 0 END AS n_ep
+        FROM documents d LEFT JOIN spec s USING (source)
+    )
+    SELECT source, doc_id, CAST(g.e AS INT) AS epoch
+    FROM base, range(1, 5) AS g(e)
+    WHERE g.e <= n_ep
+    """,
+    "Per-source EPOCH upsampling for a training mix "
+    "(curation.upsample_epochs): src0 is seen 3 times, src1 2.5 times "
+    "(two full passes plus a deterministic md5-selected half — "
+    "fractional epochs pick a STABLE id subset, so reruns and engines "
+    "agree), src2 is dropped, everything else defaults to 1 — the "
+    "small-high-quality-source repetition every LLM data mix applies. "
+    "Map-only: one when-chain over the dims-sized spec + explode of a "
+    "row-local sequence(1, n_ep); no shuffle, output = sum of rates x "
+    "rows, and the 1-based epoch index is what shard writers "
+    "interleave on downstream.",
+)
+def upsample_epochs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import upsample_epochs
+
+    d = _t(spark, sf_dir, "documents")
+    return upsample_epochs(
+        d, {"src0": 3.0, "src1": 2.5, "src2": 0.0}
+    ).select("source", "doc_id", "epoch")
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(w) - (len(w) - len(replace(w, 'er', ''))) / 2)
+                    AS BIGINT) AS n_tokens
+        FROM words WHERE len(w) >= 1 GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(p.n_tokens) AS DOUBLE) / SUM(p.n_words) AS fertility
+    FROM documents d JOIN per p USING (doc_id)
+    GROUP BY d.lang
+    """,
+    "Tokenizer FERTILITY by language (tokens per word — the standard "
+    "multilingual tokenizer-evaluation metric: a tokenizer trained on "
+    "English-heavy data fragments other languages into more tokens "
+    "per word, inflating their effective sequence cost): BPE token "
+    "counts from tokenizer.bpe_encode_counts (merge ('e','r'), the "
+    "vocab-memoized scale path — fold once per DISTINCT word) joined "
+    "to per-doc whitespace word counts, aggregated per lang; "
+    "fertility is one IEEE division of exact bigints. Oracle reuses "
+    "bpe_encode_tokens' leftmost-nonoverlapping closed form. Docs "
+    "with no words drop out via the inner join (0/0 is undefined in "
+    "both engines).",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import bpe_encode_counts
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) >= 1)
+        ).alias("w"),
+    )
+    per_words = words.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words")
+    )
+    counts = bpe_encode_counts(d, [("e", "r")])
+    j = per_words.join(counts, "doc_id").join(d.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (
+            F.sum("n_tokens").cast("double") / F.sum("n_words")
+        ).alias("fertility"),
+    )
+
+
+@register(
+    "bigram_lm_score",
+    """
+    WITH ts AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    prs AS (
+        SELECT doc_id, t[g.i] AS a, t[g.i+1] AS b
+        FROM ts, range(1, 100001) AS g(i)
+        WHERE g.i <= len(t) - 1
+    ),
+    c2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM prs GROUP BY a, b),
+    c1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM prs GROUP BY a)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(1e12 * cab / ca) AS BIGINT)) AS BIGINT)
+               AS score_scaled
+    FROM prs JOIN c2 USING (a, b) JOIN c1 USING (a)
+    GROUP BY doc_id
+    """,
+    "Bigram language-model likelihood scoring — the KenLM-shaped "
+    "quality signal (docs whose word transitions are typical of the "
+    "corpus score high; gibberish and boilerplate-mangled text score "
+    "low): corpus-trained MLE bigram model p(b|a) = c(a,b)/c(a) with "
+    "history counts taken over bigram positions (so p sums to 1 per "
+    "history), then each doc's per-occurrence probabilities "
+    "accumulate as EXACT scaled integers round(1e12 * p) — "
+    "order-free, engine-portable (the rrf/knn kit), no log() (libm "
+    "last-bit divergence). The unigram twin is token_rarity_score; "
+    "the model tables here are vocab- and bigram-vocab-sized (Heaps-"
+    "sublinear), the scoring join is the inverted-index shape: at "
+    "100 TB the model broadcasts or bucket-joins on the word, never "
+    "corpus x corpus.",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ts = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    pairs = ts.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("a"),
+                    F.element_at(F.col("t"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("cab"))
+    c1 = pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("ca"))
+    scored = pairs.join(c2, ["a", "b"]).join(c1, "a")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(
+            F.round(F.lit(1e12) * F.col("cab") / F.col("ca")).cast("bigint")
+        ).alias("score_scaled"),
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH mx AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(g.i AS INT) AS dim,
+           CAST(ROUND(127 * CAST(embedding[g.i] AS DOUBLE) / scale) AS INT)
+               AS q,
+           scale
+    FROM mx, generate_series(1, 64) AS g(i)
+    WHERE scale > 0
+    """,
+    "Per-vector symmetric INT8 quantization of the embedding column — "
+    "the storage/serving compression step an embedding pipeline runs "
+    "before indexing (4x smaller than float32; PQ's cheaper cousin, "
+    "complementing knn_pq_cosine's codebook path): scale = max|x| per "
+    "vector (exact IEEE max over float->double casts), q_i = "
+    "round(127 * x_i / scale) — every q is an exact integer and the "
+    "one division per element is IEEE, so the quantized corpus is "
+    "bit-identical across engines and partitionings. Map-only at any "
+    "scale; emitted long-form (vec_id, dim, q, scale) for the hash "
+    "gate. All-zero vectors are dropped (0/0 undefined in both "
+    "engines).",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    mx = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("scale"),
+    ).where(F.col("scale") > 0)
+    return mx.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+        "scale",
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.lit(127) * F.col("x").cast("double") / F.col("scale"))
+        .cast("int")
+        .alias("q"),
+        "scale",
+    )

@@ -884,7 +884,11 @@ def stream_documents_curation(
     the next probes re-list the tree (measured: probes reset to ~0.8s
     post-compaction then grow ~0.12s/batch, vs flat ~1.2s append-only
     at 22x the file count) — so compact on the READER's cadence
-    (before unpruned scans / downstream consumers), not per-N-batches.
+    (before unpruned scans / downstream consumers), not per-N-batches:
+    that hook is :func:`compact_before_read`, which downstream
+    consumers call right before an unpruned state scan (it no-ops
+    until ``min_batch_dirs`` batch dirs have accumulated, and takes
+    the same ``exclude_batch`` guard if a stream is in flight).
     """
     from pyspark.sql import Window
 
@@ -1132,3 +1136,58 @@ def compact_digest_state(
             written += 1
     _swap_compacted(spark, state_path)
     return {"rows": n, "files": written}
+
+
+def compact_before_read(
+    spark: SparkSession,
+    state_path: str,
+    min_batch_dirs: int = 8,
+    rows_per_file: int = 8_000_000,
+    exclude_batch: int | None = None,
+) -> dict:
+    """READER-cadence digest-state compaction (VERDICT r7 #7, from the
+    r7 BENCH_ARCHIVE finding): on a LOCAL filesystem, per-N-batch
+    compaction is counterproductive — Spark's FileStatusCache makes
+    appended ``batch=<id>`` dirs nearly free to re-list, while every
+    compaction rewrite invalidates the cache and the next probes
+    re-list the whole tree. The right local cadence is the READER's:
+    compact immediately before an unpruned scan by a downstream
+    consumer, when the listing cost is actually about to be paid.
+    (On an OBJECT STORE, per-N via ``state_compact_every`` stays right:
+    there is no cached-listing subsidy and every probe pays
+    per-directory listing RPCs, so the file-count bound is the lever.)
+
+    Call this before consuming the state wholesale. It compacts only
+    when at least ``min_batch_dirs`` un-compacted ``batch=<id>`` dirs
+    have accumulated (below that, the rewrite + cache invalidation
+    costs more than the listing it saves) and returns
+    ``{"compacted": bool, "batch_dirs": n, ...compaction stats}``.
+
+    Concurrency contract: run it while the stream is quiescent
+    (between availableNow runs, or from the maintenance slot of the
+    ingest loop), or pass the writer's in-flight batch id as
+    ``exclude_batch`` — folding an in-flight batch's digests into
+    ``batch=-1`` would make them self-visible to that batch's crash
+    replay (the ADVICE-r6 data-loss mode compact_digest_state guards
+    against).
+    """
+    from ..io import path_exists
+
+    if not path_exists(spark, state_path):
+        return {"compacted": False, "batch_dirs": 0}
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(state_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    batch_dirs = 0
+    for st in fs.listStatus(hpath(state_path)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch=") and name != "batch=-1":
+            batch_dirs += 1
+    if batch_dirs < min_batch_dirs:
+        return {"compacted": False, "batch_dirs": batch_dirs}
+    stats = compact_digest_state(
+        spark, state_path, rows_per_file=rows_per_file, exclude_batch=exclude_batch
+    )
+    return {"compacted": True, "batch_dirs": batch_dirs, **stats}

@@ -83,6 +83,91 @@ def test_pack_sequences_accounting(spark, docs):
         assert seq_ids[0] == 0
 
 
+def test_pack_sequences_tokens_col(spark, docs):
+    """tokens_col swaps only the per-doc length input: feeding the
+    whitespace count through tokens_col is bit-identical to the
+    default path, and doubled counts halve (in tokens) each bin's doc
+    capacity while conserving the doubled totals."""
+    with_counts = docs.withColumn(
+        "my_tok", F.size(F.split("text", " ")).cast("bigint")
+    )
+    default = pack_sequences(docs, seq_len=512).collect()
+    via_col = pack_sequences(
+        with_counts, seq_len=512, tokens_col="my_tok"
+    ).collect()
+    key = lambda r: (r.lang, r.seq_id)  # noqa: E731
+    assert sorted(map(tuple, default)) == sorted(map(tuple, via_col))
+
+    doubled = pack_sequences(
+        with_counts.withColumn("my_tok", F.col("my_tok") * 2),
+        seq_len=512,
+        tokens_col="my_tok",
+    ).collect()
+    tot = {r.lang: 0 for r in default}
+    for r in default:
+        tot[r.lang] += r.n_tokens
+    dtot = {r.lang: 0 for r in doubled}
+    for r in doubled:
+        dtot[r.lang] += r.n_tokens
+    assert dtot == {lang: 2 * t for lang, t in tot.items()}
+    assert {key(r) for r in doubled} >= {key(r) for r in default}
+
+
+def test_dataset_split_stable_and_exhaustive(spark, docs):
+    """Every doc gets exactly one split; the assignment is a pure
+    function of the id (identical across re-runs and unions), a doc's
+    split never changes when the corpus grows, and a different salt
+    draws a different assignment."""
+    from lichess_db_spark.operators.curation import dataset_split
+
+    tagged = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    assert set(tagged.values()) <= {"train", "val", "test"}
+    assert len(tagged) == docs.count()
+    # growth stability: tagging a subset gives the same labels
+    sub = {
+        r.doc_id: r.split
+        for r in dataset_split(docs.where(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert all(tagged[k] == v for k, v in sub.items())
+    # a salt draws an independent assignment (some doc must move)
+    other = {
+        r.doc_id: r.split for r in dataset_split(docs, salt="-v2").collect()
+    }
+    assert other != tagged
+    with pytest.raises(ValueError, match="sum to 100"):
+        dataset_split(docs, {"train": 50, "test": 49})
+
+
+def test_upsample_epochs_replication(spark, docs):
+    """Integer rates replicate exactly, fractional rates select a
+    stable md5 subset for the extra pass, zero rates drop the source,
+    unlisted sources default to one pass, and epoch indices are the
+    contiguous 1..n of each doc's pass count."""
+    from lichess_db_spark.operators.curation import upsample_epochs
+
+    out = upsample_epochs(docs, {"src0": 3.0, "src1": 2.5, "src2": 0.0})
+    rows = out.select("source", "doc_id", "epoch").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r.source, r.doc_id), []).append(r.epoch)
+    n_by_src = {}
+    for (src, _), eps in per_doc.items():
+        assert sorted(eps) == list(range(1, len(eps) + 1))
+        n_by_src.setdefault(src, []).append(len(eps))
+    assert set(n_by_src["src0"]) == {3}
+    assert set(n_by_src["src1"]) <= {2, 3}  # 2 full + md5-half extra
+    assert "src2" not in n_by_src
+    assert set(n_by_src["src3"]) == {1}  # default rate
+    # fractional selection is deterministic across runs
+    again = upsample_epochs(docs, {"src0": 3.0, "src1": 2.5, "src2": 0.0})
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, again.select("source", "doc_id", "epoch").collect())
+    )
+    # and roughly half of src1 got the extra pass (md5 uniformity)
+    n1 = [n for n in n_by_src["src1"]]
+    assert 0 < sum(1 for n in n1 if n == 3) < len(n1)
+
+
 def test_stratified_sample_fixed_size_and_stable(spark, docs):
     """Each group yields min(n, group_size) rows; the sample of a
     grown corpus contains churn only at the hash boundary (subset

@@ -923,6 +923,50 @@ def test_compact_digest_state_interrupted_swap_heals(spark, tmp_path):
     assert spark.read.parquet(str(state_dir)).count() == n
 
 
+def test_compact_before_read_reader_cadence(spark, tmp_path):
+    """VERDICT r7 #7: the reader-cadence hook no-ops below
+    min_batch_dirs (a rewrite would cost more than the listing it
+    saves), compacts at the threshold, preserves the digest SET
+    exactly, and a threshold-sized re-accumulation triggers again
+    while batch=-1 is excluded from the count."""
+    from lichess_db_spark.streaming.ingest import compact_before_read
+
+    state_dir = tmp_path / "_digest_state"
+    for b in range(3):
+        spark.createDataFrame(
+            [(f"d{b}-{i:03d}",) for i in range(20)], "__digest string"
+        ).write.mode("overwrite").parquet(str(state_dir / f"batch={b}"))
+    want = sorted(
+        r["__digest"] for r in spark.read.parquet(str(state_dir)).collect()
+    )
+
+    res = compact_before_read(spark, str(state_dir), min_batch_dirs=4)
+    assert res == {"compacted": False, "batch_dirs": 3}
+
+    res = compact_before_read(spark, str(state_dir), min_batch_dirs=3)
+    assert res["compacted"] is True and res["batch_dirs"] == 3
+    assert res["rows"] == 60
+    got = sorted(
+        r["__digest"] for r in spark.read.parquet(str(state_dir)).collect()
+    )
+    assert got == want
+
+    # batch=-1 does not count toward the threshold; fresh batch dirs do
+    res = compact_before_read(spark, str(state_dir), min_batch_dirs=1)
+    assert res == {"compacted": False, "batch_dirs": 0}
+    spark.createDataFrame([("x",)], "__digest string").write.mode(
+        "overwrite"
+    ).parquet(str(state_dir / "batch=7"))
+    res = compact_before_read(spark, str(state_dir), min_batch_dirs=1)
+    assert res["compacted"] is True and res["rows"] == 61
+
+    # missing state: clean no-op
+    assert compact_before_read(spark, str(tmp_path / "nope")) == {
+        "compacted": False,
+        "batch_dirs": 0,
+    }
+
+
 def test_stream_agg_maintenance_topk_state(spark, tmp_path):
     """Composition: streaming MV maintenance carrying a topk:5 state
     column — the per-priority top-5 prices served after two arrivals
