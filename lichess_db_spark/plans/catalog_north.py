@@ -4341,7 +4341,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     c2 = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("cab"))
     c1 = pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("ca"))
-    scored = pairs.join(c2, ["a", "b"]).join(c1, "a")
+    # assemble the model FIRST (bigram-vocab x vocab join — both
+    # Heaps-sublinear relations), so the corpus-sized pairs relation
+    # is shuffled ONCE against the finished model instead of twice
+    model = c2.join(c1, "a")
+    scored = pairs.join(model, ["a", "b"])
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.sum(

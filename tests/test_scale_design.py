@@ -675,6 +675,28 @@ _PLAN_FINGERPRINTS = {
     "assoc_rules_brands": dict(exchanges=8, bhj=6, smj=0, windows=0, topk=1),
     "snapshot_diff_orders": dict(exchanges=2, bhj=0, smj=1, windows=0, topk=0),
     "transition_matrix_events": dict(exchanges=3, bhj=0, smj=0, windows=2, topk=0),
+    # r8 entries. The map-only trio is the headline: contamination's
+    # broadcast eval scan, the quantizer, and epoch upsampling must
+    # never grow an exchange.
+    "embedding_contamination": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
+    "embedding_int8_quantize": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
+    "upsample_epochs_docs": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
+    "dataset_split_counts": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
+    # fi MV: state+delta partial aggs (union re-groupBy folds into the
+    # same two), then rank windows over the tiny merged-state relation
+    "incremental_freq_items_orders": dict(exchanges=2, bhj=0, smj=0, windows=2, topk=0),
+    # BPE-count packing: vocab build + count join + doc_id carry join
+    # + ONE per-lang packing window (the pack plan itself is unchanged)
+    "pack_sequences_bpe": dict(exchanges=4, bhj=3, smj=0, windows=1, topk=0),
+    # cluster-balanced sample: map-only assignment (0 exchanges of its
+    # own), weight-carry join, then the grouped sampler's two-window
+    # prune — all windows keyed by cluster, never SinglePartition
+    "kmeans_cluster_sample": dict(exchanges=2, bhj=1, smj=0, windows=5, topk=0),
+    "tokenizer_fertility_by_lang": dict(exchanges=5, bhj=4, smj=0, windows=0, topk=0),
+    # bigram LM: model assembled small-x-small FIRST, so the
+    # corpus-sized pairs relation is shuffled once (c2) + c1 + final
+    # per-doc agg = 3; the model joins broadcast
+    "bigram_lm_score": dict(exchanges=3, bhj=2, smj=0, windows=0, topk=0),
 }
 
 
