@@ -143,6 +143,7 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "bigram_lm_score",
     "embedding_int8_quantize",
+    "logreg_quality_filter",
 ]
 
 

@@ -1,0 +1,201 @@
+"""Distributed quality-classifier TRAINING (north-star: the model
+half of a curation pipeline).
+
+Reference parity note: the reference pipeline (ingester.py) has no
+model-training stage — this module exists for the LLM-data-pipeline
+surface the brief adds: CCNet/GPT-style corpora gate documents with a
+small linear quality classifier, and while inference over the corpus
+is a broadcast dot product (catalog: classifier_margin_select), the
+classifier itself must also be TRAINED on the cluster when the labeled
+set is corpus-derived (e.g. "wiki-like vs random-crawl" labels over
+billions of rows).
+
+Design — the lloyd_kmeans discipline applied to batch gradient
+descent on logistic loss:
+
+- **per iteration, ONE map-only pass + ONE (dim)-keyed exchange of
+  bounded partials**: every Arrow batch computes its rows' gradient
+  contributions with numpy and emits d+1 scaled-int64 partial sums;
+  Spark reduces them per dimension (d+1 rows on the wire per
+  partition, kilobytes at any corpus size).
+- **driver state is the weight vector** (d+1 floats), broadcast back
+  into the next pass as a plan literal — no RDD state, no
+  collect of anything corpus-sized.
+- **bit-reproducibility under any partitioning**: each ROW's gradient
+  contribution is rounded to int64 independently (round(g * 1e9),
+  half-away-from-zero via sign * floor(|g| + 0.5) — signed values,
+  unlike the k-means kernel's non-negative terms), and int64 sums are
+  order-free, so the learned weights are identical however Spark
+  splits the data. The in-row dot product is pinned to
+  ``(X * w).sum(axis=1)`` (a fixed-order numpy pairwise reduction) in
+  BOTH the kernel and the Python reference — BLAS matmul variants may
+  re-associate differently between shapes, so they are avoided.
+
+At 100 TB: n_iter scans of the corpus (mini-batching via a
+deterministic md5 row filter composes upstream if needed), each a
+whole-stage-codegen-free Arrow pass at ~memory bandwidth; the model
+state and every exchange stay (d+1)-sized. This is exactly how
+full-batch LR behaves on a 1000-executor cluster — the bottleneck is
+the scan, which nothing can remove.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: gradient scale: round(g * 1e9) int64 partials. |g| per row is at
+#: most max|feature| (sigmoid error is in [-1, 1]), so with ~1e9 rows
+#: per partition and features normalized to O(1) the partial stays
+#: far inside int64; 1e9 keeps 9 fractional digits of the gradient,
+#: and the ROUNDING (not the sum) is the only approximation — it is
+#: identical everywhere, so determinism is exact even where accuracy
+#: is truncated.
+_GRAD_SCALE = 1.0e9
+
+
+def _round_half_away(x):
+    """Vectorized signed HALF_UP (Spark F.round semantics): numpy's
+    np.round is banker's, so .5 boundaries would diverge from the
+    expression path and from the scalar reference."""
+    import numpy as np
+
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def _grad_partials(df: DataFrame, w, vec_col: str, label_col: str) -> DataFrame:
+    """One gradient pass: (dim, grad_scaled bigint), d+1 rows after the
+    reduce; dim d is the bias term.
+
+    Each Arrow batch emits only its d+1 PARTIAL SUMS (never a per-row
+    relation): rounding happens per ROW (batch/partition boundaries
+    can't change any rounded term) and the within-batch reduction is
+    int64 — order-free — so batch partials lose nothing. The wire then
+    carries (d+1) x batches rows into one hash aggregate. Each batch
+    also emits a dim = -1 row carrying its ROW COUNT, so the caller
+    reads n from the same pass instead of a separate corpus scan."""
+    import numpy as np
+    import pyarrow as pa
+
+    wv = np.asarray(w, dtype=np.float64)  # (d+1,): weights + bias
+    out_schema = "dim int, g long"
+
+    def _batches(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue  # np.asarray of [] is shape (0,), not (0, d)
+            tbl = batch.to_pydict()
+            X = np.asarray(tbl["__x"], dtype=np.float64)  # (n, d)
+            y = np.asarray(tbl["__y"], dtype=np.float64)  # (n,)
+            # fail LOUD on NULL/NaN: None -> NaN above, and
+            # NaN.astype(int64) is INT64_MIN — silent weight garbage
+            if np.isnan(X).any() or np.isnan(y).any():
+                raise ValueError(
+                    "logreg_train: NULL/NaN in features or labels — "
+                    "filter or impute upstream"
+                )
+            z = (X * wv[:-1]).sum(axis=1) + wv[-1]
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            g = np.concatenate([X * err[:, None], err[:, None]], axis=1)
+            partial = _round_half_away(g * _GRAD_SCALE).sum(axis=0)  # (d+1,)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "dim": pa.array([-1, *range(len(partial))], pa.int32()),
+                    "g": pa.array([len(X), *partial.tolist()], pa.int64()),
+                }
+            )
+
+    prepared = df.select(
+        F.col(vec_col).alias("__x"), F.col(label_col).cast("double").alias("__y")
+    )
+    return (
+        prepared.mapInArrow(_batches, out_schema)
+        .groupBy("dim")
+        .agg(F.sum("g").alias("grad_scaled"))
+    )
+
+
+def logreg_train(
+    df: DataFrame,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+) -> tuple[list[float], list[float]]:
+    """Full-batch gradient descent on logistic loss; returns
+    (weights [d floats] + bias as last element, per-iteration mean
+    |gradient| trace). ``label_col`` must be 0/1.
+
+    Weights are identical under any partitioning (scaled-int64
+    gradient sums, see module docstring) and bit-equal to the
+    single-machine numpy reference in tests/test_classifier.py.
+    """
+    if n_iter <= 0 or lr <= 0:
+        raise ValueError(f"n_iter and lr must be positive: {n_iter}, {lr}")
+    head = df.select(F.size(vec_col).alias("d")).first()
+    if head is None:
+        raise ValueError("empty training frame")
+    d = head["d"]
+    # n rides the gradient pass as the dim = -1 partial (no separate
+    # corpus-scan count job: training is exactly n_iter scans)
+    w = [0.0] * (d + 1)
+    trace: list[float] = []
+    for _ in range(n_iter):
+        rows = _grad_partials(df, w, vec_col, label_col).collect()
+        n = sum(r["grad_scaled"] for r in rows if r["dim"] == -1)
+        if n == 0:
+            raise ValueError("empty training frame")
+        grad = [0.0] * (d + 1)
+        for r in rows:
+            if r["dim"] >= 0:
+                grad[r["dim"]] = (r["grad_scaled"] / _GRAD_SCALE) / n
+        w = [wi - lr * gi for wi, gi in zip(w, grad)]
+        trace.append(sum(abs(g) for g in grad) / (d + 1))
+    return w, trace
+
+
+def logreg_reference(X, y, n_iter: int = 3, lr: float = 0.5):
+    """Single-machine numpy reference implementing the SAME arithmetic
+    (per-row scaled-int64 gradient rounding, fixed-order in-row dot) —
+    the exactness oracle for :func:`logreg_train`."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    w = np.zeros(d + 1)
+    trace = []
+    for _ in range(n_iter):
+        z = (X * w[:-1]).sum(axis=1) + w[-1]
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        g = np.concatenate([X * err[:, None], err[:, None]], axis=1)
+        scaled = _round_half_away(g * _GRAD_SCALE)
+        grad = (scaled.sum(axis=0) / _GRAD_SCALE) / n
+        w = w - lr * grad
+        # sequential Python sum in dim order, matching logreg_train's
+        # trace aggregation exactly (np.mean's pairwise reduction can
+        # differ in the last ulp)
+        trace.append(sum(abs(float(x)) for x in grad) / (d + 1))
+    return w.tolist(), trace
+
+
+def logreg_predict(
+    df: DataFrame,
+    weights: list[float],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only inference with the trained weights: the margin
+    z = w·x + b as exact scaled-int accumulation (the
+    classifier_margin_select kit), emitted with the 0/1 decision.
+    """
+    from ..functions.vectors import dot_exact
+
+    w = weights[:-1]
+    b = weights[-1]
+    wlit = F.array(*[F.lit(float(x)).cast("float") for x in w])
+    margin = dot_exact(F.col(vec_col), wlit) + F.lit(b)
+    return df.withColumn("margin", margin).withColumn(
+        "pred", (F.col("margin") > 0).cast("int")
+    )

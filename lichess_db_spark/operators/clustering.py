@@ -190,13 +190,9 @@ def portable_kmeans_step(
     driver state); this entry exists to pin the per-iteration
     semantics under the driver's hash gate.
     """
-    cents = portable_init_centroids(emb, k, id_col, vec_col)
-    dists = F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in cents])
     assigned = emb.select(
         F.col(vec_col),
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cluster"),
+        _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
     )
     return (
         assigned.select(
@@ -221,26 +217,32 @@ def portable_kmeans_step(
     )
 
 
+def _portable_cluster_col(
+    emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> Column:
+    """The ONE portable assignment expression (md5-seeded init + exact
+    scaled-int argmin, first minimum on ties — DuckDB mirrors with
+    ORDER BY dist, c), shared by :func:`portable_kmeans_step` and
+    :func:`portable_assign` so their arithmetic can never drift."""
+    cents = portable_init_centroids(emb, k, id_col, vec_col)
+    dists = F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def portable_assign(
     emb: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cluster) under the engine-portable single Lloyd step:
-    md5-seeded init + exact scaled-int nearest-centroid argmin (first
-    minimum on ties — DuckDB mirrors with ORDER BY dist, c). The
-    assignment half of :func:`portable_kmeans_step`, exposed so
-    downstream hash-checkable compositions (cluster-balanced
-    sampling, per-cluster stats) can reuse it; map-only — the k x d
-    centroid literal rides the plan."""
-    cents = portable_init_centroids(emb, k, id_col, vec_col)
-    dists = F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in cents])
+    """(id, cluster) under the engine-portable single Lloyd step —
+    the assignment half of :func:`portable_kmeans_step` (same shared
+    expression), exposed so downstream hash-checkable compositions
+    (cluster-balanced sampling, per-cluster stats) can reuse it;
+    map-only — the k x d centroid literal rides the plan."""
     return emb.select(
         F.col(id_col),
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cluster"),
+        _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
     )
 
 

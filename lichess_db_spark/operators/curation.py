@@ -289,6 +289,13 @@ def dataset_split(
     to draw an independent assignment.
     """
     fractions = fractions or {"train": 80, "val": 10, "test": 10}
+    if any(
+        not isinstance(v, int) or isinstance(v, bool) for v in fractions.values()
+    ):
+        # floats can pass the sum check yet silently starve a split:
+        # buckets are integers 0..99, so {'train': 99.5, 'val': 0.5}
+        # gives val ZERO buckets forever
+        raise ValueError(f"fractions must be integer percents: {fractions}")
     if sum(fractions.values()) != 100 or any(v <= 0 for v in fractions.values()):
         raise ValueError(f"fractions must be positive and sum to 100: {fractions}")
     bucket = _md5_bucket(

@@ -30,10 +30,13 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    last-green round, registration order as tiebreaker).
 _ROUND = 8
 _TOUCHED_THIS_ROUND = (
-    # r8 window budget: 10 touched + 2 sentinels leaves 38 rotation
-    # slots — enough for every r4-vintage oldest-green entry (VERDICT
-    # r7 #4 asked for >=30), so no new/changed slot displaces an r4
-    # re-green this round.
+    # r8 window budget (final, measured at session close): 16 touched
+    # (11 of them brand-new/never-green) + 2 sentinels leaves 32
+    # rotation-tail slots; measured window by last-green round:
+    # 11 never-green + 5 r7 re-entries + 1 r5 + 33 r4-vintage (the 33
+    # includes the two r4-green sentinels) = 50. The >=30 r4-re-green
+    # target (VERDICT r7 #4) holds; 3 r4-vintage entries spill to the
+    # r9 tail.
     #
     # VERDICT r7 #1: the staged embedding-level decontamination scan
     # lands as a FULL-ORACLE entry (oracle pre-verified at two SFs in
@@ -66,13 +69,17 @@ _TOUCHED_THIS_ROUND = (
     "bpe_learned_merges",
     # r8 breadth (training-mix assembly + tokenizer eval + LM scoring
     # + quantization; each displaces one rotation-tail slot — final
-    # window shape: 15 touched + 2 sentinels + 33 r4-vintage
-    # re-greens, still over the >=30 target):
+    # measured window shape: 11 never-green + 5 re-entries + 2
+    # sentinels + 32-33 r4-vintage re-greens + the r5 remainder,
+    # still over the >=30 r4 target):
     "dataset_split_counts",
     "upsample_epochs_docs",
     "tokenizer_fertility_by_lang",
     "bigram_lm_score",
     "embedding_int8_quantize",
+    # r8 session 2: distributed quality-classifier training (rows-only
+    # by design; exact-reference + invariance tested)
+    "logreg_quality_filter",
 )
 _TOUCHED_R7 = (
     # r7 budget (VERDICT r6 item 3): the 30 oldest r3-vintage entries

@@ -4041,7 +4041,10 @@ def lloyd_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import lloyd_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, _cents, _inertia = lloyd_kmeans(emb, k=4, n_iter=2)
+    # use_arrow: the numpy assignment kernel, BIT-IDENTICAL to the
+    # expression fold (pinned in tests/test_clustering.py) and 3.5x
+    # at sf0.1 — determinism of this rows-only entry is unchanged
+    assigned, _cents, _inertia = lloyd_kmeans(emb, k=4, n_iter=2, use_arrow=True)
     return (
         assigned.select(
             "cluster",
@@ -4320,7 +4323,11 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the model tables here are vocab- and bigram-vocab-sized (Heaps-"
     "sublinear), the scoring join is the inverted-index shape: at "
     "100 TB the model broadcasts or bucket-joins on the word, never "
-    "corpus x corpus.",
+    "corpus x corpus. Oracle-only bound: the DuckDB side enumerates "
+    "bigram positions via range(1, 100001) (the contamination-oracle "
+    "idiom — DuckDB ranges can't take lateral args), so docs beyond "
+    "100k whitespace tokens would truncate in the ORACLE only; the "
+    "Spark side is unbounded and the fixtures are far below the cap.",
 )
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -4403,3 +4410,36 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         "scale",
     )
+
+
+@register(
+    "logreg_quality_filter",
+    None,  # the trained weights pass through sigmoid (np.exp) — not
+    # SQL-expressible; exactness is pinned the lloyd_kmeans way:
+    # tests/test_classifier.py proves the distributed trainer
+    # BIT-EQUAL to a single-machine numpy reference and invariant
+    # under 1/3/17 partitions, and the inference margin is the exact
+    # scaled-int dot of classifier_margin_select.
+    "Quality-classifier TRAINING on the cluster (the missing half of "
+    "classifier_margin_select's broadcast inference): 3 full-batch "
+    "gradient-descent steps of logistic regression over the embedding "
+    "corpus (label: fixture class 0 vs rest), then map-only scoring "
+    "of every vector with the learned weights — the CCNet/GPT-style "
+    "'wiki-like vs crawl' quality gate, trained and applied in one "
+    "declarative pipeline. Per iteration: ONE Arrow map-only pass "
+    "(each batch emits d+1 scaled-int64 gradient partials — per-ROW "
+    "rounding + order-free int64 sums make the learned weights "
+    "bit-identical under any partitioning) + one (dim)-keyed exchange "
+    "of kilobyte partials; driver state is d+1 floats "
+    "(operators/classifier.py). At 100 TB: n_iter corpus scans at "
+    "Arrow bandwidth, nothing else grows.",
+)
+def logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import logreg_predict, logreg_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("y")
+    )
+    w, _trace = logreg_train(df, n_iter=3, lr=0.5)
+    return logreg_predict(df, w).select("vec_id", "y", "margin", "pred")

@@ -1172,7 +1172,12 @@ def compact_before_read(
     against).
     """
     from ..io import path_exists
+    from ..operators.dedup import _restore_interrupted_swap
 
+    # heal a crashed compaction's swap window FIRST: without this a
+    # reader arriving in that window would see a missing state dir,
+    # return a no-op, and then read an empty state.
+    _restore_interrupted_swap(spark, state_path)
     if not path_exists(spark, state_path):
         return {"compacted": False, "batch_dirs": 0}
     jvm = spark._jvm  # noqa: SLF001

@@ -136,6 +136,9 @@ def test_dataset_split_stable_and_exhaustive(spark, docs):
     assert other != tagged
     with pytest.raises(ValueError, match="sum to 100"):
         dataset_split(docs, {"train": 50, "test": 49})
+    # floats pass the sum check but starve a split (buckets are ints)
+    with pytest.raises(ValueError, match="integer percents"):
+        dataset_split(docs, {"train": 99.5, "val": 0.5})
 
 
 def test_upsample_epochs_replication(spark, docs):

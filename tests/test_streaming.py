@@ -966,6 +966,16 @@ def test_compact_before_read_reader_cadence(spark, tmp_path):
         "batch_dirs": 0,
     }
 
+    # a crashed compaction's swap window (state renamed aside) is
+    # healed BEFORE the threshold check — the reader must never see
+    # "no state" through the window
+    import shutil
+
+    shutil.move(str(state_dir), str(tmp_path / "_digest_state__old"))
+    res = compact_before_read(spark, str(state_dir), min_batch_dirs=99)
+    assert res["compacted"] is False
+    assert spark.read.parquet(str(state_dir)).count() == 61
+
 
 def test_stream_agg_maintenance_topk_state(spark, tmp_path):
     """Composition: streaming MV maintenance carrying a topk:5 state
