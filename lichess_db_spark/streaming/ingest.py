@@ -73,11 +73,19 @@ def stream_stream_interval_join(
     clicks: DataFrame,
     watermark: str = "1 hour",
     within: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """T7 extension: watermarked stream-stream INNER join with an
+    """T7 extension: watermarked stream-stream join with an
     event-time interval — attribute each click to the same user's view
     at most ``within`` earlier (the ad-attribution / funnel-stitch
-    shape). Both sides carry a watermark and the join condition bounds
+    shape). ``how="left_outer"`` additionally emits every UNMATCHED
+    view with NULL click columns once the click-side watermark passes
+    view_ts + within (state expiry doubles as the emit signal — Spark
+    only then knows no matching click can still arrive); that is the
+    attribution-LOSS report (views that never converted) as the same
+    bounded-state plan, and its batch twin is the identical left join
+    on static frames. Both sides carry a watermark and the join
+    condition bounds
     click_ts to [view_ts, view_ts + within], so Spark can expire
     buffered state on BOTH sides: a view is dropped once the click
     watermark passes view_ts + within, a click once the view watermark
@@ -106,6 +114,8 @@ def stream_stream_interval_join(
     secs = int(m.group(1)) * {
         "second": 1, "minute": 60, "hour": 3600, "day": 86400
     }[m.group(2).lower()]
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     v = views.select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -120,11 +130,17 @@ def stream_stream_interval_join(
         c,
         (F.col("user_id") == F.col("__c_user_id"))
         & (F.col("click_ts") >= F.col("view_ts"))
+        # the bound must be the TimeAdd-of-interval-literal shape:
+        # StreamingJoinHelper's watermark-constraint extraction does
+        # not recognize make_dt_interval arithmetic, and OUTER
+        # stream-stream joins are rejected outright without an
+        # extractable range. `secs` is a validated integer, so the
+        # interpolation is injection-safe (ADVICE r7 intent kept).
         & (
             F.col("click_ts")
-            <= F.col("view_ts") + F.make_dt_interval(secs=F.lit(secs))
+            <= F.col("view_ts") + F.expr(f"INTERVAL {secs} SECOND")
         ),
-        "inner",
+        how,
     ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
 
 

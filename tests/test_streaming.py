@@ -1058,6 +1058,74 @@ def test_stream_stream_interval_join_matches_batch(spark, staged_events):
     assert got == want
 
 
+def test_stream_stream_interval_join_left_outer_matches_batch(spark, staged_events):
+    """left_outer: unmatched views surface with NULL click columns once
+    the click watermark passes view_ts + within; with availableNow over
+    the whole fixture the emitted set equals the static left join —
+    matched pairs identical to the inner mode PLUS one NULL-click row
+    per never-converted view."""
+    from lichess_db_spark.streaming.ingest import stream_stream_interval_join
+
+    d, ev = staged_events
+    schema = ev.schema
+    stream = read_events_stream(spark, d, schema)
+    sv = stream.where(F.col("event_type") == "view")
+    sc = stream.where(F.col("event_type") == "click")
+    joined = stream_stream_interval_join(sv, sc, watermark="1 hour", how="left_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_lo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("ssj_lo").collect())
+
+    bv = ev.where(F.col("event_type") == "view")
+    bc = ev.where(F.col("event_type") == "click")
+    batch_outer = stream_stream_interval_join(
+        bv, bc, watermark="1 hour", how="left_outer"
+    ).collect()
+    inner = sorted(
+        tuple(r)
+        for r in stream_stream_interval_join(bv, bc, watermark="1 hour").collect()
+    )
+    n_views = bv.count()
+    matched_views = {r[1] for r in inner}
+    # batch structural sanity: outer = inner + one NULL row per
+    # never-converted view, and the fixture exercises both classes
+    assert len(batch_outer) == len(inner) + (n_views - len(matched_views))
+    assert 0 < len(matched_views) < n_views
+
+    # streaming semantics: matched pairs are emitted eagerly and
+    # exactly; an UNMATCHED view is emitted only once the final global
+    # watermark (min over both inputs of max event time, minus the
+    # 1-hour delay) passes view_ts + within — views still inside that
+    # horizon at end-of-stream are correctly withheld, because a
+    # matching click could in principle still arrive.
+    got_matched = sorted(t for t in got if t[3] is not None)
+    assert got_matched == inner
+    got_null = {t[1] for t in got if t[3] is None}
+    want_null = {r[1] for r in batch_outer if r[3] is None}
+    assert got_null <= want_null
+    import datetime as _dt
+
+    wm = min(
+        bv.agg(F.max("ts")).first()[0], bc.agg(F.max("ts")).first()[0]
+    ) - _dt.timedelta(hours=1)
+    must_emit = {
+        r["view_id"]
+        for r in stream_stream_interval_join(
+            bv, bc, watermark="1 hour", how="left_outer"
+        ).collect()
+        if r["click_id"] is None
+        and r["view_ts"] + _dt.timedelta(minutes=10) < wm
+    }
+    assert must_emit <= got_null
+    assert must_emit  # the horizon split actually exercises emission
+
+
 def test_stream_stream_interval_join_rejects_malformed_within(spark, staged_events):
     """ADVICE r7: a malformed `within` raises a clear ValueError at
     plan-build time instead of interpolating into F.expr (where
