@@ -977,6 +977,53 @@ def test_compact_before_read_reader_cadence(spark, tmp_path):
     assert spark.read.parquet(str(state_dir)).count() == 61
 
 
+def test_compact_before_read_composes_with_curation_stream(spark, tmp_path):
+    """End-to-end reader cadence: run the curation stream twice (two
+    batch dirs of state), invoke the hook as a downstream reader
+    would, then run a THIRD batch re-sending earlier texts — dedup
+    still drops them through the compacted state, and the corpus
+    equals a never-compacted run's."""
+    from lichess_db_spark.streaming.ingest import (
+        compact_before_read,
+        stream_documents_curation,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    b1 = docs.where(F.col("doc_id") < 150)
+    b2 = docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    dupes = b1.limit(10).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    b3 = docs.where(F.col("doc_id") >= 300).unionByName(dupes)
+
+    outs = {}
+    for mode in ("hooked", "plain"):
+        src = tmp_path / f"src_{mode}"
+        out = tmp_path / f"out_{mode}"
+        for i, b in enumerate([b1, b2, b3]):
+            if mode == "hooked" and i == 2:
+                # downstream reader arrives between batches 2 and 3
+                res = compact_before_read(
+                    spark, str(out / "_digest_state"), min_batch_dirs=2
+                )
+                assert res["compacted"] is True and res["batch_dirs"] == 2
+            b.coalesce(1).write.mode("append").parquet(str(src))
+            q = stream_documents_curation(
+                spark, str(src), str(out), str(tmp_path / f"ckpt_{mode}")
+            )
+            q.awaitTermination(240)
+            assert q.exception() is None
+        digest = F.md5(F.lower(F.trim(F.col("text"))))
+        outs[mode] = sorted(
+            r.d
+            for r in spark.read.parquet(str(out / "docs"))
+            .select(digest.alias("d"))
+            .collect()
+        )
+    assert outs["hooked"] == outs["plain"]
+
+
 def test_stream_agg_maintenance_topk_state(spark, tmp_path):
     """Composition: streaming MV maintenance carrying a topk:5 state
     column — the per-priority top-5 prices served after two arrivals
