@@ -233,3 +233,81 @@ def test_two_level_scaled_agg_property(spark, rows, parts):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from([f"src{i}" for i in range(6)]),
+        st.floats(0.0, 3.5, allow_nan=False),
+        max_size=4,
+    ),
+    st.floats(0.0, 2.0, allow_nan=False),
+)
+def test_upsample_epochs_matches_python_twin(spark, epochs, default):
+    """For ANY rate dict, every doc's pass count equals the Python
+    twin of the md5 fractional-selection rule — the determinism a mix
+    config depends on when re-run on different clusters."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.curation import upsample_epochs
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").where(
+        F.col("doc_id") < 60
+    )
+    out = upsample_epochs(docs, epochs, default=default)
+    got = {}
+    for r in out.select("doc_id", "source", "epoch").collect():
+        got[(r.doc_id, r.source)] = max(
+            got.get((r.doc_id, r.source), 0), r.epoch
+        )
+
+    def n_ep(doc_id, source):
+        e = epochs.get(source, default)
+        fl = int(e) if e > 0 else 0
+        fb = max(0, min(10000, round((e - fl) * 10000))) if e > 0 else 0
+        b = int(hashlib.md5(f"{doc_id}-ep".encode()).hexdigest()[:8], 16) % 10000
+        return fl + (1 if b < fb else 0)
+
+    for r in docs.select("doc_id", "source").collect():
+        want = n_ep(r.doc_id, r.source)
+        assert got.get((r.doc_id, r.source), 0) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 97), min_size=1, max_size=4).filter(
+        lambda xs: sum(xs) < 100
+    )
+)
+def test_dataset_split_matches_python_twin(spark, cuts):
+    """For ANY integer fraction layout, each doc's split equals the
+    Python md5 percent-bucket twin (growth-stable assignment)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.curation import dataset_split
+
+    from .conftest import SF_SMALL
+
+    fractions = {f"s{i}": c for i, c in enumerate(cuts)}
+    fractions["rest"] = 100 - sum(cuts)
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 60)
+    got = {r.doc_id: r.split for r in dataset_split(docs, fractions).collect()}
+
+    names, bounds = list(fractions), []
+    cum = 0
+    for n in names:
+        cum += fractions[n]
+        bounds.append(cum)
+    for doc_id, split in got.items():
+        b = int(hashlib.md5(f"{doc_id}-split".encode()).hexdigest()[:8], 16) % 100
+        want = next(n for n, hi in zip(names, bounds) if b < hi)
+        assert split == want
