@@ -116,64 +116,149 @@ def _grad_partials(df: DataFrame, w, vec_col: str, label_col: str) -> DataFrame:
     )
 
 
+def minibatch_bucket(id_col: str, it: int, modulus: int = 10000) -> Column:
+    """Deterministic per-iteration mini-batch bucket: the md5 of
+    (id ‖ '-mb' ‖ iteration) in [0, modulus) — a DIFFERENT stable
+    subset each iteration, identical on any cluster/partitioning
+    (the _md5_bucket discipline; Python twin in logreg_reference)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-mb{it}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(modulus),
+    )
+
+
 def logreg_train(
     df: DataFrame,
     n_iter: int = 3,
     lr: float = 0.5,
     vec_col: str = "embedding",
     label_col: str = "y",
+    l2: float = 0.0,
+    batch_frac: float | None = None,
+    id_col: str = "vec_id",
 ) -> tuple[list[float], list[float]]:
-    """Full-batch gradient descent on logistic loss; returns
-    (weights [d floats] + bias as last element, per-iteration mean
-    |gradient| trace). ``label_col`` must be 0/1.
+    """Gradient descent on logistic loss; returns (weights [d floats]
+    + bias as last element, per-iteration mean |gradient| trace).
+    ``label_col`` must be 0/1.
+
+    - ``l2``: ridge penalty — the regularization gradient ``l2 * w``
+      (bias excluded, the standard convention) is added on the DRIVER,
+      where the weights live, so the distributed kernel and its
+      bit-reproducibility argument are untouched.
+    - ``batch_frac``: deterministic mini-batching — iteration ``it``
+      trains on the rows whose :func:`minibatch_bucket` falls under
+      ``batch_frac``; a different md5-stable subset each iteration,
+      reproducible across clusters (no RNG state), with the gradient
+      normalized by THAT batch's row count (the dim = -1 partial).
 
     Weights are identical under any partitioning (scaled-int64
     gradient sums, see module docstring) and bit-equal to the
-    single-machine numpy reference in tests/test_classifier.py.
+    single-machine numpy reference in tests/test_classifier.py —
+    including the l2 and mini-batch paths.
     """
     if n_iter <= 0 or lr <= 0:
         raise ValueError(f"n_iter and lr must be positive: {n_iter}, {lr}")
+    if l2 < 0:
+        raise ValueError(f"l2 must be non-negative, got {l2}")
+    if batch_frac is not None and not (0.0 < batch_frac <= 1.0):
+        raise ValueError(f"batch_frac must be in (0, 1], got {batch_frac}")
     head = df.select(F.size(vec_col).alias("d")).first()
     if head is None:
         raise ValueError("empty training frame")
     d = head["d"]
+    frac_bp = None if batch_frac is None else round(batch_frac * 10000)
     # n rides the gradient pass as the dim = -1 partial (no separate
     # corpus-scan count job: training is exactly n_iter scans)
     w = [0.0] * (d + 1)
     trace: list[float] = []
-    for _ in range(n_iter):
-        rows = _grad_partials(df, w, vec_col, label_col).collect()
+    for it in range(n_iter):
+        d_it = df
+        if frac_bp is not None:
+            d_it = df.where(minibatch_bucket(id_col, it) < F.lit(frac_bp))
+        rows = _grad_partials(d_it, w, vec_col, label_col).collect()
         n = sum(r["grad_scaled"] for r in rows if r["dim"] == -1)
         if n == 0:
+            if frac_bp is not None:
+                continue  # an (unluckily) empty mini-batch: skip the step
             raise ValueError("empty training frame")
         grad = [0.0] * (d + 1)
         for r in rows:
             if r["dim"] >= 0:
                 grad[r["dim"]] = (r["grad_scaled"] / _GRAD_SCALE) / n
+        if l2:
+            for j in range(d):  # bias (index d) excluded
+                grad[j] = grad[j] + l2 * w[j]
         w = [wi - lr * gi for wi, gi in zip(w, grad)]
         trace.append(sum(abs(g) for g in grad) / (d + 1))
     return w, trace
 
 
-def logreg_reference(X, y, n_iter: int = 3, lr: float = 0.5):
+def logreg_reference(
+    X,
+    y,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    batch_frac: float | None = None,
+    ids=None,
+):
     """Single-machine numpy reference implementing the SAME arithmetic
-    (per-row scaled-int64 gradient rounding, fixed-order in-row dot) —
-    the exactness oracle for :func:`logreg_train`."""
+    (per-row scaled-int64 gradient rounding, fixed-order in-row dot,
+    driver-side l2, md5 mini-batch selection — ``ids`` required when
+    ``batch_frac`` is set) — the exactness oracle for
+    :func:`logreg_train`."""
+    import hashlib
+
     import numpy as np
 
     X = np.asarray(X, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    n, d = X.shape
+    n_all, d = X.shape
+    frac_bp = None if batch_frac is None else round(batch_frac * 10000)
     w = np.zeros(d + 1)
     trace = []
-    for _ in range(n_iter):
-        z = (X * w[:-1]).sum(axis=1) + w[-1]
+    for it in range(n_iter):
+        if frac_bp is None:
+            Xi, yi = X, y
+        else:
+            keep = np.array(
+                [
+                    int(
+                        hashlib.md5(f"{i}-mb{it}".encode()).hexdigest()[:8], 16
+                    )
+                    % 10000
+                    < frac_bp
+                    for i in ids
+                ]
+            )
+            if not keep.any():
+                continue
+            Xi, yi = X[keep], y[keep]
+        n = len(Xi)
+        z = (Xi * w[:-1]).sum(axis=1) + w[-1]
         p = 1.0 / (1.0 + np.exp(-z))
-        err = p - y
-        g = np.concatenate([X * err[:, None], err[:, None]], axis=1)
+        err = p - yi
+        g = np.concatenate([Xi * err[:, None], err[:, None]], axis=1)
         scaled = _round_half_away(g * _GRAD_SCALE)
         grad = (scaled.sum(axis=0) / _GRAD_SCALE) / n
-        w = w - lr * grad
+        if l2:
+            # replicate the driver's SCALAR arithmetic exactly: the
+            # update there is float-by-float Python, not a vector op
+            grad = np.array(
+                [float(grad[j]) + l2 * float(w[j]) for j in range(d)]
+                + [float(grad[d])]
+            )
+        w = np.array(
+            [float(wi) - lr * float(gi) for wi, gi in zip(w, grad)]
+        )
         # sequential Python sum in dim order, matching logreg_train's
         # trace aggregation exactly (np.mean's pairwise reduction can
         # differ in the last ulp)

@@ -87,6 +87,41 @@ def test_logreg_predict_separates(spark):
     assert "Exchange" not in plan
 
 
+def test_logreg_l2_and_minibatch_match_reference_exactly(spark):
+    """The ridge term (driver-side, bias excluded) and the md5
+    mini-batch path are ALSO bit-equal to the reference — and l2
+    actually shrinks the weight norm."""
+    from lichess_db_spark.operators.classifier import (
+        logreg_reference,
+        logreg_train,
+    )
+
+    df = _training_frame(spark)
+    rows = df.select("vec_id", "embedding", "y").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = [list(r["embedding"]) for r in rows]
+    y = [r["y"] for r in rows]
+
+    w_s, t_s = logreg_train(df, n_iter=3, lr=0.5, l2=0.1)
+    w_r, t_r = logreg_reference(X, y, n_iter=3, lr=0.5, l2=0.1)
+    assert w_s == w_r and t_s == t_r
+    w_plain, _ = logreg_train(df, n_iter=3, lr=0.5)
+    norm2 = lambda w: sum(x * x for x in w[:-1])  # noqa: E731
+    assert norm2(w_s) < norm2(w_plain)
+
+    w_mb, t_mb = logreg_train(df, n_iter=3, lr=0.5, batch_frac=0.6)
+    w_mbr, t_mbr = logreg_reference(
+        X, y, n_iter=3, lr=0.5, batch_frac=0.6, ids=ids
+    )
+    assert w_mb == w_mbr and t_mb == t_mbr
+    assert w_mb != w_plain  # the subsets actually differ from full-batch
+    # mini-batch selection is partitioning-invariant too
+    w_mb3, _ = logreg_train(
+        df.repartition(3), n_iter=3, lr=0.5, batch_frac=0.6
+    )
+    assert w_mb3 == w_mb
+
+
 def test_logreg_validation(spark):
     from lichess_db_spark.operators.classifier import logreg_train
 
