@@ -144,6 +144,7 @@ HEADLINE = [
     "bigram_lm_score",
     "embedding_int8_quantize",
     "logreg_quality_filter",
+    "hist_quantile_orders",
 ]
 
 

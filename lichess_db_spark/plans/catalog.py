@@ -30,12 +30,12 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    last-green round, registration order as tiebreaker).
 _ROUND = 8
 _TOUCHED_THIS_ROUND = (
-    # r8 window budget (final, measured at session close): 16 touched
-    # (11 of them brand-new/never-green) + 2 sentinels leaves 32
+    # r8 window budget (final, measured at session close): 17 touched
+    # (12 of them brand-new/never-green) + 2 sentinels leaves 31
     # rotation-tail slots; measured window by last-green round:
-    # 11 never-green + 5 r7 re-entries + 1 r5 + 33 r4-vintage (the 33
+    # 12 never-green + 5 r7 re-entries + 1 r5 + 32 r4-vintage (the 32
     # includes the two r4-green sentinels) = 50. The >=30 r4-re-green
-    # target (VERDICT r7 #4) holds; 3 r4-vintage entries spill to the
+    # target (VERDICT r7 #4) holds; 4 r4-vintage entries spill to the
     # r9 tail.
     #
     # VERDICT r7 #1: the staged embedding-level decontamination scan
@@ -80,6 +80,10 @@ _TOUCHED_THIS_ROUND = (
     # r8 session 2: distributed quality-classifier training (rows-only
     # by design; exact-reference + invariance tested)
     "logreg_quality_filter",
+    # r8 session 2: quantile reads off the merged hist:16 MV state —
+    # hist_quantile becomes driver-verified (full oracle pads all 16
+    # bins before prefix-summing)
+    "hist_quantile_orders",
 )
 _TOUCHED_R7 = (
     # r7 budget (VERDICT r6 item 3): the 30 oldest r3-vintage entries

@@ -1227,6 +1227,116 @@ def incremental_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hist_quantile_orders",
+    """
+    WITH binned AS (
+        SELECT o_orderpriority,
+               CAST(LEAST(15, GREATEST(0, FLOOR(o_totalprice / 31250.0)))
+                    AS INT) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    cnt AS (
+        SELECT o_orderpriority, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM binned GROUP BY o_orderpriority, bin
+    ),
+    spine AS (SELECT DISTINCT o_orderpriority FROM binned),
+    bins AS (
+        SELECT s.o_orderpriority, CAST(g.b AS INT) AS bin
+        FROM spine s, range(0, 16) g(b)
+    ),
+    full_cnt AS (
+        SELECT b.o_orderpriority, b.bin, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+        FROM bins b LEFT JOIN cnt c USING (o_orderpriority, bin)
+    ),
+    cum AS (
+        SELECT o_orderpriority, bin,
+               SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM full_cnt
+    ),
+    tot AS (
+        SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n
+        FROM full_cnt GROUP BY o_orderpriority
+    ),
+    ranks AS (
+        SELECT t.o_orderpriority, v.q, CAST(CEIL(v.q * t.n) AS BIGINT) AS rnk
+        FROM tot t CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(q)
+    )
+    SELECT r.o_orderpriority, r.q,
+           (CAST(COUNT(CASE WHEN c.cum_c < r.rnk THEN 1 END) AS BIGINT) + 1)
+               * 31250.0 AS quantile_value
+    FROM ranks r JOIN cum c ON c.o_orderpriority = r.o_orderpriority
+    GROUP BY r.o_orderpriority, r.q
+    """,
+    "QUANTILES read off the merged histogram MV state — the payoff of "
+    "incremental_histogram_orders: p50/p90/p99 of order value per "
+    "priority computed from the SAME maintainable 'hist:16' state "
+    "(history reduced once, delta merged by vector addition), with "
+    "operators/incremental.hist_quantile's pure array-expression "
+    "prefix-sum read — rank = ceil(q x total), the answer is the "
+    "upper edge of the bin holding that rank (one-bin-width accuracy "
+    "contract: tighten by adding bins, never by rescanning history). "
+    "Everything is integer counts, one IEEE multiply per quantile — "
+    "fully hash-checked against the SQL recompute, which must pad "
+    "ALL 16 bins before prefix-summing (empty bins occupy slots in "
+    "the state vector's cumulative array, so a present-bins-only "
+    "cumulative would misindex whenever a rank lands past a gap). "
+    "At 100 TB this is a latency/price dashboard percentile served "
+    "at MV-refresh cost: the read touches (groups x 16) state rows, "
+    "never the fact table.",
+)
+def hist_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        StateCol,
+        bins_to_array,
+        hist_quantile,
+        merge_agg_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+    bin_expr = (
+        F.least(
+            F.lit(15), F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / 31250.0))
+        )
+        .cast("int")
+        .alias("__bin")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        counts = df.select("o_orderpriority", bin_expr).groupBy(
+            "o_orderpriority", "__bin"
+        ).agg(F.count("*").cast("bigint").alias("__c"))
+        return counts.groupBy("o_orderpriority").agg(
+            bins_to_array(16, "__bin", "__c").alias("price_hist")
+        )
+
+    state = partial(
+        orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
+    )
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    merged = merge_agg_state(
+        state, delta, keys=["o_orderpriority"], cols=[StateCol("price_hist", "hist:16")]
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        hist_quantile("price_hist", q, 0.0, 31250.0).alias(
+                            "quantile_value"
+                        ),
+                    )
+                    for q in (0.5, 0.9, 0.99)
+                ]
+            )
+        ).alias("e"),
+    ).select("o_orderpriority", F.col("e.q").alias("q"), F.col("e.quantile_value").alias("quantile_value"))
+
+
+@register(
     "incremental_freq_items_orders",
     """
     WITH b AS (

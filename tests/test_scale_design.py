@@ -697,6 +697,11 @@ _PLAN_FINGERPRINTS = {
     # corpus-sized pairs relation is shuffled once (c2) + c1 + final
     # per-doc agg = 3; the model joins broadcast
     "bigram_lm_score": dict(exchanges=3, bhj=2, smj=0, windows=0, topk=0),
+    # hist-quantile MV read: the two (key,bin) partial builds + the
+    # state merge re-groupBy fold into 4 key-sized exchanges; the
+    # quantile read itself is pure array expressions — 0 windows,
+    # nothing fact-sized past the partials
+    "hist_quantile_orders": dict(exchanges=4, bhj=0, smj=0, windows=0, topk=0),
 }
 
 
