@@ -145,6 +145,7 @@ HEADLINE = [
     "embedding_int8_quantize",
     "logreg_quality_filter",
     "hist_quantile_orders",
+    "logreg_text_quality_gate",
 ]
 
 

@@ -30,13 +30,13 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    last-green round, registration order as tiebreaker).
 _ROUND = 8
 _TOUCHED_THIS_ROUND = (
-    # r8 window budget (final, measured at session close): 17 touched
-    # (12 of them brand-new/never-green) + 2 sentinels leaves 31
+    # r8 window budget (final, measured at session close): 18 touched
+    # (13 of them brand-new/never-green) + 2 sentinels leaves 30
     # rotation-tail slots; measured window by last-green round:
-    # 12 never-green + 5 r7 re-entries + 1 r5 + 32 r4-vintage (the 32
+    # 13 never-green + 5 r7 re-entries + 1 r5 + 31 r4-vintage (the 31
     # includes the two r4-green sentinels) = 50. The >=30 r4-re-green
-    # target (VERDICT r7 #4) holds; 4 r4-vintage entries spill to the
-    # r9 tail.
+    # target (VERDICT r7 #4) holds exactly; 5 r4-vintage entries spill
+    # to the r9 tail (they lead it).
     #
     # VERDICT r7 #1: the staged embedding-level decontamination scan
     # lands as a FULL-ORACLE entry (oracle pre-verified at two SFs in
@@ -84,6 +84,10 @@ _TOUCHED_THIS_ROUND = (
     # hist_quantile becomes driver-verified (full oracle pads all 16
     # bins before prefix-summing)
     "hist_quantile_orders",
+    # r8 session 2: the literal CCNet gate — logreg trained on
+    # text-derived features (rows-only; margin-direction + determinism
+    # tested)
+    "logreg_text_quality_gate",
 )
 _TOUCHED_R7 = (
     # r7 budget (VERDICT r6 item 3): the 30 oldest r3-vintage entries

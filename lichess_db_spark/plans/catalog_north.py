@@ -4443,3 +4443,58 @@ def logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w, _trace = logreg_train(df, n_iter=3, lr=0.5)
     return logreg_predict(df, w).select("vec_id", "y", "margin", "pred")
+
+
+@register(
+    "logreg_text_quality_gate",
+    None,  # trained weights pass through sigmoid — rows-only like
+    # logreg_quality_filter; the feature expressions are exact IEEE
+    # ratios of integers (partition-invariant) and the trainer's
+    # bit-reproducibility is reference/invariance-tested in
+    # tests/test_classifier.py (including this text-feature shape).
+    "The literal CCNet-style quality gate: a logistic classifier "
+    "trained ON TEXT-DERIVED features (not embeddings) — char count, "
+    "word count, mean word length, English-stopword ratio, digit "
+    "ratio — with label 'is this the high-resource reference "
+    "language' (en vs rest), then map-only scoring of every doc with "
+    "the learned margin. This is the wiki-like-vs-crawl filter "
+    "pipeline as the production systems actually run it: cheap "
+    "codegen feature extraction (no tokenizer model), distributed "
+    "training via the scaled-int gradient kernel (L2 0.01), "
+    "broadcast-literal inference. Features are exact-integer ratios, "
+    "so the whole pipeline is deterministic under any partitioning; "
+    "at 100 TB the feature pass fuses into the training scan and "
+    "per-iteration cost is one Arrow map pass + a (dim)-keyed "
+    "kilobyte exchange (operators/classifier.py).",
+)
+def logreg_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import EN_STOPWORDS
+    from ..operators.classifier import logreg_predict, logreg_train
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) >= 1)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_words = F.size(words)
+    total_wlen = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    feats = F.array(
+        (F.col("n_chars") / F.lit(1000.0)),
+        (n_words / F.lit(100.0)),
+        (total_wlen / n_words),
+        (n_stop / n_words),
+        (n_digit / F.col("n_chars")),
+    )
+    base = d.where(n_words >= 1).select(
+        "doc_id",
+        feats.cast("array<double>").alias("features"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    w, _trace = logreg_train(
+        base, n_iter=3, lr=0.5, vec_col="features", label_col="y", l2=0.01
+    )
+    return logreg_predict(base, w, vec_col="features").select(
+        "doc_id", "y", "margin", "pred"
+    )

@@ -134,6 +134,31 @@ def test_logreg_validation(spark):
         logreg_train(df.where(F.lit(False)), n_iter=1)
 
 
+def test_text_quality_gate_separates_and_deterministic(spark):
+    """The CCNet-style text-feature gate beats the majority baseline
+    (stopword/length features genuinely separate en from the rest on
+    the fixture) and two builds produce identical margins."""
+    from lichess_db_spark.plans import QUERIES
+
+    out = QUERIES["logreg_text_quality_gate"].build(spark, SF_SMALL)
+    rows = out.collect()
+    n = len(rows)
+    agree = sum(1 for r in rows if r["pred"] == r["y"])
+    n_pos = sum(1 for r in rows if r["y"] == 1)
+    assert agree >= max(n_pos, n - n_pos)  # never below predict-majority
+    # 3 GD steps already move the MARGINS in the right direction even
+    # where the 0-threshold decision still ties the majority baseline:
+    # the mean margin of en docs must exceed the mean margin of rest
+    m_pos = sum(r["margin"] for r in rows if r["y"] == 1) / n_pos
+    m_neg = sum(r["margin"] for r in rows if r["y"] == 0) / (n - n_pos)
+    assert m_pos > m_neg
+    again = {
+        r["doc_id"]: r["margin"]
+        for r in QUERIES["logreg_text_quality_gate"].build(spark, SF_SMALL).collect()
+    }
+    assert {r["doc_id"]: r["margin"] for r in rows} == again
+
+
 def test_logreg_null_label_fails_loud(spark):
     """A NULL label must raise, not train: None becomes NaN in the
     Arrow kernel and NaN.astype(int64) is INT64_MIN — without the
