@@ -311,3 +311,38 @@ def test_dataset_split_matches_python_twin(spark, cuts):
         b = int(hashlib.md5(f"{doc_id}-split".encode()).hexdigest()[:8], 16) % 100
         want = next(n for n, hi in zip(names, bounds) if b < hi)
         assert split == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=2, max_size=12).filter(
+        lambda h: sum(h) > 0
+    ),
+    st.sampled_from([0.1, 0.5, 0.9, 0.99, 1.0]),
+)
+def test_hist_quantile_matches_python_twin(spark, hist, q):
+    """For ANY bin-count vector and quantile, the array-expression
+    prefix-sum read equals the Python twin: rank = ceil(q*total),
+    answer = upper edge of the first bin whose cumulative reaches it
+    (empty bins occupy slots — the hist_quantile_orders oracle
+    lesson, pinned here on arbitrary vectors)."""
+    import math
+
+    from lichess_db_spark.operators.incremental import hist_quantile
+
+    lo, width = 10.0, 2.5
+    df = spark.createDataFrame([(hist,)], "h array<bigint>")
+    got = df.select(
+        hist_quantile("h", q, lo, width).alias("v")
+    ).first()["v"]
+
+    total = sum(hist)
+    rank = math.ceil(q * total)
+    cum, idx = 0, 0
+    for i, c in enumerate(hist):
+        cum += c
+        if cum >= rank:
+            idx = i
+            break
+    want = lo + (idx + 1) * width
+    assert got == want
