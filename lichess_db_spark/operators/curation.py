@@ -507,3 +507,140 @@ def export_training_shards(
     return back.groupBy("split", stream_col).agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, App.
+    A1.1) as one map-only pass: per-document boolean rule flags plus
+    the conjunctive ``passes_gopher`` verdict — the heuristic gate
+    most LLM curation pipelines (Gopher, RefinedWeb, Dolma, FineWeb)
+    run before any model-based filter.
+
+    Every rule is an exact integer-multiply comparison (no float
+    division anywhere): mean-word-length in [3, 10] is
+    ``3*nw <= nch <= 10*nw``; the ellipsis count stays in its x3 form
+    (``len - len(replace(text,'...'))``) so the symbol-ratio rule is
+    ``10*(3*n_hash + n_ell3) <= 3*nw``. That makes the flag table
+    bit-portable to any engine (catalog: gopher_quality_rules).
+
+    Scale shape: zero shuffles — a narrow projection that fuses into
+    whatever scan precedes it; at 100 TB this gate costs one codegen
+    stage riding the ingest read.
+    """
+    t = F.col(text_col)
+    ws = F.split(text_col, " ")
+    ls = F.split(text_col, "\n")
+    nw = F.size(ws).cast("bigint")
+    nch = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("bigint")
+    nhash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast(
+        "bigint"
+    )
+    nell3 = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))).cast(
+        "bigint"
+    )
+    n_bullet = F.size(
+        F.filter(ls, lambda l: l.startswith("-") | l.startswith("*"))
+    ).cast("bigint")
+    n_ell_end = F.size(F.filter(ls, lambda l: l.endswith("..."))).cast("bigint")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(ws, s),
+        )
+    ).cast("bigint")
+    n_lines = F.size(ls).cast("bigint")
+    rules = {
+        "r_word_count": (nw >= 50) & (nw <= 100000),
+        "r_mean_word_len": (3 * nw <= nch) & (nch <= 10 * nw),
+        "r_symbol_ratio": 10 * (3 * nhash + nell3) <= 3 * nw,
+        "r_bullet": 10 * n_bullet <= n_lines,
+        "r_ellipsis": 10 * n_ell_end <= 3 * n_lines,
+        "r_alpha_words": 5 * n_alpha >= 4 * nw,
+        "r_stopwords": n_stop >= 2,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        id_col,
+        nw.alias("n_words"),
+        *[c.alias(n) for n, c in rules.items()],
+        passes.alias("passes_gopher"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every document by how target-like
+    its hashed n-gram profile is — the published recipe for picking
+    in-domain pretraining data out of a raw crawl.
+
+    ``target_pred`` is a boolean Column marking the in-domain rows
+    (e.g. ``F.col('lang') == 'en'``, or membership in a trusted
+    source). Features are unigrams + bigrams hashed into ``n_buckets``
+    md5 buckets; both the target and raw bucket counts come from ONE
+    exploded scan (count + filtered count in the same bounded-size
+    groupBy); per-doc score = sum over feature occurrences of the
+    add-1-smoothed target/raw ratio as an EXACT scaled integer
+    (``(scale*(tc+1)) div (rc+1)`` — integer div is engine-portable
+    where IEEE log is not; the paper's log-ratio sum is the same
+    selection signal through a monotone per-feature map and drops in
+    via one expression swap when hash-portability is not required).
+
+    Scale shape: two corpus scans (counts, then scores — DSIR's own
+    two passes), a bounded n_buckets-sized count aggregate that
+    BROADCASTS back, and one doc-keyed exchange for the final
+    per-doc sum (catalog: dsir_importance_weights).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    ws = F.split(text_col, " ")
+    bis = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(F.concat(ws, bis)).alias("f"),
+    ).select(
+        id_col,
+        "is_target",
+        F.pmod(
+            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    ratios = (
+        exploded.groupBy("b")
+        .agg(
+            F.count("*").alias("rc"),
+            F.count_if("is_target").alias("tc"),
+        )
+        .select(
+            "b",
+            F.expr(f"({scale} * (tc + 1)) div (rc + 1)").alias("ratio"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("ratio").alias("score_scaled"),
+        )
+    )

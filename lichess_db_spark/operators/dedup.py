@@ -1265,3 +1265,79 @@ def _swap_compacted(spark, path: str) -> None:
         fs.rename(hpath(old_path), hpath(path))
         raise IOError(f"compaction swap: rename {tmp_path} -> {path} failed")
     fs.delete(hpath(old_path), True)
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    eps: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup that bounds the
+    pairwise-cosine work by a k-means partition instead of the corpus.
+
+    Assign every vector to a cluster, compare ONLY within-cluster
+    pairs, and drop any vector whose exact cosine to a LOWER-id
+    cluster-mate clears ``eps`` (keep-lowest-id — the deterministic
+    stand-in for the paper's keep-farthest-from-centroid, which is a
+    one-line swap on the same pair relation). Returns one row per
+    vector: (id, cluster, keep, dup_of, score) where ``dup_of`` is the
+    smallest qualifying lower id and ``score`` its cosine rounded to 3
+    (the threshold itself compares the UNROUNDED exact cosine — the
+    ADVICE-r7 contamination contract).
+
+    Scale shape: assignment is map-only (k x d centroid literal rides
+    the plan); the self-join shuffles each side ONCE on the cluster
+    key, and pair work is sum_c n_c^2 — at 100 TB you pick k so
+    clusters hold ~1-10k vectors (the paper's regime), making the
+    quadratic term ~n_c x corpus, not corpus^2. The arithmetic is the
+    shared exact scaled-int kernel (clustering._portable_cluster_col +
+    vectors.dot_exact), so a DuckDB oracle replays the whole pipeline
+    bit-for-bit (catalog: semdedup_embeddings).
+    """
+    from ..functions.vectors import dot_exact, norm_exact
+    from .clustering import _portable_cluster_col
+
+    if not 0 < eps < 1:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    e = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm_exact(F.col(vec_col)).alias("__norm"),
+        _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("b.__id").alias("__id"),
+        F.col("a.__id").alias("lower_id"),
+        (
+            dot_exact(F.col("a.__vec"), F.col("b.__vec"))
+            / (F.col("a.__norm") * F.col("b.__norm"))
+        ).alias("__sim"),
+    )
+    dups = (
+        pairs.where(F.col("__sim") >= F.lit(eps))
+        .groupBy("__id")
+        .agg(F.min(F.struct("lower_id", "__sim")).alias("__d"))
+        .select(
+            "__id",
+            F.col("__d.lower_id").alias("dup_of"),
+            F.round(F.col("__d.__sim"), 3).alias("score"),
+        )
+    )
+    return (
+        e.select("__id", "cluster")
+        .join(dups, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "score",
+        )
+    )

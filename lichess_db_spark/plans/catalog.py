@@ -10,7 +10,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import catalog_core, catalog_formats, catalog_north, catalog_scale, catalog_tpch  # noqa: F401  (registration side effects)
+from . import catalog_core, catalog_formats, catalog_north, catalog_scale, catalog_staged, catalog_tpch  # noqa: F401  (registration side effects)
+from .catalog_staged import STAGED_NEXT
 from .registry import QUERIES, QueryDef  # noqa: F401
 
 # The driver's correctness gate checks the first 50 entries of
@@ -252,6 +253,12 @@ def _ordered() -> list[QueryDef]:
     last_green = _last_green_round()
 
     def rank(q: QueryDef) -> tuple[int, int]:
+        # entries authored AFTER this round's window was frozen rank at
+        # the tail (see plans/catalog_staged.py's module docstring for
+        # why) and lead the next round's window as group-1 never-greens
+        # once the marker clears at the round boundary
+        if q.name in STAGED_NEXT:
+            return (4, STAGED_NEXT.index(q.name))
         if q.name in _TOUCHED_THIS_ROUND:
             return (0, _TOUCHED_THIS_ROUND.index(q.name))
         if q.name not in last_green:

@@ -1,0 +1,242 @@
+"""Entries staged for the NEXT driver round (rotation group 4).
+
+Registered late in round 8, AFTER the r8 window was frozen and
+validated: the r7 VERDICT (#4) mandates >=30 r4-vintage re-greens in
+the 50-slot window and the final r8 window sits exactly at that floor,
+so a new never-green entry ranking into the window (ordering group 1)
+would displace a mandated re-green. These entries therefore rank at
+the catalog TAIL for the round they were authored in (``STAGED_NEXT``
+in plans/catalog.py) and lead the next round's window as group-1
+never-greens once the marker is cleared at the round boundary — the
+same staging discipline r7 used for embedding_contamination (oracle
+pre-verified at two SFs before its driver round).
+
+Every entry here is full-oracle and pre-verified locally at sf0.01
+AND sf0.1 before commit (tests/test_catalog_oracle.py covers them via
+the registry like any other entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import register
+
+# names ranked at the catalog tail this round; plans/catalog.py clears
+# this at the r9 boundary (moving them into _TOUCHED_THIS_ROUND)
+STAGED_NEXT = (
+    "semdedup_embeddings",
+    "gopher_quality_rules",
+    "dsir_importance_weights",
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "semdedup_embeddings",
+    """
+    WITH ranked AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+    ),
+    cent0 AS (SELECT CAST(rn - 1 AS INT) AS c, embedding AS ce
+              FROM ranked WHERE rn <= 8),
+    dst AS (
+        SELECT v.vec_id, c.c,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(v.embedding[g.i] AS DOUBLE) - CAST(c.ce[g.i] AS DOUBLE))
+                 * (CAST(v.embedding[g.i] AS DOUBLE) - CAST(c.ce[g.i] AS DOUBLE))
+                 * 1e12) AS BIGINT)) AS BIGINT) AS dist_i
+        FROM embeddings v, cent0 c, generate_series(1, 64) AS g(i)
+        GROUP BY v.vec_id, c.c
+    ),
+    a0 AS (
+        SELECT vec_id, c AS cluster FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_i, c) AS rn
+            FROM dst
+        ) WHERE rn = 1
+    ),
+    nrm AS (
+        SELECT em.vec_id,
+               sqrt(CAST(SUM(CAST(ROUND(
+                   CAST(em.embedding[g.i] AS DOUBLE)
+                 * CAST(em.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT))
+                 AS BIGINT) / 1e12) AS nrm
+        FROM embeddings em, generate_series(1, 64) AS g(i)
+        GROUP BY em.vec_id
+    ),
+    e AS (SELECT a0.vec_id, a0.cluster, em.embedding, n.nrm
+          FROM a0 JOIN embeddings em USING (vec_id)
+                  JOIN nrm n USING (vec_id)),
+    prs AS (
+        SELECT b.vec_id AS bid, a.vec_id AS lower_id,
+               (CAST(SUM(CAST(ROUND(
+                    CAST(a.embedding[g.i] AS DOUBLE)
+                  * CAST(b.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT))
+                  AS BIGINT) / 1e12) / (a.nrm * b.nrm) AS sim
+        FROM e a JOIN e b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id,
+             generate_series(1, 64) AS g(i)
+        GROUP BY b.vec_id, a.vec_id, a.nrm, b.nrm
+    ),
+    dups AS (
+        SELECT bid, lower_id, ROUND(sim, 3) AS score FROM (
+            SELECT bid, lower_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY bid
+                                      ORDER BY lower_id) AS rn
+            FROM prs WHERE sim >= 0.3
+        ) WHERE rn = 1
+    )
+    SELECT e.vec_id, e.cluster,
+           d.lower_id IS NULL AS keep, d.lower_id AS dup_of, d.score
+    FROM e LEFT JOIN dups d ON e.vec_id = d.bid
+    """,
+    "SemDeDup (Abbas et al. 2023) under the hash gate: semantic "
+    "near-dedup whose pairwise-cosine work is bounded by a k-means "
+    "partition (k=8, eps=0.30) instead of the corpus — THE published "
+    "recipe for embedding-level dedup at LAION/web scale, composing "
+    "two already-verified kernels (clustering._portable_cluster_col "
+    "md5-seeded exact scaled-int assignment + vectors.dot_exact "
+    "cosine). Drop rule: a vector dies iff a LOWER-id cluster-mate's "
+    "UNROUNDED exact cosine clears eps; dup_of = the smallest such id "
+    "(deterministic keep-lowest-id; the paper's keep-farthest-from-"
+    "centroid is a one-line swap on the same pair relation). Scale "
+    "shape: map-only assignment (k x d literal), ONE cluster-keyed "
+    "shuffle per side, pair work sum_c n_c^2 with k chosen so "
+    "clusters hold ~1-10k vectors. Full oracle: the kmeans_portable "
+    "assignment CTEs composed with within-cluster exact-cosine pair "
+    "SQL.",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, eps=0.3)
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    WITH feat AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS ws,
+               string_split(text, chr(10)) AS ls,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+               CAST(len(replace(text, ' ', '')) AS BIGINT) AS nch,
+               CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
+               CAST(len(text) - len(replace(text, '...', '')) AS BIGINT) AS nell3
+        FROM documents
+    ),
+    rules AS (
+        SELECT doc_id, nw,
+               nw >= 50 AND nw <= 100000 AS r_word_count,
+               3 * nw <= nch AND nch <= 10 * nw AS r_mean_word_len,
+               10 * (3 * nhash + nell3) <= 3 * nw AS r_symbol_ratio,
+               10 * CAST(len(list_filter(ls,
+                   l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
+                   <= CAST(len(ls) AS BIGINT) AS r_bullet,
+               10 * CAST(len(list_filter(ls,
+                   l -> l LIKE '%...')) AS BIGINT)
+                   <= 3 * CAST(len(ls) AS BIGINT) AS r_ellipsis,
+               5 * CAST(len(list_filter(ws,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                   >= 4 * nw AS r_alpha_words,
+               CAST(len(list_filter({_GOPHER_STOP_SQL},
+                   s -> list_contains(ws, s))) AS BIGINT) >= 2 AS r_stopwords
+        FROM feat
+    )
+    SELECT doc_id, nw AS n_words, r_word_count, r_mean_word_len,
+           r_symbol_ratio, r_bullet, r_ellipsis, r_alpha_words, r_stopwords,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet
+               AND r_ellipsis AND r_alpha_words AND r_stopwords
+               AS passes_gopher
+    FROM rules
+    """,
+    "The Gopher quality-filter rule set (Rae et al. 2021, App. A1.1) "
+    "as one map-only pass — the heuristic gate most LLM curation "
+    "pipelines (Gopher, RefinedWeb, Dolma, FineWeb) run before any "
+    "model-based filter: word count in [50, 100k], mean word length "
+    "in [3, 10], symbol-to-word ratio (# / ellipsis) <= 0.1, <=10% "
+    "bullet lines, <=30% ellipsis-ending lines, >=80% words with an "
+    "alphabetic char, >=2 of 8 English stopwords present. EVERY rule "
+    "is an exact integer-multiply comparison (no float division "
+    "anywhere — e.g. mean-word-length in [3,10] is 3*nw <= nch <= "
+    "10*nw, and the ellipsis count stays in its x3 form), so the "
+    "per-doc flag table is bit-portable to any engine. Scale shape: "
+    "zero shuffles — pure narrow projection that fuses into whatever "
+    "scan precedes it; at 100 TB this gate costs one codegen stage "
+    "riding the ingest read.",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    feats AS (
+        SELECT doc_id, lang, unnest(ws) AS f FROM w
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS f
+        FROM w
+    ),
+    fb AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+        FROM feats
+    ),
+    cnt AS (
+        SELECT b, COUNT(*) AS rc, COUNT(*) FILTER (lang = 'en') AS tc
+        FROM fb GROUP BY b
+    ),
+    ratio AS (
+        SELECT b, (1000000 * (tc + 1)) // (rc + 1) AS ratio FROM cnt
+    )
+    SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(ratio) AS BIGINT) AS score_scaled
+    FROM fb JOIN ratio USING (b)
+    GROUP BY fb.doc_id
+    """,
+    "DSIR importance weights (Xie et al. 2023, Data Selection via "
+    "Importance Resampling): score every corpus document by how "
+    "target-like its hashed n-gram profile is — the published recipe "
+    "for picking in-domain pretraining data out of a raw 100 TB "
+    "crawl. Features are unigrams + bigrams hashed into 1024 md5 "
+    "buckets; the target (here lang='en' as the in-domain proxy) and "
+    "raw bucket counts come from ONE exploded scan (count + filtered "
+    "count in the same B-sized groupBy); per-doc score = sum over "
+    "feature occurrences of the add-1-smoothed target/raw ratio as an "
+    "EXACT scaled integer ((1e6*(tc+1)) div (rc+1) — integer div is "
+    "engine-portable where IEEE log is not; the paper's log-ratio sum "
+    "is the same selection signal through a monotone per-feature map "
+    "and drops in via one expression swap when hash-portability is "
+    "not required). Scale shape: two corpus scans (counts, then "
+    "scores — DSIR's own two passes), a bounded B-sized count "
+    "aggregate that BROADCASTS back, and one doc-keyed exchange for "
+    "the final per-doc sum.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
+    )

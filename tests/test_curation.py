@@ -308,3 +308,69 @@ def test_export_training_shards_layout_and_accounting(spark, docs, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id", "split", "seq_id").collect()
     }
     assert a == b
+
+
+def test_gopher_rules_crafted_docs(spark):
+    """Each Gopher rule fires on a crafted violator and passes on a
+    clean doc (the catalog oracle checks engine parity; this checks
+    the rules mean what the paper says)."""
+    from lichess_db_spark.operators.curation import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and that have with "
+        + " ".join(f"word{i:03d}" for i in range(60))
+    )
+    rows = [
+        (1, clean),
+        (2, "the of and that"),  # too few words
+        (3, "the of " + " ".join(["a"] * 60)),  # mean word length < 3
+        (4, "the of " + " ".join(["###"] * 60)),  # symbol ratio + mwl
+        (5, clean.replace(" ", "... ", 30)),  # ellipsis-heavy
+        (6, "\n".join(["- bullet line"] * 10) + "\nthe of " + clean),  # bullets
+        (7, "the of " + " ".join(["123456"] * 60)),  # non-alpha words
+        (8, " ".join(f"word{i:03d}" for i in range(60))),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].passes_gopher
+    assert not got[2].r_word_count
+    assert not got[3].r_mean_word_len
+    assert not got[4].r_symbol_ratio
+    assert not got[5].r_symbol_ratio
+    assert not got[6].r_bullet
+    assert not got[7].r_alpha_words
+    assert not got[8].r_stopwords
+    for i in range(2, 9):
+        assert not got[i].passes_gopher
+
+
+def test_dsir_importance_direction_and_determinism(spark, docs):
+    """Target-language docs must out-score the rest on average (their
+    n-gram buckets carry higher target/raw ratios), and the exact
+    integer pipeline is partition-invariant."""
+    from lichess_db_spark.operators.curation import dsir_importance
+
+    pred = F.col("lang") == "en"
+    out = dsir_importance(docs, target_pred=pred).cache()
+    scored = out.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.grp: r.m
+        for r in scored.groupBy((F.col("lang") == "en").alias("grp"))
+        .agg(F.avg(F.col("score_scaled") / F.col("n_feats")).alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+    a = {(r.doc_id, r.n_feats, r.score_scaled) for r in out.collect()}
+    b = {
+        (r.doc_id, r.n_feats, r.score_scaled)
+        for r in dsir_importance(docs.repartition(7), target_pred=pred).collect()
+    }
+    assert a == b
+    out.unpersist()
+
+
+def test_dsir_n_buckets_validation(spark, docs):
+    from lichess_db_spark.operators.curation import dsir_importance
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(docs, target_pred=F.col("lang") == "en", n_buckets=0)

@@ -1040,3 +1040,51 @@ def test_embedding_contamination_oracle_ready(spark):
         )
         compare(got, duck_con(sf), EMBEDDING_CONTAMINATION_SQL,
                 f"embedding_contamination@{sf}")
+
+
+def test_semdedup_invariants(emb):
+    """SemDeDup output contract: one row per vector; keep XOR dup_of;
+    dup_of is a strictly lower id in the SAME cluster whose exact
+    cosine clears eps; high eps keeps everything."""
+    out = dd.semdedup(emb, k=8, eps=0.3).cache()
+    n = emb.count()
+    assert out.count() == n
+    bad = out.where(
+        (F.col("keep") & F.col("dup_of").isNotNull())
+        | (~F.col("keep") & F.col("dup_of").isNull())
+    ).count()
+    assert bad == 0
+    assert out.where(F.col("dup_of") >= F.col("vec_id")).count() == 0
+    # dup_of lives in the same cluster as its victim
+    cl = out.select("vec_id", "cluster")
+    joined = (
+        out.where(~F.col("keep"))
+        .select("vec_id", "dup_of", F.col("cluster").alias("c_victim"))
+        .join(cl.withColumnRenamed("vec_id", "dup_of"), "dup_of")
+    )
+    assert joined.where(F.col("cluster") != F.col("c_victim")).count() == 0
+    # some dups exist at this threshold on the fixture, but not all
+    n_dropped = out.where(~F.col("keep")).count()
+    assert 0 < n_dropped < n
+    # eps -> 1: nothing clears the bar
+    assert dd.semdedup(emb, k=8, eps=0.999).where(~F.col("keep")).count() == 0
+    out.unpersist()
+
+
+def test_semdedup_partition_invariant(emb):
+    """The (vec_id, keep, dup_of) set is identical under different
+    input partitionings (exact scaled-int arithmetic everywhere)."""
+    a = {
+        (r.vec_id, r.keep, r.dup_of)
+        for r in dd.semdedup(emb.repartition(1), k=8, eps=0.3).collect()
+    }
+    b = {
+        (r.vec_id, r.keep, r.dup_of)
+        for r in dd.semdedup(emb.repartition(7), k=8, eps=0.3).collect()
+    }
+    assert a == b
+
+
+def test_semdedup_eps_validation(emb):
+    with pytest.raises(ValueError, match="eps"):
+        dd.semdedup(emb, k=8, eps=1.5)

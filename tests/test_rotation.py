@@ -60,7 +60,14 @@ def test_window_contains_touched_unverified_and_sentinels():
 
     last_green = catalog._last_green_round()
     never = [n for n in catalog.QUERIES if n not in last_green]
-    missing_never = [n for n in never if n not in window]
+    # STAGED_NEXT entries are never-green BY DESIGN this round: they
+    # were authored after the window was frozen at the mandated
+    # >=30-re-green floor and deliberately rank at the tail (see
+    # plans/catalog_staged.py); test_staged_entries_rank_at_tail pins
+    # their placement instead.
+    missing_never = [
+        n for n in never if n not in window and n not in catalog.STAGED_NEXT
+    ]
     assert not missing_never, f"never-driver-verified entries outside window: {missing_never}"
 
     missing_sent = [n for n in catalog._CORE_SENTINELS if n not in window]
@@ -79,7 +86,9 @@ def test_changed_builders_reenter_window():
 
     changed = [n for n, h in current.items() if snap.get(n) != h]
     window = set(list(catalog.queries_map())[:50])
-    escaped = [n for n in changed if n not in window]
+    escaped = [
+        n for n in changed if n not in window and n not in catalog.STAGED_NEXT
+    ]
     assert not escaped, (
         f"builder source changed since last driver round but entry is outside "
         f"the first-50 window: {escaped} — add to _TOUCHED_THIS_ROUND in plans/catalog.py"
@@ -92,3 +101,19 @@ def test_ordering_is_deterministic():
     b = list(catalog.queries_map())
     assert a == b
     assert len(a) == len(set(a))
+
+
+def test_staged_entries_rank_at_tail():
+    """STAGED_NEXT entries (authored after this round's window froze
+    at the mandated re-green floor) must: resolve, register a full
+    oracle, rank strictly AFTER the 50-slot driver window, and stay
+    out of _TOUCHED_THIS_ROUND (mutually exclusive markers)."""
+    catalog = _catalog()
+    names = list(catalog.queries_map())
+    for n in catalog.STAGED_NEXT:
+        assert n in catalog.QUERIES, f"STAGED_NEXT name does not resolve: {n}"
+        assert catalog.QUERIES[n].oracle is not None, (
+            f"staged entry {n} must be full-oracle (pre-verified at two SFs)"
+        )
+        assert names.index(n) >= 50, f"staged entry {n} leaked into the window"
+        assert n not in catalog._TOUCHED_THIS_ROUND
