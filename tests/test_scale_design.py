@@ -702,6 +702,17 @@ _PLAN_FINGERPRINTS = {
     # quantile read itself is pure array expressions — 0 windows,
     # nothing fact-sized past the partials
     "hist_quantile_orders": dict(exchanges=4, bhj=0, smj=0, windows=0, topk=0),
+    # r8-staged trio (STAGED_NEXT; first driver round r9). gopher is
+    # the headline: the whole rule gate must stay a zero-exchange
+    # projection fused into the scan. semdedup: the within-cluster
+    # pair join broadcasts at fixture stats (flips to the designed
+    # cluster-keyed shuffle at scale — the legitimate-flip case); the
+    # 2 exchanges + SMJ are the final keep/dup_of left join's sides.
+    # dsir: bucket-count agg (1) + per-doc sum (1); the B-sized ratio
+    # table joins broadcast BY CONSTRUCTION at any scale.
+    "semdedup_embeddings": dict(exchanges=2, bhj=1, smj=1, windows=0, topk=0),
+    "gopher_quality_rules": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
+    "dsir_importance_weights": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
 }
 
 
