@@ -1341,3 +1341,77 @@ def semdedup(
             "score",
         )
     )
+
+
+def bloom_membership(
+    ref: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 16384,
+    k: int = 4,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Deterministic Bloom-filter novelty scan: has this content been
+    seen in the reference snapshot? — the cross-snapshot membership
+    primitive a recrawl pipeline runs so the 100 TB probe side never
+    joins against the reference corpus.
+
+    Build: the reference's content digests hash into ``k`` md5-derived
+    bit positions; the DISTINCT positions (bounded by ``m``, NOT by
+    |ref|) collect to the driver and ride the probe plan as an
+    ``m``-char '0'/'1' bitmap literal — O(m) state exactly like a real
+    Bloom bitmap (a production deployment swaps the string for
+    broadcast bytes + getbit; same semantics). Probe: map-only — k
+    substring lookups per row, zero shuffles, zero joins.
+
+    Every hash is md5-of-string, so the filter is engine-portable and
+    its FALSE POSITIVES are deterministic: the catalog oracle
+    (bloom_novelty_docs) hash-pins not just the hits but the exact FP
+    set, and no-false-negative is a tested invariant. ``with_exact``
+    adds the ground-truth ``exact_dup`` column via a digest semi-join
+    (broadcast-sized here; at scale you run the bloom WITHOUT it —
+    that join is the cost the filter exists to avoid, kept here to
+    measure FPR under the hash gate).
+    """
+    if m <= 0 or k <= 0:
+        raise ValueError(f"m and k must be positive, got m={m}, k={k}")
+    digest = F.md5(F.col(text_col))
+
+    def pos(j: int):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(digest, F.lit(f"-{j}"))), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(m),
+        )
+
+    positions = {
+        r.p
+        for r in ref.select(
+            F.explode(F.array(*[pos(j) for j in range(1, k + 1)])).alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    bitmap = F.lit("".join("1" if i in positions else "0" for i in range(m)))
+    hit = None
+    for j in range(1, k + 1):
+        h = F.substring(bitmap, pos(j) + 1, 1) == "1"
+        hit = h if hit is None else (hit & h)
+    out = probe.select(F.col(id_col), digest.alias("__dg"), hit.alias("bloom_hit"))
+    if with_exact:
+        ref_dg = ref.select(digest.alias("__dg")).distinct()
+        out = (
+            out.join(
+                F.broadcast(ref_dg.withColumn("__in", F.lit(True))), "__dg", "left"
+            )
+            .select(
+                id_col,
+                "bloom_hit",
+                F.coalesce("__in", F.lit(False)).alias("exact_dup"),
+            )
+        )
+    else:
+        out = out.select(id_col, "bloom_hit")
+    return out

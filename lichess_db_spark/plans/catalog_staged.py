@@ -30,6 +30,7 @@ STAGED_NEXT = (
     "semdedup_embeddings",
     "gopher_quality_rules",
     "dsir_importance_weights",
+    "bloom_novelty_docs",
 )
 
 
@@ -240,3 +241,52 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(
         _t(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
     )
+
+
+@register(
+    "bloom_novelty_docs",
+    """
+    WITH ref AS (
+        SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 7 = 0
+    ),
+    rp AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(dg || '-' || CAST(g.j AS VARCHAR)), 1, 8))
+                   ::BIGINT % 16384 AS p
+        FROM ref, generate_series(1, 4) AS g(j)
+    ),
+    probe AS (SELECT doc_id, md5(text) AS dg FROM documents),
+    pp AS (
+        SELECT doc_id, dg,
+               bool_and(
+                   ('0x' || substr(md5(dg || '-' || CAST(g.j AS VARCHAR)), 1, 8))
+                       ::BIGINT % 16384 IN (SELECT p FROM rp)) AS bloom_hit
+        FROM probe, generate_series(1, 4) AS g(j)
+        GROUP BY doc_id, dg
+    )
+    SELECT doc_id, bloom_hit,
+           dg IN (SELECT dg FROM ref) AS exact_dup
+    FROM pp
+    """,
+    "Deterministic Bloom-filter novelty scan: 'was this content in "
+    "the last snapshot?' answered WITHOUT joining the probe corpus "
+    "against the reference — the membership primitive an incremental "
+    "recrawl pipeline runs before paying any dedup shuffle. The "
+    "reference side (doc_id % 7 = 0 as the prior snapshot) builds an "
+    "m=16384-bit / k=4 filter from md5-derived positions; the filter "
+    "state is O(m) — the DISTINCT positions collect to the driver "
+    "and ride the probe plan as a bitmap literal, so the probe is "
+    "map-only: k substring lookups per row, zero shuffles. Because "
+    "every hash is md5-of-string, even the FALSE POSITIVES are "
+    "deterministic — the oracle hash-pins the exact FP set next to "
+    "the exact_dup ground truth (computed via a broadcast digest "
+    "semi-join kept ONLY to measure FPR; production runs the bloom "
+    "without it). No-false-negative is a tested invariant "
+    "(tests/test_north_star.py).",
+)
+def bloom_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bloom_membership
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 7 == 0)
+    return bloom_membership(ref, d, m=16384, k=4)

@@ -1088,3 +1088,29 @@ def test_semdedup_partition_invariant(emb):
 def test_semdedup_eps_validation(emb):
     with pytest.raises(ValueError, match="eps"):
         dd.semdedup(emb, k=8, eps=1.5)
+
+
+def test_bloom_membership_no_false_negatives(docs):
+    """A Bloom filter may lie positive, NEVER negative: every probe
+    row whose digest is in the reference must hit; the deterministic
+    FP set stays small at m=16384/k=4 for the fixture's ref size."""
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    out = dd.bloom_membership(ref, docs, m=16384, k=4).cache()
+    assert out.where(F.col("exact_dup") & ~F.col("bloom_hit")).count() == 0
+    n_probe = out.count()
+    n_fp = out.where(F.col("bloom_hit") & ~F.col("exact_dup")).count()
+    assert n_fp / n_probe < 0.05, f"FPR {n_fp}/{n_probe} exceeds 5%"
+    # every ref doc probes itself -> exact_dup True for all ref rows
+    assert (
+        out.join(ref.select("doc_id"), "doc_id").where(~F.col("exact_dup")).count()
+        == 0
+    )
+    out.unpersist()
+
+
+def test_bloom_membership_validation_and_exactless(docs):
+    ref = docs.limit(5)
+    with pytest.raises(ValueError, match="m and k"):
+        dd.bloom_membership(ref, docs, m=0)
+    cols = dd.bloom_membership(ref, docs, with_exact=False).columns
+    assert cols == ["doc_id", "bloom_hit"]

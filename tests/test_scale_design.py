@@ -713,6 +713,11 @@ _PLAN_FINGERPRINTS = {
     "semdedup_embeddings": dict(exchanges=2, bhj=1, smj=1, windows=0, topk=0),
     "gopher_quality_rules": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     "dsir_importance_weights": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
+    # bloom: the probe itself is map-only (bitmap literal); the one
+    # exchange is the ref-digest distinct and the BHJ is the
+    # FPR-measurement exact_dup join the entry keeps deliberately —
+    # with_exact=False the whole probe is exchange-free
+    "bloom_novelty_docs": dict(exchanges=1, bhj=1, smj=0, windows=0, topk=0),
 }
 
 
