@@ -565,12 +565,20 @@ def gopher_rules(
         "r_stopwords": n_stop >= 2,
     }
     passes = None
+    n_passed = None
     for c in rules.values():
         passes = c if passes is None else (passes & c)
+        i = c.cast("int").cast("bigint")
+        n_passed = i if n_passed is None else (n_passed + i)
+    # n_rules_passed supports the soft-gate variant (>= k of 7) most
+    # pipelines actually deploy — e.g. a corpus whose text register
+    # lacks natural stopword distribution gates on the 6 structural
+    # rules (catalog: curation_funnel_report)
     return df.select(
         id_col,
         nw.alias("n_words"),
         *[c.alias(n) for n, c in rules.items()],
+        n_passed.alias("n_rules_passed"),
         passes.alias("passes_gopher"),
     )
 

@@ -18,7 +18,7 @@ the registry like any other entry).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -31,6 +31,7 @@ STAGED_NEXT = (
     "gopher_quality_rules",
     "dsir_importance_weights",
     "bloom_novelty_docs",
+    "curation_funnel_report",
 )
 
 
@@ -38,10 +39,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-@register(
-    "semdedup_embeddings",
-    """
-    WITH ranked AS (
+# Shared oracle CTE blocks: the semdedup pair relation and the gopher
+# rule table are consumed both by their own entries and by the
+# end-to-end funnel entry — ONE SQL text for each, so the composed
+# oracle can never drift from the per-stage oracles.
+
+# -> ranked/cent0/dst/a0 (portable k=8 assignment), nrm, e, prs
+#    (within-cluster exact-cosine pairs); consumers add their tail
+_SEMDEDUP_CTES = """
+    ranked AS (
         SELECT vec_id, embedding,
                ROW_NUMBER() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -88,7 +94,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id,
              generate_series(1, 64) AS g(i)
         GROUP BY b.vec_id, a.vec_id, a.nrm, b.nrm
+    )"""
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + "]"
+
+# -> feat, rules (per-doc boolean rule flags); consumers add their tail
+_GOPHER_CTES = f"""
+    feat AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS ws,
+               string_split(text, chr(10)) AS ls,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+               CAST(len(replace(text, ' ', '')) AS BIGINT) AS nch,
+               CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
+               CAST(len(text) - len(replace(text, '...', '')) AS BIGINT) AS nell3
+        FROM documents
     ),
+    rules AS (
+        SELECT doc_id, nw,
+               nw >= 50 AND nw <= 100000 AS r_word_count,
+               3 * nw <= nch AND nch <= 10 * nw AS r_mean_word_len,
+               10 * (3 * nhash + nell3) <= 3 * nw AS r_symbol_ratio,
+               10 * CAST(len(list_filter(ls,
+                   l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
+                   <= CAST(len(ls) AS BIGINT) AS r_bullet,
+               10 * CAST(len(list_filter(ls,
+                   l -> l LIKE '%...')) AS BIGINT)
+                   <= 3 * CAST(len(ls) AS BIGINT) AS r_ellipsis,
+               5 * CAST(len(list_filter(ws,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                   >= 4 * nw AS r_alpha_words,
+               CAST(len(list_filter({_GOPHER_STOP_SQL},
+                   s -> list_contains(ws, s))) AS BIGINT) >= 2 AS r_stopwords
+        FROM feat
+    )"""
+
+_GOPHER_PASS = (
+    "r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet "
+    "AND r_ellipsis AND r_alpha_words AND r_stopwords"
+)
+
+_GOPHER_N_PASSED = (
+    "CAST(r_word_count AS BIGINT) + CAST(r_mean_word_len AS BIGINT) "
+    "+ CAST(r_symbol_ratio AS BIGINT) + CAST(r_bullet AS BIGINT) "
+    "+ CAST(r_ellipsis AS BIGINT) + CAST(r_alpha_words AS BIGINT) "
+    "+ CAST(r_stopwords AS BIGINT)"
+)
+
+
+@register(
+    "semdedup_embeddings",
+    f"""
+    WITH {_SEMDEDUP_CTES},
     dups AS (
         SELECT bid, lower_id, ROUND(sim, 3) AS score FROM (
             SELECT bid, lower_id, sim,
@@ -124,46 +182,14 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k=8, eps=0.3)
 
 
-_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
-_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + "]"
-
-
 @register(
     "gopher_quality_rules",
     f"""
-    WITH feat AS (
-        SELECT doc_id,
-               string_split(text, ' ') AS ws,
-               string_split(text, chr(10)) AS ls,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-               CAST(len(replace(text, ' ', '')) AS BIGINT) AS nch,
-               CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS nhash,
-               CAST(len(text) - len(replace(text, '...', '')) AS BIGINT) AS nell3
-        FROM documents
-    ),
-    rules AS (
-        SELECT doc_id, nw,
-               nw >= 50 AND nw <= 100000 AS r_word_count,
-               3 * nw <= nch AND nch <= 10 * nw AS r_mean_word_len,
-               10 * (3 * nhash + nell3) <= 3 * nw AS r_symbol_ratio,
-               10 * CAST(len(list_filter(ls,
-                   l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT)
-                   <= CAST(len(ls) AS BIGINT) AS r_bullet,
-               10 * CAST(len(list_filter(ls,
-                   l -> l LIKE '%...')) AS BIGINT)
-                   <= 3 * CAST(len(ls) AS BIGINT) AS r_ellipsis,
-               5 * CAST(len(list_filter(ws,
-                   w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-                   >= 4 * nw AS r_alpha_words,
-               CAST(len(list_filter({_GOPHER_STOP_SQL},
-                   s -> list_contains(ws, s))) AS BIGINT) >= 2 AS r_stopwords
-        FROM feat
-    )
+    WITH {_GOPHER_CTES}
     SELECT doc_id, nw AS n_words, r_word_count, r_mean_word_len,
            r_symbol_ratio, r_bullet, r_ellipsis, r_alpha_words, r_stopwords,
-           r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet
-               AND r_ellipsis AND r_alpha_words AND r_stopwords
-               AS passes_gopher
+           {_GOPHER_N_PASSED} AS n_rules_passed,
+           {_GOPHER_PASS} AS passes_gopher
     FROM rules
     """,
     "The Gopher quality-filter rule set (Rae et al. 2021, App. A1.1) "
@@ -290,3 +316,79 @@ def bloom_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ref = d.where(F.col("doc_id") % 7 == 0)
     return bloom_membership(ref, d, m=16384, k=4)
+
+
+@register(
+    "curation_funnel_report",
+    f"""
+    WITH {_SEMDEDUP_CTES},
+    dropped AS (SELECT DISTINCT bid FROM prs WHERE sim >= 0.3),
+    {_GOPHER_CTES},
+    g AS (SELECT doc_id, {_GOPHER_N_PASSED} >= 6 AS passes_gate FROM rules),
+    keeper AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+        FROM documents
+    ),
+    j AS (
+        SELECT d.doc_id, g.passes_gate, k.is_keeper,
+               dr.bid IS NULL AS sd_keep
+        FROM documents d
+        JOIN g USING (doc_id)
+        JOIN keeper k USING (doc_id)
+        LEFT JOIN dropped dr ON d.doc_id = dr.bid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (passes_gate) AS BIGINT) AS n_after_gopher,
+           CAST(COUNT(*) FILTER (passes_gate AND is_keeper) AS BIGINT)
+               AS n_after_exact_dedup,
+           CAST(COUNT(*) FILTER (passes_gate AND is_keeper AND sd_keep)
+               AS BIGINT) AS n_after_semdedup
+    FROM j
+    """,
+    "The dataset-card funnel, hash-checked END TO END: how many "
+    "documents survive each curation stage — raw -> Gopher heuristic "
+    "gate -> exact dedup (keep-min-id per content digest) -> SemDeDup "
+    "semantic dedup. This is the composition a curation team actually "
+    "ships next to a training mix, and the first number a reviewer "
+    "asks for; here every stage is the SAME verified operator the "
+    "standalone entries run (gopher_rules, the md5-digest keeper "
+    "window, operators.dedup.semdedup), and the oracle is assembled "
+    "from the SAME shared CTE texts (_SEMDEDUP_CTES / _GOPHER_CTES), "
+    "so the funnel can never drift from its stages. Scale shape: the "
+    "gopher flags fuse into the scan, the keeper window is one "
+    "digest-keyed exchange (16-byte keys), semdedup contributes its "
+    "cluster-bounded pair join, and the final count is a 1-row "
+    "aggregate — no stage adds a corpus-sized collect.",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import gopher_rules
+    from ..operators.dedup import semdedup
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    g = gopher_rules(d).select(
+        "doc_id", (F.col("n_rules_passed") >= 6).alias("passes_gate")
+    )
+    sd = semdedup(emb, k=8, eps=0.3).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("sd_keep")
+    )
+    base = d.select("doc_id", F.md5("text").alias("__dg")).withColumn(
+        "is_keeper",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("__dg")),
+    )
+    j = (
+        base.join(g, "doc_id")
+        .join(sd, "doc_id", "left")
+        .withColumn("sd_keep", F.coalesce("sd_keep", F.lit(True)))
+    )
+    return j.agg(
+        F.count("*").alias("n_raw"),
+        F.count_if("passes_gate").alias("n_after_gopher"),
+        F.count_if(F.col("passes_gate") & F.col("is_keeper")).alias(
+            "n_after_exact_dedup"
+        ),
+        F.count_if(
+            F.col("passes_gate") & F.col("is_keeper") & F.col("sd_keep")
+        ).alias("n_after_semdedup"),
+    )

@@ -342,6 +342,12 @@ def test_gopher_rules_crafted_docs(spark):
     assert not got[8].r_stopwords
     for i in range(2, 9):
         assert not got[i].passes_gopher
+    # n_rules_passed counts exactly the true flags (soft-gate support)
+    flags = ("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet",
+             "r_ellipsis", "r_alpha_words", "r_stopwords")
+    for r in got.values():
+        assert r.n_rules_passed == sum(int(getattr(r, f)) for f in flags)
+    assert got[1].n_rules_passed == 7
 
 
 def test_dsir_importance_direction_and_determinism(spark, docs):
@@ -374,3 +380,43 @@ def test_dsir_n_buckets_validation(spark, docs):
 
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_importance(docs, target_pred=F.col("lang") == "en", n_buckets=0)
+
+
+def test_curation_funnel_consistency(spark):
+    """The funnel's stage counts must be monotone non-increasing and
+    must equal independent recomputation from its stage operators
+    (gopher soft gate >= 6, md5-keeper, semdedup keep)."""
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.curation import gopher_rules
+    from lichess_db_spark.operators.dedup import semdedup
+    from lichess_db_spark.plans.registry import QUERIES
+    from pyspark.sql import Window
+
+    from .conftest import SF_SMALL
+
+    row = QUERIES["curation_funnel_report"].build(spark, SF_SMALL).first()
+    assert (
+        row.n_raw >= row.n_after_gopher >= row.n_after_exact_dedup
+        >= row.n_after_semdedup >= 0
+    )
+    d = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    g = gopher_rules(d).where(F.col("n_rules_passed") >= 6).select("doc_id")
+    keeper = (
+        d.select("doc_id", F.md5("text").alias("dg"))
+        .withColumn(
+            "k", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("dg"))
+        )
+        .where("k")
+        .select("doc_id")
+    )
+    sd_keep = semdedup(emb, k=8, eps=0.3).where("keep").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    assert row.n_raw == d.count()
+    assert row.n_after_gopher == g.count()
+    assert row.n_after_exact_dedup == g.join(keeper, "doc_id").count()
+    assert (
+        row.n_after_semdedup
+        == g.join(keeper, "doc_id").join(sd_keep, "doc_id").count()
+    )

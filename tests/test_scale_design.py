@@ -718,6 +718,12 @@ _PLAN_FINGERPRINTS = {
     # FPR-measurement exact_dup join the entry keeps deliberately —
     # with_exact=False the whole probe is exchange-free
     "bloom_novelty_docs": dict(exchanges=1, bhj=1, smj=0, windows=0, topk=0),
+    # funnel: semdedup's 2 exchanges + the digest-keeper window's
+    # exchange + the gopher-join sides; the gopher flags themselves
+    # add NO exchange (they fuse into the doc scan), and the final
+    # count collapses to a 1-row aggregate (no SinglePartition
+    # exchange — partial/final fold)
+    "curation_funnel_report": dict(exchanges=5, bhj=2, smj=2, windows=1, topk=0),
 }
 
 
