@@ -346,3 +346,52 @@ def test_hist_quantile_matches_python_twin(spark, hist, q):
             break
     want = lo + (idx + 1) * width
     assert got == want
+
+
+_GOPHER_WORDS = [
+    "the", "of", "and", "with", "table", "row", "###", "a...", "12345",
+    "x", "somewhatlongerword", "-", "...",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_GOPHER_WORDS), min_size=1, max_size=80),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_gopher_rules_match_python_twin(spark, lines):
+    """For ANY text assembled from a mixed alphabet (stopwords,
+    symbols, bullets, ellipses, numerics, newlines), every Gopher rule
+    flag equals a straight-line Python twin of the published
+    definitions — pinning the integer-multiply expressions to the
+    semantics they encode, beyond the crafted-doc cases."""
+    from lichess_db_spark.operators.curation import GOPHER_STOPWORDS, gopher_rules
+
+    text = "\n".join(" ".join(ln) for ln in lines)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = gopher_rules(df).first()
+
+    ws = text.split(" ")
+    ls = text.split("\n")
+    nw = len(ws)
+    nch = len(text.replace(" ", ""))
+    nhash = text.count("#")
+    nell3 = len(text) - len(text.replace("...", ""))
+    want = {
+        "r_word_count": 50 <= nw <= 100000,
+        "r_mean_word_len": 3 * nw <= nch <= 10 * nw,
+        "r_symbol_ratio": 10 * (3 * nhash + nell3) <= 3 * nw,
+        "r_bullet": 10 * sum(l.startswith(("-", "*")) for l in ls) <= len(ls),
+        "r_ellipsis": 10 * sum(l.endswith("...") for l in ls) <= 3 * len(ls),
+        "r_alpha_words": 5 * sum(any(c.isascii() and c.isalpha() for c in w) for w in ws)
+        >= 4 * nw,
+        "r_stopwords": sum(s in ws for s in GOPHER_STOPWORDS) >= 2,
+    }
+    for k, v in want.items():
+        assert getattr(got, k) == v, (k, text)
+    assert got.n_words == nw
+    assert got.n_rules_passed == sum(want.values())
+    assert got.passes_gopher == all(want.values())
