@@ -652,3 +652,111 @@ def dsir_importance(
             F.sum("ratio").alias("score_scaled"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    epoch_cap: int = 1,
+    budget_num: int = 4,
+    budget_den: int = 5,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): distribute a
+    token budget across languages/domains as equally as possible,
+    capping every group at ``epoch_cap`` epochs of its own data — the
+    published alternative to temperature sampling that never repeats
+    tail-language data past the cap while head languages absorb the
+    remainder.
+
+    The water-filling solution is computed as a pure window-function
+    waterfall over the G-row per-group token counts (G = #groups, a
+    few hundred at most): rank groups by capacity ascending; group i
+    is CAPPED iff granting every group from rank i up its own
+    capacity still fits the remaining budget
+    (``cap_i*(G-i+1) + prefix_i <= B`` — anti-monotone in i, the
+    water-filling crossover), and every uncapped group gets the equal
+    share ``(B - sum(capped caps)) div (#uncapped)``. All arithmetic
+    is exact integers (budget = ``(T*budget_num) div budget_den`` of
+    the corpus total; integer division, remainder deliberately
+    unallocated); the reported ``alloc_epochs`` is the single IEEE
+    division alloc/n_tokens, so the whole table is engine-portable
+    (catalog: unimax_lang_allocation).
+
+    Scale shape: ONE corpus scan + group-keyed count aggregate; the
+    waterfall runs over the G-row relation (two 1-row broadcast
+    joins, one G-row window) — nothing corpus-sized moves after the
+    first aggregate.
+    """
+    if epoch_cap <= 0 or budget_num <= 0 or budget_den <= 0:
+        raise ValueError(
+            f"epoch_cap, budget_num, budget_den must be positive, got "
+            f"{epoch_cap}, {budget_num}, {budget_den}"
+        )
+    # ONE corpus scan: the G-row count relation collects to the driver
+    # (bounded state, like k-means centroids — G = #languages/domains,
+    # hundreds at most) and the waterfall runs over the literal
+    # relation; without the cut, the three waterfall branches each
+    # re-scan the corpus (ReuseExchange only partially dedupes them)
+    count_rows = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.size(F.split(text_col, " ")).cast("bigint").alias("__t"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("__t").alias("n_tokens"))
+        .collect()
+    )
+    counts = df.sparkSession.createDataFrame(
+        [(r.grp, r.n_tokens) for r in count_rows], "grp string, n_tokens bigint"
+    ).withColumn("cap_tokens", F.col("n_tokens") * F.lit(epoch_cap))
+    totals = counts.agg(
+        F.sum("n_tokens").alias("__T"), F.count("*").alias("__G")
+    )
+    w = Window.orderBy("cap_tokens", "grp")
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__B", F.expr(f"(__T * {budget_num}) div {budget_den}")
+        )
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("__G") - F.col("__i") + 1)
+            + F.col("__prefix")
+            <= F.col("__B"),
+        )
+    )
+    spent = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))),
+            F.lit(0).cast("bigint"),
+        ).alias("__S"),
+        F.count_if("capped").alias("__C"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(spent))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+                F.expr("(__B - __S) div (__G - __C)")
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "cap_tokens",
+            "capped",
+            "alloc_tokens",
+            (F.col("alloc_tokens") / F.col("n_tokens")).alias("alloc_epochs"),
+        )
+    )

@@ -32,6 +32,7 @@ STAGED_NEXT = (
     "dsir_importance_weights",
     "bloom_novelty_docs",
     "curation_funnel_report",
+    "unimax_lang_allocation",
 )
 
 
@@ -391,4 +392,68 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(
             F.col("passes_gate") & F.col("is_keeper") & F.col("sd_keep")
         ).alias("n_after_semdedup"),
+    )
+
+
+@register(
+    "unimax_lang_allocation",
+    """
+    WITH toks AS (
+        SELECT lang AS grp,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS T, COUNT(*) AS G
+            FROM toks),
+    ranked AS (
+        SELECT grp, n_tokens, n_tokens * 1 AS cap_tokens, T, G,
+               CAST((T * 4) // 5 AS BIGINT) AS B,
+               ROW_NUMBER() OVER (ORDER BY n_tokens * 1, grp) AS i,
+               COALESCE(CAST(SUM(n_tokens * 1) OVER (
+                   ORDER BY n_tokens * 1, grp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS prefix
+        FROM toks, tot
+    ),
+    flagged AS (
+        SELECT *, cap_tokens * (G - i + 1) + prefix <= B AS capped
+        FROM ranked
+    ),
+    spent AS (
+        SELECT COALESCE(CAST(SUM(cap_tokens) FILTER (capped) AS BIGINT), 0)
+                   AS S,
+               COUNT(*) FILTER (capped) AS C
+        FROM flagged
+    )
+    SELECT grp AS lang, n_tokens, cap_tokens, capped,
+           CAST(CASE WHEN capped THEN cap_tokens
+                ELSE (B - S) // (G - C) END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN capped THEN cap_tokens
+                ELSE (B - S) // (G - C) END AS BIGINT)
+               / CAST(n_tokens AS DOUBLE) AS alloc_epochs
+    FROM flagged, spent
+    """,
+    "UniMax budget allocation (Chung et al. 2023): distribute a token "
+    "budget (80% of the corpus here) across languages as equally as "
+    "possible with every language capped at 1 epoch of its own data — "
+    "the published successor to temperature sampling for multilingual "
+    "mixes (tail languages never over-repeat; the head language "
+    "absorbs the remainder). The water-filling solution is a pure "
+    "window-function waterfall over the G-row per-lang token counts: "
+    "rank by capacity ascending, a group is capped iff granting every "
+    "group from its rank up full capacity still fits the remaining "
+    "budget (the anti-monotone crossover), uncapped groups split the "
+    "leftover via exact integer div. ONE corpus scan feeds the "
+    "lang-keyed count; everything after runs on G rows (two 1-row "
+    "broadcast joins + one G-row window). All integers except the "
+    "single IEEE division reported as alloc_epochs.",
+)
+def unimax_lang_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf_dir, "documents"),
+        epoch_cap=1,
+        budget_num=4,
+        budget_den=5,
     )

@@ -395,3 +395,62 @@ def test_gopher_rules_match_python_twin(spark, lines):
     assert got.n_words == nw
     assert got.n_rules_passed == sum(want.values())
     assert got.passes_gopher == all(want.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=7),
+    st.sampled_from([(1, 2), (4, 5), (1, 1), (3, 2)]),
+    st.sampled_from([1, 2]),
+)
+def test_unimax_matches_python_twin(spark, sizes, budget, epoch_cap):
+    """For ANY group-size vector, budget fraction and epoch cap, the
+    window-waterfall allocation equals a straight-line Python
+    water-filling twin, conserves the budget (sum(alloc) <= B, slack
+    only from integer division or an all-capped surplus), and never
+    exceeds any group's capacity."""
+    from lichess_db_spark.operators.curation import unimax_allocation
+
+    num, den = budget
+    rows = [(f"g{i:02d}", "w " * (n - 1) + "w") for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        r.lang: r
+        for r in unimax_allocation(
+            df, epoch_cap=epoch_cap, budget_num=num, budget_den=den
+        ).collect()
+    }
+
+    # python twin: ascending-capacity water-filling with integer div
+    caps = sorted(
+        (n * epoch_cap, f"g{i:02d}", n) for i, n in enumerate(sizes)
+    )
+    T = sum(sizes)
+    G = len(sizes)
+    B = (T * num) // den
+    alloc, prefix, n_capped, spent = {}, 0, 0, 0
+    for i, (cap, name, n) in enumerate(caps, start=1):
+        if cap * (G - i + 1) + prefix <= B:
+            alloc[name] = cap
+            n_capped += 1
+            spent += cap
+        prefix += cap
+    for cap, name, n in caps:
+        if name not in alloc:
+            alloc[name] = (B - spent) // (G - n_capped)
+
+    capped_names = {name for _, name, _ in caps[:n_capped]}
+    assert set(got) == set(alloc)
+    for name, want in alloc.items():
+        r = got[name]
+        assert r.alloc_tokens == want, (name, sizes, budget, epoch_cap)
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.capped == (name in capped_names), (name, sizes, budget, epoch_cap)
+    total_alloc = sum(r.alloc_tokens for r in got.values())
+    # budget conservation: never overspent; slack only from integer
+    # division (< #uncapped) or every group being capped (surplus)
+    if n_capped < G:
+        assert total_alloc <= B
+        assert B - total_alloc < G - n_capped
+    else:
+        assert total_alloc == sum(c for c, _, _ in caps)

@@ -724,6 +724,12 @@ _PLAN_FINGERPRINTS = {
     # count collapses to a 1-row aggregate (no SinglePartition
     # exchange — partial/final fold)
     "curation_funnel_report": dict(exchanges=5, bhj=2, smj=2, windows=1, topk=0),
+    # unimax: the corpus is scanned ONCE at build time (G-row counts
+    # collect to the driver, centroid-style); the returned waterfall
+    # plan runs entirely on the G-row literal — its 4 exchanges move
+    # <= G rows each, and zero parquet scans remain in the plan
+    # (asserted separately below)
+    "unimax_lang_allocation": dict(exchanges=4, bhj=0, smj=0, windows=2, topk=0),
 }
 
 
@@ -860,3 +866,14 @@ def test_sample_token_budget_lazy_plan_shape(spark):
         assert p.count("Exchange SinglePartition") == 1, p
     finally:
         spark.catalog.clearCache()
+
+
+def test_unimax_returned_plan_is_corpus_free(spark):
+    """unimax_allocation touches the corpus exactly once, at BUILD
+    time (G-row counts collect to the driver); the returned waterfall
+    plan must contain NO parquet scan — re-collecting the allocation
+    must never re-scan the corpus."""
+    from lichess_db_spark.plans import QUERIES
+
+    p = _plan(QUERIES["unimax_lang_allocation"].build(spark, SF_SMALL), "simple")
+    assert "FileScan parquet" not in p, p[:2000]
