@@ -146,6 +146,16 @@ HEADLINE = [
     "logreg_quality_filter",
     "hist_quantile_orders",
     "logreg_text_quality_gate",
+    # r8 session 3 (staged-for-r9 trio+): published curation recipes —
+    # cluster-bounded semantic dedup (Arrow dot kernel), the Gopher
+    # heuristic gate, DSIR importance weights, Bloom novelty, the
+    # end-to-end funnel, UniMax allocation
+    "semdedup_embeddings",
+    "gopher_quality_rules",
+    "dsir_importance_weights",
+    "bloom_novelty_docs",
+    "curation_funnel_report",
+    "unimax_lang_allocation",
 ]
 
 

@@ -1273,6 +1273,7 @@ def semdedup(
     eps: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup that bounds the
     pairwise-cosine work by a k-means partition instead of the corpus.
@@ -1296,17 +1297,37 @@ def semdedup(
     vectors.dot_exact), so a DuckDB oracle replays the whole pipeline
     bit-for-bit (catalog: semdedup_embeddings).
     """
-    from ..functions.vectors import dot_exact, norm_exact
-    from .clustering import _portable_cluster_col
+    from ..functions.vectors import dot_exact, dot_exact_arrow, norm_exact
+    from .clustering import (
+        _portable_cluster_col,
+        assign_clusters_arrow,
+        portable_init_centroids,
+    )
 
     if not 0 < eps < 1:
         raise ValueError(f"eps must be in (0, 1), got {eps}")
-    e = emb.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        norm_exact(F.col(vec_col)).alias("__norm"),
-        _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
-    )
+    if use_arrow:
+        # bit-identical fast path: assignment via the pinned Arrow
+        # argmin kernel (same md5-seeded centroids), pair cosine via
+        # the signed-round Arrow dot kernel — removes the interpreted
+        # zip_with fold that dominates the pair join (measured 29s ->
+        # see tests/test_north_star.py::test_semdedup_arrow_bit_identical)
+        cents = portable_init_centroids(emb, k, id_col, vec_col)
+        e = assign_clusters_arrow(emb, cents, id_col, vec_col).select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            norm_exact(F.col(vec_col)).alias("__norm"),
+            "cluster",
+        )
+        dot_fn = dot_exact_arrow
+    else:
+        e = emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            norm_exact(F.col(vec_col)).alias("__norm"),
+            _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
+        )
+        dot_fn = dot_exact
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
@@ -1316,7 +1337,7 @@ def semdedup(
         F.col("b.__id").alias("__id"),
         F.col("a.__id").alias("lower_id"),
         (
-            dot_exact(F.col("a.__vec"), F.col("b.__vec"))
+            dot_fn(F.col("a.__vec"), F.col("b.__vec"))
             / (F.col("a.__norm") * F.col("b.__norm"))
         ).alias("__sim"),
     )

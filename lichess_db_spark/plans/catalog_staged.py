@@ -180,7 +180,9 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semdedup(emb, k=8, eps=0.3)
+    # arrow path: bit-identical to the expression fold (pinned by
+    # test_semdedup_arrow_bit_identical), 6x at sf0.1
+    return semdedup(emb, k=8, eps=0.3, use_arrow=True)
 
 
 @register(
@@ -371,7 +373,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gopher_rules(d).select(
         "doc_id", (F.col("n_rules_passed") >= 6).alias("passes_gate")
     )
-    sd = semdedup(emb, k=8, eps=0.3).select(
+    sd = semdedup(emb, k=8, eps=0.3, use_arrow=True).select(
         F.col("vec_id").alias("doc_id"), F.col("keep").alias("sd_keep")
     )
     base = d.select("doc_id", F.md5("text").alias("__dg")).withColumn(

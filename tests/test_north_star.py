@@ -1114,3 +1114,19 @@ def test_bloom_membership_validation_and_exactless(docs):
         dd.bloom_membership(ref, docs, m=0)
     cols = dd.bloom_membership(ref, docs, with_exact=False).columns
     assert cols == ["doc_id", "bloom_hit"]
+
+
+def test_semdedup_arrow_bit_identical(emb):
+    """The Arrow fast path (signed-round dot kernel + pinned argmin
+    assignment kernel) must reproduce the expression path's FULL
+    output bit-for-bit — every cluster, keep flag, dup_of and rounded
+    score over every within-cluster pair."""
+    a = sorted(
+        (r.vec_id, r.cluster, r.keep, r.dup_of, r.score)
+        for r in dd.semdedup(emb, k=8, eps=0.3, use_arrow=False).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.keep, r.dup_of, r.score)
+        for r in dd.semdedup(emb, k=8, eps=0.3, use_arrow=True).collect()
+    )
+    assert a == b
