@@ -1364,6 +1364,49 @@ def semdedup(
     )
 
 
+def _bloom_pos(digest_col, j: int, m: int):
+    """Bit position j for a digest string: md5-of-(digest ‖ '-j'),
+    first 8 hex digits mod m — the same engine-portable slice scheme
+    every md5 bucket in this repo uses."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(digest_col, F.lit(f"-{j}"))), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(m),
+    )
+
+
+def bloom_build(ref: DataFrame, digest_col: str, m: int, k: int):
+    """Build the m-char '0'/'1' bitmap literal from a reference
+    digest relation — ONE distinct-positions aggregate (bounded by m,
+    not |ref|) collected to the driver. Shared by the batch novelty
+    scan (:func:`bloom_membership`) and the streaming anti-join
+    prefilter (streaming/ingest.py curation_batch_plan)."""
+    positions = {
+        r.p
+        for r in ref.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col(digest_col), j, m) for j in range(1, k + 1)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    return F.lit("".join("1" if i in positions else "0" for i in range(m)))
+
+
+def bloom_hit_expr(digest_col, bitmap, m: int, k: int):
+    """Map-only membership probe: AND of k substring lookups into the
+    bitmap literal. False positives possible, false negatives never —
+    a miss is PROOF of novelty (the property the streaming prefilter
+    relies on)."""
+    hit = None
+    for j in range(1, k + 1):
+        h = F.substring(bitmap, _bloom_pos(digest_col, j, m) + 1, 1) == "1"
+        hit = h if hit is None else (hit & h)
+    return hit
+
+
 def bloom_membership(
     ref: DataFrame,
     probe: DataFrame,
@@ -1398,29 +1441,12 @@ def bloom_membership(
     if m <= 0 or k <= 0:
         raise ValueError(f"m and k must be positive, got m={m}, k={k}")
     digest = F.md5(F.col(text_col))
-
-    def pos(j: int):
-        return F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat(digest, F.lit(f"-{j}"))), 1, 8), 16, 10
-            ).cast("bigint"),
-            F.lit(m),
-        )
-
-    positions = {
-        r.p
-        for r in ref.select(
-            F.explode(F.array(*[pos(j) for j in range(1, k + 1)])).alias("p")
-        )
-        .distinct()
-        .collect()
-    }
-    bitmap = F.lit("".join("1" if i in positions else "0" for i in range(m)))
-    hit = None
-    for j in range(1, k + 1):
-        h = F.substring(bitmap, pos(j) + 1, 1) == "1"
-        hit = h if hit is None else (hit & h)
-    out = probe.select(F.col(id_col), digest.alias("__dg"), hit.alias("bloom_hit"))
+    bitmap = bloom_build(ref.select(digest.alias("__dg")), "__dg", m, k)
+    out = probe.select(
+        F.col(id_col),
+        digest.alias("__dg"),
+        bloom_hit_expr(digest, bitmap, m, k).alias("bloom_hit"),
+    )
     if with_exact:
         ref_dg = ref.select(digest.alias("__dg")).distinct()
         out = (

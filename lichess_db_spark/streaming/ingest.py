@@ -764,6 +764,7 @@ def curation_batch_plan(
     seen: DataFrame | None = None,
     digest=None,
     order_col: str = "doc_id",
+    bloom_prefilter: tuple[int, int] | None = None,
 ) -> DataFrame:
     """One micro-batch's exact-dedup tier as a plan-fingerprintable
     DataFrame (tests/test_scale_design.py): digest, keep min id per
@@ -774,8 +775,26 @@ def curation_batch_plan(
     the window's hashpartitioning on __digest), and the downstream
     quality gate zero. ``digest``/``order_col`` generalize the tier to
     non-text batches (the embedding sink digests the vector
-    rendering)."""
+    rendering).
+
+    ``bloom_prefilter=(m, k)`` enables the Bloom pushdown the module
+    docstring promises: a bitmap built from the state digests
+    (operators/dedup.py bloom_build — O(m) state, one distinct-
+    positions aggregate) rides the batch plan as a literal, and rows
+    whose probe MISSES are PROVEN novel (Bloom filters never lie
+    negative) so only the bloom-HIT subset pays the exact anti-join
+    shuffle. When most arriving content is novel (the steady-state
+    firehose), the anti-join's batch side shrinks to the rare
+    dup-suspect rows; results are identical by the no-false-negative
+    property (tested). Production note: rebuild cadence follows the
+    state compaction cadence — the bitmap only needs refreshing when
+    the state grows, and a stale bitmap is CORRECT (just less
+    selective) as long as it contains every state digest, so it can
+    lag behind in-flight batches but must never skip one.
+    """
     from pyspark.sql import Window
+
+    from ..operators.dedup import bloom_build, bloom_hit_expr
 
     if digest is None:
         digest = F.md5(F.lower(F.trim(F.col("text"))))
@@ -787,7 +806,16 @@ def curation_batch_plan(
         .drop("__rn")
     )
     if seen is not None:
-        batch = batch.join(seen.select("__digest"), "__digest", "left_anti")
+        if bloom_prefilter is not None:
+            m, k = bloom_prefilter
+            bitmap = bloom_build(seen.select("__digest"), "__digest", m, k)
+            hit = bloom_hit_expr(F.col("__digest"), bitmap, m, k)
+            suspects = batch.where(hit).join(
+                seen.select("__digest"), "__digest", "left_anti"
+            )
+            batch = batch.where(~hit).unionByName(suspects)
+        else:
+            batch = batch.join(seen.select("__digest"), "__digest", "left_anti")
     return batch
 
 

@@ -1310,3 +1310,40 @@ def test_stream_agg_maintenance_fi_state(spark, tmp_path):
         ).collect()
     }
     assert read(latest_agg_state(spark, state)) == read(partial(orders))
+
+
+def test_curation_batch_bloom_prefilter_identical(spark):
+    """The Bloom anti-join prefilter must produce the IDENTICAL kept
+    set as the plain anti-join (no-false-negative guarantee), while
+    routing only the bloom-hit subset through the exact join."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.streaming.ingest import curation_batch_plan
+
+    seen_texts = [(f"seen doc {i}",) for i in range(40)]
+    batch_rows = [
+        (i, f"seen doc {i}") for i in range(0, 40, 2)  # 20 known dups
+    ] + [(100 + i, f"fresh doc {i}") for i in range(60)]  # 60 novel
+    seen = spark.createDataFrame(seen_texts, "text string").select(
+        F.md5(F.lower(F.trim("text"))).alias("__digest")
+    )
+    batch = spark.createDataFrame(batch_rows, "doc_id int, text string")
+
+    plain = {
+        r.doc_id for r in curation_batch_plan(batch, seen).collect()
+    }
+    bloomed = {
+        r.doc_id
+        for r in curation_batch_plan(
+            batch, seen, bloom_prefilter=(4096, 4)
+        ).collect()
+    }
+    assert bloomed == plain
+    assert len(plain) == 60  # every known dup dropped, every novel kept
+    # a degenerate 1-bit filter hits everything -> still identical
+    # (pure fallthrough to the exact join)
+    tiny = {
+        r.doc_id
+        for r in curation_batch_plan(batch, seen, bloom_prefilter=(1, 1)).collect()
+    }
+    assert tiny == plain
