@@ -790,6 +790,7 @@ def embedding_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eval_id_col: str | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Embedding-level eval decontamination: every (corpus, eval) pair
     whose exact cosine clears ``threshold`` — the modern semantic
@@ -810,6 +811,13 @@ def embedding_contamination(
     route through the LSH bucket join (``lsh_bucket_topk``'s candidate
     stage) instead — same verdict semantics, candidate-bounded.
     """
+    from ..functions.vectors import dot_exact_arrow
+
+    # use_arrow swaps the interpreted zip_with dot fold for the
+    # bit-identical signed-round Arrow kernel (vectors.dot_exact_arrow)
+    # — same output, removes the per-element interpreter tax on the
+    # corpus x evals pair scan
+    dot_fn = dot_exact_arrow if use_arrow else dot_exact
     eid = eval_id_col or id_col
     q = F.broadcast(
         evals.select(
@@ -829,7 +837,7 @@ def embedding_contamination(
             "corpus_id",
             "eval_id",
             (
-                dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+                dot_fn("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
             ).alias("__exact"),
         )
         .where(F.col("__exact") >= F.lit(threshold))

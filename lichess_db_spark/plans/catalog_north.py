@@ -983,7 +983,9 @@ def embedding_contamination_entry(spark: SparkSession, sf_dir: str) -> DataFrame
     evals = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("eval_id"), "embedding"
     )
-    return embedding_contamination(emb, evals, threshold=0.5, eval_id_col="eval_id")
+    return embedding_contamination(
+        emb, evals, threshold=0.5, eval_id_col="eval_id", use_arrow=True
+    )
 
 
 @register(

@@ -1130,3 +1130,26 @@ def test_semdedup_arrow_bit_identical(emb):
         for r in dd.semdedup(emb, k=8, eps=0.3, use_arrow=True).collect()
     )
     assert a == b
+
+
+def test_embedding_contamination_arrow_bit_identical(emb):
+    """use_arrow must reproduce the expression path's pair set and
+    rounded scores bit-for-bit (signed-round kernel contract)."""
+    from lichess_db_spark.operators.similarity import embedding_contamination
+
+    evals = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    a = sorted(
+        (r.corpus_id, r.eval_id, r.score)
+        for r in embedding_contamination(
+            emb, evals, threshold=0.5, eval_id_col="eval_id"
+        ).collect()
+    )
+    b = sorted(
+        (r.corpus_id, r.eval_id, r.score)
+        for r in embedding_contamination(
+            emb, evals, threshold=0.5, eval_id_col="eval_id", use_arrow=True
+        ).collect()
+    )
+    assert a == b and len(a) > 0
