@@ -809,7 +809,13 @@ def curation_batch_plan(
         if bloom_prefilter is not None:
             m, k = bloom_prefilter
             bitmap = bloom_build(seen.select("__digest"), "__digest", m, k)
-            hit = bloom_hit_expr(F.col("__digest"), bitmap, m, k)
+            # a NULL digest (null/absent text) must count as a MISS:
+            # the plain anti-join keeps such rows (NULL never equals a
+            # state digest), so the prefilter must route them down the
+            # proven-novel branch, not drop them from both
+            hit = F.coalesce(
+                bloom_hit_expr(F.col("__digest"), bitmap, m, k), F.lit(False)
+            )
             suspects = batch.where(hit).join(
                 seen.select("__digest"), "__digest", "left_anti"
             )

@@ -1321,9 +1321,11 @@ def test_curation_batch_bloom_prefilter_identical(spark):
     from lichess_db_spark.streaming.ingest import curation_batch_plan
 
     seen_texts = [(f"seen doc {i}",) for i in range(40)]
-    batch_rows = [
-        (i, f"seen doc {i}") for i in range(0, 40, 2)  # 20 known dups
-    ] + [(100 + i, f"fresh doc {i}") for i in range(60)]  # 60 novel
+    batch_rows = (
+        [(i, f"seen doc {i}") for i in range(0, 40, 2)]  # 20 known dups
+        + [(100 + i, f"fresh doc {i}") for i in range(60)]  # 60 novel
+        + [(999, None)]  # null text: NULL digest never matches state
+    )
     seen = spark.createDataFrame(seen_texts, "text string").select(
         F.md5(F.lower(F.trim("text"))).alias("__digest")
     )
@@ -1339,7 +1341,10 @@ def test_curation_batch_bloom_prefilter_identical(spark):
         ).collect()
     }
     assert bloomed == plain
-    assert len(plain) == 60  # every known dup dropped, every novel kept
+    # every known dup dropped; every novel kept, INCLUDING the
+    # null-digest row (a NULL probe must count as a bloom miss — the
+    # plain anti-join keeps it, so the prefilter must too)
+    assert len(plain) == 61 and 999 in plain
     # a degenerate 1-bit filter hits everything -> still identical
     # (pure fallthrough to the exact join)
     tiny = {
