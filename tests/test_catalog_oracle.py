@@ -94,7 +94,13 @@ HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
          "classifier_margin_select",
          # r5 session 2: size-dependent join strategies / write paths
          "triangle_copurchase_topk", "bucketed_join_revenue",
-         "merge_upsert_orders"]
+         "merge_upsert_orders",
+         # r8 staged trio+: cluster-bounded pair joins and the funnel
+         # composition have size-dependent join strategies; the Arrow
+         # dot kernel's exactness deserves the second tier in-suite
+         "semdedup_embeddings", "curation_funnel_report",
+         "dsir_importance_weights", "bloom_novelty_docs",
+         "unimax_lang_allocation", "gopher_quality_rules"]
 
 
 @pytest.mark.parametrize("name", [n for n in HEAVY if n in ORACLE_QUERIES])
