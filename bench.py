@@ -156,6 +156,7 @@ HEADLINE = [
     "bloom_novelty_docs",
     "curation_funnel_report",
     "unimax_lang_allocation",
+    "stupid_backoff_score",
 ]
 
 

@@ -33,6 +33,7 @@ STAGED_NEXT = (
     "bloom_novelty_docs",
     "curation_funnel_report",
     "unimax_lang_allocation",
+    "stupid_backoff_score",
 )
 
 
@@ -458,4 +459,121 @@ def unimax_lang_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_cap=1,
         budget_num=4,
         budget_den=5,
+    )
+
+
+@register(
+    "stupid_backoff_score",
+    """
+    WITH ts AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    prs AS (
+        SELECT doc_id, t[g.i] AS a, t[g.i+1] AS b
+        FROM ts, range(1, 100001) AS g(i)
+        WHERE g.i <= len(t) - 1
+    ),
+    tr AS (SELECT * FROM prs WHERE doc_id % 3 != 0),
+    c2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM tr GROUP BY a, b),
+    c1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM tr GROUP BY a),
+    uni AS (
+        SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+            SELECT unnest(t) AS w FROM ts WHERE doc_id % 3 != 0
+        ) u GROUP BY u.w
+    ),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS N FROM uni),
+    scored AS (
+        SELECT p.doc_id,
+               CASE WHEN c2.cab IS NOT NULL
+                    THEN CAST(ROUND(1e12 * c2.cab / c1.ca) AS BIGINT)
+                    ELSE CAST(ROUND(4e11 * COALESCE(uni.cw, 0) / tot.N)
+                              AS BIGINT) END AS s,
+               CASE WHEN c2.cab IS NULL THEN 1 ELSE 0 END AS backed
+        FROM prs p
+        LEFT JOIN c2 ON p.a = c2.a AND p.b = c2.b
+        LEFT JOIN c1 ON p.a = c1.a
+        LEFT JOIN uni ON p.b = uni.w
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(backed) AS BIGINT) AS n_backoff,
+           CAST(SUM(s) AS BIGINT) AS score_scaled
+    FROM scored GROUP BY doc_id
+    """,
+    "Stupid Backoff LM scoring (Brants et al. 2007, 'Large Language "
+    "Models in Machine Translation') — THE distributed-scale LM "
+    "smoothing: S(b|a) = c(a,b)/c(a) when the bigram was seen, else "
+    "0.4 * c(b)/N, deliberately unnormalized because exact "
+    "normalization is what makes Kneser-Ney impractical at trillions "
+    "of tokens. Model trained on 2/3 of the corpus (doc_id % 3 != 0) "
+    "and scored over ALL docs, so held-out docs exercise the backoff "
+    "path (a self-trained model never would — every bigram would be "
+    "seen). Per-occurrence scores accumulate as EXACT scaled ints "
+    "(round(1e12*cab/ca), round(4e11*cw/N) — single IEEE divisions, "
+    "no log), with n_backoff as the per-doc novelty diagnostic. "
+    "Scale shape: model tables are vocab/bigram-vocab-sized "
+    "(Heaps-sublinear -> broadcast or word-bucket join); the "
+    "corpus-sized pairs relation left-joins model and unigram tables "
+    "once each; same oracle-only 100k-token range bound as "
+    "bigram_lm_score.",
+)
+def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ts = d.select("doc_id", F.split("text", " ").alias("t"))
+    pairs = (
+        ts.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("a"),
+                        F.element_at(F.col("t"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    train_pairs = pairs.where(F.col("doc_id") % 3 != 0)
+    c2 = train_pairs.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("cab")
+    )
+    c1 = train_pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("ca"))
+    uni = (
+        ts.where(F.col("doc_id") % 3 != 0)
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cw"))
+    )
+    tot = uni.agg(F.sum("cw").alias("N"))
+    # model assembled small-x-small FIRST (the bigram_lm_score lesson):
+    # the corpus-sized pairs relation joins the finished tables once
+    model = c2.join(c1, "a")
+    scored = (
+        pairs.join(model, ["a", "b"], "left")
+        .join(uni.withColumnRenamed("w", "b"), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cab").isNotNull(),
+                F.round(F.lit(1e12) * F.col("cab") / F.col("ca")).cast("bigint"),
+            )
+            .otherwise(
+                F.round(
+                    F.lit(4e11) * F.coalesce(F.col("cw"), F.lit(0)) / F.col("N")
+                ).cast("bigint")
+            )
+            .alias("s"),
+            F.col("cab").isNull().cast("int").alias("backed"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("backed").cast("bigint").alias("n_backoff"),
+        F.sum("s").alias("score_scaled"),
     )

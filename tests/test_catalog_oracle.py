@@ -100,7 +100,8 @@ HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
          # dot kernel's exactness deserves the second tier in-suite
          "semdedup_embeddings", "curation_funnel_report",
          "dsir_importance_weights", "bloom_novelty_docs",
-         "unimax_lang_allocation", "gopher_quality_rules"]
+         "unimax_lang_allocation", "gopher_quality_rules",
+         "stupid_backoff_score"]
 
 
 @pytest.mark.parametrize("name", [n for n in HEAVY if n in ORACLE_QUERIES])

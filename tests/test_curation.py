@@ -420,3 +420,20 @@ def test_curation_funnel_consistency(spark):
         row.n_after_semdedup
         == g.join(keeper, "doc_id").join(sd_keep, "doc_id").count()
     )
+
+
+def test_stupid_backoff_invariants(spark):
+    """Train docs can NEVER back off (every one of their bigrams is in
+    the model by construction); held-out docs do; scores are positive
+    for any doc with >= 2 words."""
+    from lichess_db_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    out = QUERIES["stupid_backoff_score"].build(spark, SF_SMALL).cache()
+    train = out.where(F.col("doc_id") % 3 != 0)
+    held = out.where(F.col("doc_id") % 3 == 0)
+    assert train.where(F.col("n_backoff") > 0).count() == 0
+    assert held.agg(F.sum("n_backoff")).first()[0] > 0
+    assert out.where(F.col("score_scaled") <= 0).count() == 0
+    out.unpersist()

@@ -730,6 +730,12 @@ _PLAN_FINGERPRINTS = {
     # <= G rows each, and zero parquet scans remain in the plan
     # (asserted separately below)
     "unimax_lang_allocation": dict(exchanges=4, bhj=0, smj=0, windows=2, topk=0),
+    # stupid backoff: c2/c1/uni model aggregates (each map-combined)
+    # + the final per-doc agg; all three model joins broadcast at
+    # fixture stats (word-bucket SMJ at fact-sized vocab — the
+    # legitimate flip); the corpus pairs relation is scanned once per
+    # join side, never corpus x corpus
+    "stupid_backoff_score": dict(exchanges=6, bhj=3, smj=0, windows=0, topk=0),
 }
 
 
