@@ -157,6 +157,7 @@ HEADLINE = [
     "curation_funnel_report",
     "unimax_lang_allocation",
     "stupid_backoff_score",
+    "countmin_mv_orders",
 ]
 
 

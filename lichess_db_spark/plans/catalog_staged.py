@@ -34,6 +34,7 @@ STAGED_NEXT = (
     "curation_funnel_report",
     "unimax_lang_allocation",
     "stupid_backoff_score",
+    "countmin_mv_orders",
 )
 
 
@@ -576,4 +577,162 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.sum("backed").cast("bigint").alias("n_backoff"),
         F.sum("s").alias("score_scaled"),
+    )
+
+
+_CM_W, _CM_D = 32, 4  # width x depth; 97 items over 32 cols -> collisions
+# guaranteed, so the entry demonstrably exercises the overestimate side
+
+
+def _cm_bin(item, j: int):
+    """CountMin bin for hash row j: (j-1)*w + md5-bucket(item‖-j) % w —
+    the repo's standard engine-portable md5 slice, one flat bin index
+    so the long-form state is a single (group, bin) relation."""
+    col = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(item, F.lit(f"-{j}"))), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(_CM_W),
+    )
+    return F.lit((j - 1) * _CM_W) + col
+
+
+def cm_accumulate(df: DataFrame, grp: str = "grp", item: str = "item") -> DataFrame:
+    """Long-form (sparse) CountMin partial: one (group, bin, cnt) row
+    per touched counter — the accumulate half of the algebra. Sparse
+    long form beats a dense w*d array at high group cardinality (most
+    counters are zero) and makes the MERGE a plain union +
+    re-groupBy SUM, exactly the relational shape of the other
+    mergeable-MV algebras (hist/set/topk)."""
+    bins = F.array(*[_cm_bin(F.col(item), j) for j in range(1, _CM_D + 1)])
+    return (
+        df.select(F.col(grp), F.explode(bins).alias("bin"))
+        .groupBy(grp, "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cm_merge(*states: DataFrame) -> DataFrame:
+    """Merge CountMin states: union + re-groupBy SUM — counters add,
+    the defining mergeability of the sketch (delta-cost refresh, no
+    history rescan)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    grp_cols = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*grp_cols).agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    state: DataFrame, probes: DataFrame, grp: str = "grp", item: str = "item"
+) -> DataFrame:
+    """Point-query estimates: min over the d probed counters — the
+    CountMin read. Guaranteed >= the true count (each counter holds
+    the true count plus non-negative collision mass); equality exactly
+    when no colliding item shares all... any of the d bins is
+    collision-free. Probe relation is (group, item) pairs; the join is
+    (group, bin)-keyed against the bounded state."""
+    bins = F.array(*[_cm_bin(F.col(item), j) for j in range(1, _CM_D + 1)])
+    pb = probes.select(grp, item, F.explode(bins).alias("bin"))
+    return (
+        pb.join(state, [grp, "bin"], "left")
+        .groupBy(grp, item)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
+    )
+
+
+_CM_BIN_SQL = (
+    "CAST(({j} - 1) * 32 AS BIGINT) + "
+    "(('0x' || substr(md5(item || '-{j}'), 1, 8))::BIGINT % 32)"
+)
+
+_CM_BINS_UNION = " UNION ALL ".join(
+    f"SELECT grp, item, {_CM_BIN_SQL.format(j=j)} AS bin FROM base"
+    for j in range(1, 5)
+)
+
+_CM_BINS_ROWS = " UNION ALL ".join(
+    f"SELECT grp, o_orderkey, {_CM_BIN_SQL.format(j=j)} AS bin FROM base"
+    for j in range(1, 5)
+)
+
+
+@register(
+    "countmin_mv_orders",
+    f"""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(o_custkey % 97 AS VARCHAR) AS item,
+               o_orderkey
+        FROM orders
+    ),
+    binned AS ({_CM_BINS_ROWS}),
+    hist AS (
+        SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned WHERE o_orderkey % 10 != 0 GROUP BY grp, bin
+    ),
+    delta AS (
+        SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned WHERE o_orderkey % 10 = 0 GROUP BY grp, bin
+    ),
+    state AS (
+        SELECT grp, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+            SELECT * FROM hist UNION ALL SELECT * FROM delta
+        ) GROUP BY grp, bin
+    ),
+    probes AS (SELECT DISTINCT grp, item FROM base),
+    pb AS ({_CM_BINS_UNION.replace("FROM base", "FROM probes")}),
+    est AS (
+        SELECT pb.grp, pb.item,
+               CAST(MIN(COALESCE(state.cnt, 0)) AS BIGINT) AS cm_estimate
+        FROM pb LEFT JOIN state ON pb.grp = state.grp AND pb.bin = state.bin
+        GROUP BY pb.grp, pb.item
+    ),
+    exact AS (
+        SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM base GROUP BY grp, item
+    )
+    SELECT est.grp AS o_orderpriority, est.item, est.cm_estimate,
+           exact.exact_count
+    FROM est JOIN exact ON est.grp = exact.grp AND est.item = exact.item
+    """,
+    "CountMin sketch as a mergeable-MV algebra — the frequency-sketch "
+    "member that completes the family next to hll (distinct), topk "
+    "(order statistics), fi (heavy hitters), hist (distribution), "
+    "set: state = LONG-FORM sparse (group, bin) counters over a "
+    "w=32 x d=4 grid (sparse beats a dense array at high group "
+    "cardinality; merge = union + re-groupBy SUM, the same "
+    "delta-cost relational merge as the rest of the family). "
+    "History (90%% of orders) is sketched once, the delta batch "
+    "merges at delta cost, and point queries read min over d "
+    "md5-derived counters. Because the hashes are md5-portable, even "
+    "the COLLISION-INFLATED estimates are deterministic: the oracle "
+    "hash-pins every estimate next to its exact count (97 items over "
+    "32 columns force real collisions — the overestimate side is "
+    "exercised, and cm_estimate >= exact_count is a tested "
+    "invariant). Standalone algebra by rotation-budget design: "
+    "unifying it into operators/incremental.py's spec dispatch "
+    "re-enters six MV dependents, deferred to r9's window "
+    "(ROADMAP 0b).",
+)
+def countmin_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_custkey") % 97).cast("string").alias("item"),
+        "o_orderkey",
+    )
+    hist = cm_accumulate(base.where(F.col("o_orderkey") % 10 != 0))
+    delta = cm_accumulate(base.where(F.col("o_orderkey") % 10 == 0))
+    state = cm_merge(hist, delta)
+    probes = base.select("grp", "item").distinct()
+    est = cm_estimate(state, probes)
+    exact = base.groupBy("grp", "item").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    return est.join(exact, ["grp", "item"]).select(
+        F.col("grp").alias("o_orderpriority"),
+        "item",
+        "cm_estimate",
+        "exact_count",
     )

@@ -101,7 +101,7 @@ HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
          "semdedup_embeddings", "curation_funnel_report",
          "dsir_importance_weights", "bloom_novelty_docs",
          "unimax_lang_allocation", "gopher_quality_rules",
-         "stupid_backoff_score"]
+         "stupid_backoff_score", "countmin_mv_orders"]
 
 
 @pytest.mark.parametrize("name", [n for n in HEAVY if n in ORACLE_QUERIES])

@@ -741,3 +741,50 @@ def test_malformed_fi_spec_unified_error(spark, bad):
     df = spark.createDataFrame([(1, "x")], "g int, fi string")
     with pytest.raises(ValueError, match="unknown merge algebra"):
         merge_agg_state(df, df, keys=["g"], cols=[StateCol("fi", bad)])
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    """CountMin guarantees: estimate >= exact count for EVERY probe
+    (each counter holds the true count plus non-negative collision
+    mass), collisions actually occur at w=32 over 97 items (the
+    overestimate side is exercised, not vacuous), and the merged
+    hist+delta state point-reads identically to a one-shot sketch of
+    the union (counters add)."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.plans.catalog_staged import (
+        cm_accumulate,
+        cm_estimate,
+        cm_merge,
+    )
+    from lichess_db_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    out = QUERIES["countmin_mv_orders"].build(spark, SF_SMALL).cache()
+    assert out.where(F.col("cm_estimate") < F.col("exact_count")).count() == 0
+    assert out.where(F.col("cm_estimate") > F.col("exact_count")).count() > 0
+    out.unpersist()
+
+    o = load_table(spark, SF_SMALL, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_custkey") % 97).cast("string").alias("item"),
+        "o_orderkey",
+    )
+    merged = cm_merge(
+        cm_accumulate(base.where(F.col("o_orderkey") % 10 != 0)),
+        cm_accumulate(base.where(F.col("o_orderkey") % 10 == 0)),
+    )
+    oneshot = cm_accumulate(base)
+    probes = base.select("grp", "item").distinct()
+    a = {
+        (r.grp, r.item, r.cm_estimate)
+        for r in cm_estimate(merged, probes).collect()
+    }
+    b = {
+        (r.grp, r.item, r.cm_estimate)
+        for r in cm_estimate(oneshot, probes).collect()
+    }
+    assert a == b

@@ -736,6 +736,13 @@ _PLAN_FINGERPRINTS = {
     # legitimate flip); the corpus pairs relation is scanned once per
     # join side, never corpus x corpus
     "stupid_backoff_score": dict(exchanges=6, bhj=3, smj=0, windows=0, topk=0),
+    # countmin: hist/delta (bin-keyed, map-combined) partials whose
+    # union-merge folds into the same partitioning, probe estimate
+    # agg, exact-twin agg; the state and exact joins broadcast at
+    # fixture stats (state is sketch-bounded at ANY scale — w*d*groups
+    # counters — so its broadcast survives 100x data; exact flips to
+    # SMJ at fact-sized probe sets, the legitimate-flip case)
+    "countmin_mv_orders": dict(exchanges=4, bhj=2, smj=0, windows=0, topk=0),
 }
 
 
