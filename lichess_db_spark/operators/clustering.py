@@ -217,6 +217,17 @@ def portable_kmeans_step(
     )
 
 
+def _portable_dists_col(
+    emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> Column:
+    """The shared scaled-int distance ARRAY under md5-seeded init —
+    the single source every portable consumer derives from (argmin
+    for assignment; array_min for distance-to-centroid, e.g.
+    semdedup's keep-farthest-from-centroid rule)."""
+    cents = portable_init_centroids(emb, k, id_col, vec_col)
+    return F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in cents])
+
+
 def _portable_cluster_col(
     emb: DataFrame, k: int, id_col: str, vec_col: str
 ) -> Column:
@@ -224,8 +235,7 @@ def _portable_cluster_col(
     scaled-int argmin, first minimum on ties — DuckDB mirrors with
     ORDER BY dist, c), shared by :func:`portable_kmeans_step` and
     :func:`portable_assign` so their arithmetic can never drift."""
-    cents = portable_init_centroids(emb, k, id_col, vec_col)
-    dists = F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in cents])
+    dists = _portable_dists_col(emb, k, id_col, vec_col)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 

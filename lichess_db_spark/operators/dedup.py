@@ -1274,6 +1274,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    keep_rule: str = "lowest_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup that bounds the
     pairwise-cosine work by a k-means partition instead of the corpus.
@@ -1281,12 +1282,19 @@ def semdedup(
     Assign every vector to a cluster, compare ONLY within-cluster
     pairs, and drop any vector whose exact cosine to a LOWER-id
     cluster-mate clears ``eps`` (keep-lowest-id — the deterministic
-    stand-in for the paper's keep-farthest-from-centroid, which is a
-    one-line swap on the same pair relation). Returns one row per
-    vector: (id, cluster, keep, dup_of, score) where ``dup_of`` is the
-    smallest qualifying lower id and ``score`` its cosine rounded to 3
-    (the threshold itself compares the UNROUNDED exact cosine — the
-    ADVICE-r7 contamination contract).
+    stand-in for the paper's keep-farthest-from-centroid). Returns one
+    row per vector: (id, cluster, keep, dup_of, score) where
+    ``dup_of`` is the smallest qualifying mate and ``score`` its
+    cosine rounded to 3 (the threshold itself compares the UNROUNDED
+    exact cosine — the ADVICE-r7 contamination contract).
+
+    ``keep_rule="centroid_far"`` runs the PAPER's rule on the same
+    pair relation: within each eps-pair the member CLOSER to its
+    cluster centroid dies (SemDeDup keeps the low-cosine-to-centroid
+    representative to preserve diversity at the cluster edge); exact
+    scaled-int distances decide, ties keep the lower id. Under this
+    rule ``dup_of`` is the (possibly higher-id) mate that outlived
+    the victim.
 
     Scale shape: assignment is map-only (k x d centroid literal rides
     the plan); the self-join shuffles each side ONCE on the cluster
@@ -1299,55 +1307,96 @@ def semdedup(
     """
     from ..functions.vectors import dot_exact, dot_exact_arrow, norm_exact
     from .clustering import (
-        _portable_cluster_col,
+        _SCALE,
+        _portable_dists_col,
         assign_clusters_arrow,
         portable_init_centroids,
     )
 
     if not 0 < eps < 1:
         raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if keep_rule not in ("lowest_id", "centroid_far"):
+        raise ValueError(f"unknown keep_rule: {keep_rule!r}")
     if use_arrow:
         # bit-identical fast path: assignment via the pinned Arrow
         # argmin kernel (same md5-seeded centroids), pair cosine via
         # the signed-round Arrow dot kernel — removes the interpreted
         # zip_with fold that dominates the pair join (measured 29s ->
         # see tests/test_north_star.py::test_semdedup_arrow_bit_identical)
+        # the kill tiebreak compares the RAW scaled-int distance, not
+        # the reported double: dist2 = scaled/1e12 and two distinct
+        # bigints at ~2.5e14 magnitude can collapse to one double
+        # after the division (diff 1e-12 < ulp 1.5e-11), which would
+        # let Spark's strict < disagree with a bigint-comparing
+        # oracle. The round-trip back is exact: scaled < 2^53, and
+        # the relative error of /1e12 then *1e12 is ~1e-16 * 2.5e14
+        # = 0.03 < 0.5, so round() recovers the integer bit-for-bit.
         cents = portable_init_centroids(emb, k, id_col, vec_col)
-        e = assign_clusters_arrow(emb, cents, id_col, vec_col).select(
+        cols = [
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),
             norm_exact(F.col(vec_col)).alias("__norm"),
-            "cluster",
-        )
+            F.col("cluster"),
+        ]
+        if keep_rule == "centroid_far":
+            cols.append(
+                F.round(F.col("dist2") * F.lit(_SCALE)).cast("bigint").alias("__d2s")
+            )
+        e = assign_clusters_arrow(emb, cents, id_col, vec_col).select(*cols)
         dot_fn = dot_exact_arrow
     else:
-        e = emb.select(
+        dists = _portable_dists_col(emb, k, id_col, vec_col)
+        cols = [
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),
             norm_exact(F.col(vec_col)).alias("__norm"),
-            _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
-        )
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        ]
+        if keep_rule == "centroid_far":
+            cols.append(F.array_min(dists).alias("__d2s"))
+        e = emb.select(*cols)
         dot_fn = dot_exact
     a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
+    joined = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col("a.__id") < F.col("b.__id")),
-    ).select(
-        F.col("b.__id").alias("__id"),
-        F.col("a.__id").alias("lower_id"),
-        (
-            dot_fn(F.col("a.__vec"), F.col("b.__vec"))
-            / (F.col("a.__norm") * F.col("b.__norm"))
-        ).alias("__sim"),
     )
+    sim = (
+        dot_fn(F.col("a.__vec"), F.col("b.__vec"))
+        / (F.col("a.__norm") * F.col("b.__norm"))
+    ).alias("__sim")
+    if keep_rule == "lowest_id":
+        pairs = joined.select(
+            F.col("b.__id").alias("__id"),
+            F.col("a.__id").alias("mate"),
+            sim,
+        )
+    else:
+        # centroid_far: the pair member CLOSER to its centroid dies
+        # (exact scaled-int distances; strict less-than, so on __d2s
+        # ties b — the higher id — dies and a survives: same
+        # one-sided victim/mate shape as lowest_id, just decided by
+        # distance-to-centroid instead of id order)
+        closer_is_a = F.col("a.__d2s") < F.col("b.__d2s")
+        pairs = joined.select(
+            F.when(closer_is_a, F.col("a.__id"))
+            .otherwise(F.col("b.__id"))
+            .alias("__id"),
+            F.when(closer_is_a, F.col("b.__id"))
+            .otherwise(F.col("a.__id"))
+            .alias("mate"),
+            sim,
+        )
     dups = (
         pairs.where(F.col("__sim") >= F.lit(eps))
         .groupBy("__id")
-        .agg(F.min(F.struct("lower_id", "__sim")).alias("__d"))
+        .agg(F.min(F.struct("mate", "__sim")).alias("__d"))
         .select(
             "__id",
-            F.col("__d.lower_id").alias("dup_of"),
+            F.col("__d.mate").alias("dup_of"),
             F.round(F.col("__d.__sim"), 3).alias("score"),
         )
     )
@@ -1462,3 +1511,99 @@ def bloom_membership(
     else:
         out = out.select(id_col, "bloom_hit")
     return out
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): remove duplicated SPANS, not
+    whole documents — the sub-document dedup that whole-doc and
+    near-dup tiers miss (boilerplate, licence headers, quoted
+    passages). Word-token adaptation of the paper's 50-token rule:
+
+    - every OVERLAPPING ``k``-gram of the space-tokenized text is an
+      occurrence; a gram occurring >= 2 times corpus-wide is
+      duplicated;
+    - the globally-first occurrence (smallest ``(doc, start)``) is
+      the keeper; every other occurrence marks its ``[start, start+
+      k-1]`` token span for removal in its own document;
+    - per document, marked spans are merged into maximal removed runs
+      (gaps-and-islands on the exact integer positions).
+
+    Returns one row per input document: ``(id, n_tokens,
+    n_spans_removed, n_tokens_removed, n_tokens_kept)`` — exact
+    integers only, so the whole relation is oracle-hashable.
+
+    Scale shape: the paper builds a single-machine suffix array; the
+    distributed equivalent is an inverted index over gram digests.
+    The gram relation is corpus-sized (one row per token position)
+    and shuffles ONCE, keyed on the 128-bit md5 of the gram —
+    constant-width keys instead of k-word strings, and collisions are
+    2^-64-level (the paper's own suffix-array dedup tolerates far
+    more). Victims (duplicated occurrences only — at healthy dedup
+    rates a few % of positions) shuffle back to their doc for the
+    island window; nothing is ever quadratic in corpus size and no
+    driver-side state exists. k=10 suits the word-salad fixture; the
+    paper's 50-token spans are the same plan with a wider slice.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.col(text_col), " ")
+    counts = docs.select(
+        F.col(id_col).alias("__id"), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("__p0", "__gram"),
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).alias("__start"),
+        F.md5("__gram").alias("__g"),
+    )
+    wg = Window.partitionBy("__g").orderBy(
+        F.col("__id").asc(), F.col("__start").asc()
+    )
+    victims = (
+        grams.withColumn("__rn", F.row_number().over(wg))
+        .where(F.col("__rn") > 1)
+        .select("__id", "__start", (F.col("__start") + k - 1).alias("__end"))
+    )
+    wd = Window.partitionBy("__id").orderBy("__start")
+    prev_end = F.max("__end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = victims.withColumn(
+        "__ni",
+        F.when(prev_end.isNull() | (F.col("__start") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__ni").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        marked.groupBy("__id", "__isl")
+        .agg(F.min("__start").alias("__s"), F.max("__end").alias("__e"))
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("int").alias("n_spans_removed"),
+            F.sum(F.col("__e") - F.col("__s") + 1)
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )
+    return counts.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce("n_spans_removed", F.lit(0)).alias("n_spans_removed"),
+        F.coalesce("n_tokens_removed", F.lit(0).cast("bigint")).alias(
+            "n_tokens_removed"
+        ),
+        (F.col("n_tokens") - F.coalesce("n_tokens_removed", F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+    )

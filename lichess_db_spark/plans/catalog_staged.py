@@ -28,6 +28,8 @@ from .registry import register
 # this at the r9 boundary (moving them into _TOUCHED_THIS_ROUND)
 STAGED_NEXT = (
     "semdedup_embeddings",
+    "semdedup_centroid_far",
+    "exact_substring_dedup",
     "gopher_quality_rules",
     "dsir_importance_weights",
     "bloom_novelty_docs",
@@ -171,7 +173,8 @@ _GOPHER_N_PASSED = (
     "cosine). Drop rule: a vector dies iff a LOWER-id cluster-mate's "
     "UNROUNDED exact cosine clears eps; dup_of = the smallest such id "
     "(deterministic keep-lowest-id; the paper's keep-farthest-from-"
-    "centroid is a one-line swap on the same pair relation). Scale "
+    "centroid runs as catalog:semdedup_centroid_far on the same pair "
+    "relation). Scale "
     "shape: map-only assignment (k x d literal), ONE cluster-keyed "
     "shuffle per side, pair work sum_c n_c^2 with k chosen so "
     "clusters hold ~1-10k vectors. Full oracle: the kmeans_portable "
@@ -185,6 +188,124 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrow path: bit-identical to the expression fold (pinned by
     # test_semdedup_arrow_bit_identical), 6x at sf0.1
     return semdedup(emb, k=8, eps=0.3, use_arrow=True)
+
+
+@register(
+    "semdedup_centroid_far",
+    f"""
+    WITH {_SEMDEDUP_CTES},
+    d2 AS (SELECT vec_id, MIN(dist_i) AS d2s FROM dst GROUP BY vec_id),
+    prs2 AS (
+        SELECT CASE WHEN da.d2s < db.d2s THEN p.lower_id ELSE p.bid END AS vid,
+               CASE WHEN da.d2s < db.d2s THEN p.bid ELSE p.lower_id END AS mate,
+               p.sim
+        FROM prs p
+        JOIN d2 da ON da.vec_id = p.lower_id
+        JOIN d2 db ON db.vec_id = p.bid
+    ),
+    dups AS (
+        SELECT vid, mate, ROUND(sim, 3) AS score FROM (
+            SELECT vid, mate, sim,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY mate) AS rn
+            FROM prs2 WHERE sim >= 0.3
+        ) WHERE rn = 1
+    )
+    SELECT e.vec_id, e.cluster,
+           d.mate IS NULL AS keep, d.mate AS dup_of, d.score
+    FROM e LEFT JOIN dups d ON e.vec_id = d.vid
+    """,
+    "SemDeDup with the PAPER's keep rule (Abbas et al. 2023 keep the "
+    "cluster-edge representative): within every eps-pair the member "
+    "CLOSER to its cluster centroid dies, decided on the EXACT "
+    "scaled-int distances (ties kill the higher id), so dup_of can "
+    "be a higher-id survivor. Same pair relation, assignment and "
+    "Arrow kernels as semdedup_embeddings — the two entries "
+    "hash-pin that ONLY the keep rule differs. The Arrow path "
+    "recovers the bigint distance from the kernel's double via "
+    "round(dist2 * 1e12): scaled < 2^53 and the /1e12-then-*1e12 "
+    "relative error is ~0.03 << 0.5, so the round-trip is exact and "
+    "the tiebreak can never flip (pinned bit-identical in "
+    "tests/test_north_star.py). Scale shape identical: map-only "
+    "assignment, ONE cluster-keyed shuffle per side, pair work "
+    "sum_c n_c^2. Full oracle: the shared pair CTEs joined to the "
+    "per-vector min scaled distance with a CASE victim/mate swap.",
+)
+def semdedup_centroid_far(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, eps=0.3, use_arrow=True, keep_rule="centroid_far")
+
+
+@register(
+    "exact_substring_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+        SELECT doc_id, g.i AS s,
+               md5(array_to_string(ts[g.i:g.i+9], ' ')) AS gk
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i + 9 <= len(ts)
+    ),
+    occ AS (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY gk ORDER BY doc_id, s) AS rn
+        FROM grams
+    ),
+    victims AS (SELECT doc_id, s, s + 9 AS e FROM occ WHERE rn > 1),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS ni
+        FROM victims
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS isl
+        FROM marked
+    ),
+    runs AS (
+        SELECT doc_id, isl, MIN(s) AS rs, MAX(e) AS re
+        FROM islands GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans_removed,
+               CAST(SUM(re - rs + 1) AS BIGINT) AS n_tokens_removed
+        FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans_removed, 0) AS n_spans_removed,
+           CAST(COALESCE(p.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(len(t.ts) - COALESCE(p.n_tokens_removed, 0) AS BIGINT)
+               AS n_tokens_kept
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "ExactSubstr dedup (Lee et al. 2021 'Deduplicating Training Data "
+    "Makes Language Models Better'): remove duplicated SPANS, not "
+    "documents — the sub-document tier the exact/minhash/simhash/"
+    "semantic family misses (boilerplate, licence headers, quoted "
+    "passages). Every overlapping 10-gram occurring >= 2 times "
+    "corpus-wide marks its token span for removal at every occurrence "
+    "but the globally-first (keeper = smallest (doc, start)); per-doc "
+    "spans merge into maximal runs via gaps-and-islands on exact "
+    "integer positions. The paper's single-machine suffix array "
+    "becomes a distributed inverted index: the corpus-sized gram "
+    "relation shuffles ONCE on the 128-bit md5 digest (constant-width "
+    "keys, not k-word strings), only the duplicated occurrences "
+    "shuffle back for the per-doc island window, nothing quadratic, "
+    "no driver state. Full oracle: the identical gram/keeper/island "
+    "SQL over the same md5 digests.",
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_substring_dedup as esd
+
+    return esd(_t(spark, sf_dir, "documents"), k=10)
 
 
 @register(

@@ -1090,6 +1090,153 @@ def test_semdedup_eps_validation(emb):
         dd.semdedup(emb, k=8, eps=1.5)
 
 
+def test_semdedup_centroid_far_semantics(emb):
+    """keep_rule="centroid_far" runs the SemDeDup PAPER's rule: in
+    every eps-pair the member CLOSER to its cluster centroid dies
+    (ties kill the higher id). Every recorded (victim, dup_of) pair
+    must satisfy that order on the EXACT scaled-int distances, the
+    usual output contract holds, and the rule must actually change
+    decisions vs keep-lowest-id on the fixture (not a silent alias)."""
+    from lichess_db_spark.operators.clustering import (
+        _SCALE,
+        assign_clusters_arrow,
+        portable_init_centroids,
+    )
+
+    out = dd.semdedup(emb, k=8, eps=0.3, keep_rule="centroid_far").cache()
+    n = emb.count()
+    assert out.count() == n
+    bad = out.where(
+        (F.col("keep") & F.col("dup_of").isNotNull())
+        | (~F.col("keep") & F.col("dup_of").isNull())
+    ).count()
+    assert bad == 0
+    n_dropped = out.where(~F.col("keep")).count()
+    assert 0 < n_dropped < n
+    # dup_of lives in the victim's own cluster (pair relation unchanged)
+    cl = out.select("vec_id", "cluster")
+    joined = (
+        out.where(~F.col("keep"))
+        .select("vec_id", "dup_of", F.col("cluster").alias("c_victim"))
+        .join(cl.withColumnRenamed("vec_id", "dup_of"), "dup_of")
+    )
+    assert joined.where(F.col("cluster") != F.col("c_victim")).count() == 0
+    # the paper's order: victim strictly closer to the centroid than
+    # its surviving mate, or tied with the victim being the higher id
+    # (exact scaled-int distances — same round-trip the kernel uses)
+    cents = portable_init_centroids(emb, 8)
+    d2s = assign_clusters_arrow(emb, cents).select(
+        "vec_id",
+        F.round(F.col("dist2") * F.lit(_SCALE)).cast("bigint").alias("d2s"),
+    )
+    v = (
+        out.where(~F.col("keep"))
+        .select("vec_id", "dup_of")
+        .join(d2s.withColumnRenamed("d2s", "d_victim"), "vec_id")
+        .join(
+            d2s.select(
+                F.col("vec_id").alias("dup_of"), F.col("d2s").alias("d_mate")
+            ),
+            "dup_of",
+        )
+    )
+    violations = v.where(
+        ~(
+            (F.col("d_victim") < F.col("d_mate"))
+            | (
+                (F.col("d_victim") == F.col("d_mate"))
+                & (F.col("vec_id") > F.col("dup_of"))
+            )
+        )
+    ).count()
+    assert violations == 0
+    # not a silent alias of lowest_id: under centroid_far dup_of may
+    # be a HIGHER id; the fixture must exercise that branch
+    assert out.where(~F.col("keep") & (F.col("dup_of") > F.col("vec_id"))).count() > 0
+    out.unpersist()
+
+
+def test_semdedup_centroid_far_arrow_bit_identical(emb):
+    """The Arrow path recovers the scaled-int distance through a
+    double round-trip (dist2 * 1e12 re-rounded) — prove the FULL
+    centroid_far output matches the expression path bit-for-bit, so
+    the round-trip can never flip a kill tiebreak."""
+    a = sorted(
+        (r.vec_id, r.cluster, r.keep, r.dup_of, r.score)
+        for r in dd.semdedup(
+            emb, k=8, eps=0.3, use_arrow=False, keep_rule="centroid_far"
+        ).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.keep, r.dup_of, r.score)
+        for r in dd.semdedup(
+            emb, k=8, eps=0.3, use_arrow=True, keep_rule="centroid_far"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_semdedup_keep_rule_validation(emb):
+    with pytest.raises(ValueError, match="keep_rule"):
+        dd.semdedup(emb, k=8, eps=0.3, keep_rule="newest")
+
+
+def test_exact_substring_dedup_micro(spark):
+    """Hand-computed ExactSubstr case at k=3: cross-doc shared run
+    (two overlapping victim grams merge into ONE removed run), a
+    self-repeating doc that keeps exactly one copy, and an untouched
+    doc — exact span/token counts."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "x1 w2 w3 w4 w5 x2"),
+            (3, "y1 y2 y3"),
+            (4, "z1 z2 z3 z1 z2 z3 z1 z2 z3"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans_removed, r.n_tokens_removed, r.n_tokens_kept)
+        for r in dd.exact_substring_dedup(docs, k=3).collect()
+    }
+    # d1 holds the keeper occurrences -> untouched; d2's two victim
+    # grams [2,4]+[3,5] merge to one run of 4; d4's periodic text
+    # keeps exactly the first period (victims [4,6][5,7][6,8][7,9]
+    # merge to [4,9])
+    assert got == {
+        1: (6, 0, 0, 6),
+        2: (6, 1, 4, 2),
+        3: (3, 0, 0, 3),
+        4: (9, 1, 6, 3),
+    }
+
+
+def test_exact_substring_dedup_invariants(docs):
+    """Fixture-level contract: one row per doc, exact count algebra,
+    every removed run >= k tokens, and the fixture's near-dup pairs
+    actually produce removals (non-degenerate)."""
+    k = 10
+    out = dd.exact_substring_dedup(docs, k=k).cache()
+    n = docs.count()
+    assert out.count() == n
+    assert out.where(
+        F.col("n_tokens_kept") != F.col("n_tokens") - F.col("n_tokens_removed")
+    ).count() == 0
+    assert out.where(
+        (F.col("n_tokens_removed") < 0)
+        | (F.col("n_tokens_removed") > F.col("n_tokens"))
+    ).count() == 0
+    # each maximal run is a union of length-k intervals -> >= k tokens
+    assert out.where(
+        F.col("n_tokens_removed") < F.lit(k) * F.col("n_spans_removed")
+    ).count() == 0
+    touched = out.where(F.col("n_spans_removed") > 0).count()
+    assert 0 < touched < n
+    out.unpersist()
+    with pytest.raises(ValueError, match="k must be"):
+        dd.exact_substring_dedup(docs, k=1)
+
+
 def test_bloom_membership_no_false_negatives(docs):
     """A Bloom filter may lie positive, NEVER negative: every probe
     row whose digest is in the reference must hit; the deterministic

@@ -711,6 +711,15 @@ _PLAN_FINGERPRINTS = {
     # dsir: bucket-count agg (1) + per-doc sum (1); the B-sized ratio
     # table joins broadcast BY CONSTRUCTION at any scale.
     "semdedup_embeddings": dict(exchanges=2, bhj=1, smj=1, windows=0, topk=0),
+    # centroid_far twin: the __d2s kill column rides the same
+    # assignment projection — plan shape must stay IDENTICAL to
+    # semdedup_embeddings (the keep rule is a select-level swap)
+    "semdedup_centroid_far": dict(exchanges=2, bhj=1, smj=1, windows=0, topk=0),
+    # exactsubstr: gram-digest keeper window (c1) + doc-key island
+    # windows (c2, shared by the prev-max and running-sum windows and
+    # BOTH groupBys — islands/runs agg must NOT add an exchange); the
+    # per-doc removal table joins broadcast at fixture stats
+    "exact_substring_dedup": dict(exchanges=2, bhj=1, smj=0, windows=3, topk=0),
     "gopher_quality_rules": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     "dsir_importance_weights": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
     # bloom: the probe itself is map-only (bitmap literal); the one
