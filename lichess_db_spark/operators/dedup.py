@@ -1513,6 +1513,51 @@ def bloom_membership(
     return out
 
 
+def _exact_substring_runs(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The shared ExactSubstr core: duplicated overlapping ``k``-gram
+    occurrences (keeper = globally smallest ``(doc, start)``) merged
+    into maximal per-doc removed runs ``(__id, __s, __e)`` — consumed
+    by the stats view (:func:`exact_substring_dedup`) and the
+    cleaned-text view (:func:`exact_substring_clean`) so their
+    removal sets can never drift."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("__p0", "__gram"),
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).alias("__start"),
+        F.md5("__gram").alias("__g"),
+    )
+    wg = Window.partitionBy("__g").orderBy(
+        F.col("__id").asc(), F.col("__start").asc()
+    )
+    victims = (
+        grams.withColumn("__rn", F.row_number().over(wg))
+        .where(F.col("__rn") > 1)
+        .select("__id", "__start", (F.col("__start") + k - 1).alias("__end"))
+    )
+    wd = Window.partitionBy("__id").orderBy("__start")
+    prev_end = F.max("__end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = victims.withColumn(
+        "__ni",
+        F.when(prev_end.isNull() | (F.col("__start") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__ni").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return marked.groupBy("__id", "__isl").agg(
+        F.min("__start").alias("__s"), F.max("__end").alias("__e")
+    )
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     k: int = 10,
@@ -1550,44 +1595,12 @@ def exact_substring_dedup(
     driver-side state exists. k=10 suits the word-salad fixture; the
     paper's 50-token spans are the same plan with a wider slice.
     """
-    from pyspark.sql import Window
-
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
     toks = F.split(F.col(text_col), " ")
     counts = docs.select(
         F.col(id_col).alias("__id"), F.size(toks).cast("bigint").alias("n_tokens")
     )
-    grams = docs.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(word_shingles(F.col(text_col), k)).alias("__p0", "__gram"),
-    ).select(
-        "__id",
-        (F.col("__p0") + 1).alias("__start"),
-        F.md5("__gram").alias("__g"),
-    )
-    wg = Window.partitionBy("__g").orderBy(
-        F.col("__id").asc(), F.col("__start").asc()
-    )
-    victims = (
-        grams.withColumn("__rn", F.row_number().over(wg))
-        .where(F.col("__rn") > 1)
-        .select("__id", "__start", (F.col("__start") + k - 1).alias("__end"))
-    )
-    wd = Window.partitionBy("__id").orderBy("__start")
-    prev_end = F.max("__end").over(
-        wd.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = victims.withColumn(
-        "__ni",
-        F.when(prev_end.isNull() | (F.col("__start") > prev_end + 1), 1).otherwise(0),
-    ).withColumn(
-        "__isl",
-        F.sum("__ni").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
-    )
     per_doc = (
-        marked.groupBy("__id", "__isl")
-        .agg(F.min("__start").alias("__s"), F.max("__end").alias("__e"))
+        _exact_substring_runs(docs, k, id_col, text_col)
         .groupBy("__id")
         .agg(
             F.count("*").cast("int").alias("n_spans_removed"),
@@ -1606,4 +1619,54 @@ def exact_substring_dedup(
         (F.col("n_tokens") - F.coalesce("n_tokens_removed", F.lit(0)))
         .cast("bigint")
         .alias("n_tokens_kept"),
+    )
+
+
+def exact_substring_clean(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The materializing half of ExactSubstr dedup: emit the CLEANED
+    corpus — every token inside a removed run deleted, survivors
+    re-joined in order — so the dedup actually feeds the next stage
+    (packing, tokenization) instead of only reporting counts. Removal
+    semantics are byte-identical to :func:`exact_substring_dedup`
+    (both consume :func:`_exact_substring_runs`; the per-doc
+    ``n_tokens_kept`` columns are equality-tested across the two
+    views).
+
+    Returns ``(id, n_tokens_kept, clean_text)``; a fully-removed
+    document yields ``('', 0)`` rather than disappearing.
+
+    Scale shape: the runs relation (a few rows per affected doc)
+    aggregates to one array per doc and joins back to the corpus —
+    broadcastable whenever the duplicated fraction is sane, else it
+    rides the doc-keyed exchange the island window already created.
+    The per-token keep test is an ``exists`` over that tiny runs
+    array inside codegen — no UDF, no second corpus shuffle.
+    """
+    runs_arr = (
+        _exact_substring_runs(docs, k, id_col, text_col)
+        .groupBy("__id")
+        .agg(F.collect_list(F.struct("__s", "__e")).alias("__runs"))
+    )
+    ts = F.split(F.col(text_col), " ")
+    joined = docs.select(F.col(id_col).alias("__id"), ts.alias("__ts")).join(
+        runs_arr, "__id", "left"
+    )
+    runs = F.coalesce(
+        F.col("__runs"), F.array().cast("array<struct<__s:int,__e:int>>")
+    )
+    kept = F.filter(
+        F.col("__ts"),
+        lambda x, i: ~F.exists(
+            runs, lambda r: (r["__s"] <= i + 1) & (i + 1 <= r["__e"])
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

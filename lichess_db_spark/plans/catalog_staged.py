@@ -30,6 +30,7 @@ STAGED_NEXT = (
     "semdedup_embeddings",
     "semdedup_centroid_far",
     "exact_substring_dedup",
+    "exact_substring_clean",
     "gopher_quality_rules",
     "dsir_importance_weights",
     "bloom_novelty_docs",
@@ -237,10 +238,12 @@ def semdedup_centroid_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k=8, eps=0.3, use_arrow=True, keep_rule="centroid_far")
 
 
-@register(
-    "exact_substring_dedup",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+# Shared ExactSubstr CTE block (same one-text discipline as
+# _SEMDEDUP_CTES): toks -> duplicated-gram victims -> merged removed
+# runs, consumed by both the stats and the cleaned-text entries so
+# their removal sets can never drift.
+_EXACTSUBSTR_CTES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     grams AS (
         SELECT doc_id, g.i AS s,
                md5(array_to_string(ts[g.i:g.i+9], ' ')) AS gk
@@ -272,7 +275,13 @@ def semdedup_centroid_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs AS (
         SELECT doc_id, isl, MIN(s) AS rs, MAX(e) AS re
         FROM islands GROUP BY doc_id, isl
-    ),
+    )"""
+
+
+@register(
+    "exact_substring_dedup",
+    f"""
+    WITH {_EXACTSUBSTR_CTES},
     per_doc AS (
         SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans_removed,
                CAST(SUM(re - rs + 1) AS BIGINT) AS n_tokens_removed
@@ -306,6 +315,49 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substring_dedup as esd
 
     return esd(_t(spark, sf_dir, "documents"), k=10)
+
+
+@register(
+    "exact_substring_clean",
+    f"""
+    WITH {_EXACTSUBSTR_CTES},
+    kept AS (
+        SELECT t.doc_id, g.i AS pos, t.ts[g.i] AS tok
+        FROM toks t, range(1, 100001) AS g(i)
+        WHERE g.i <= len(t.ts)
+          AND NOT EXISTS (SELECT 1 FROM runs r
+                          WHERE r.doc_id = t.doc_id
+                            AND g.i BETWEEN r.rs AND r.re)
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    "The materializing half of ExactSubstr dedup: the CLEANED corpus "
+    "itself — every token inside a removed run deleted, survivors "
+    "re-joined in order — so span dedup actually feeds the next "
+    "pipeline stage (packing, tokenization) instead of only "
+    "reporting counts. The oracle hash covers the full cleaned TEXT "
+    "of every document, the strongest possible pin on the removal "
+    "semantics; removal sets are shared with exact_substring_dedup "
+    "by construction (one runs relation in Spark, one CTE text in "
+    "SQL) and the two entries' n_tokens_kept columns are "
+    "equality-tested in-suite. Scale shape: the per-doc runs array "
+    "(a few rows per AFFECTED doc only) joins back to the corpus — "
+    "broadcast at sane duplication rates; the per-token keep test is "
+    "an exists over that tiny array inside codegen, no UDF, no "
+    "second corpus shuffle.",
+)
+def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_substring_clean as esc
+
+    return esc(_t(spark, sf_dir, "documents"), k=10)
 
 
 @register(

@@ -99,7 +99,8 @@ HEAVY = ["q1_pricing_summary", "q3_shipping_priority", "knn_bruteforce_cosine",
          # composition have size-dependent join strategies; the Arrow
          # dot kernel's exactness deserves the second tier in-suite
          "semdedup_embeddings", "semdedup_centroid_far",
-         "exact_substring_dedup", "curation_funnel_report",
+         "exact_substring_dedup", "exact_substring_clean",
+         "curation_funnel_report",
          "dsir_importance_weights", "bloom_novelty_docs",
          "unimax_lang_allocation", "gopher_quality_rules",
          "stupid_backoff_score", "countmin_mv_orders"]

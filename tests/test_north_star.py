@@ -1211,6 +1211,50 @@ def test_exact_substring_dedup_micro(spark):
     }
 
 
+def test_exact_substring_clean_micro(spark):
+    """Cleaned-text twin of the micro-case: exact surviving strings —
+    d2 keeps only its unique flanks, the periodic d4 keeps exactly
+    one period, keeper/untouched docs pass through verbatim."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "x1 w2 w3 w4 w5 x2"),
+            (3, "y1 y2 y3"),
+            (4, "z1 z2 z3 z1 z2 z3 z1 z2 z3"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.clean_text)
+        for r in dd.exact_substring_clean(docs, k=3).collect()
+    }
+    assert got == {
+        1: (6, "w1 w2 w3 w4 w5 w6"),
+        2: (2, "x1 x2"),
+        3: (3, "y1 y2 y3"),
+        4: (3, "z1 z2 z3"),
+    }
+
+
+def test_exact_substring_views_agree(docs):
+    """The stats view and the cleaned-text view consume one shared
+    runs relation — their per-doc n_tokens_kept must be identical,
+    and re-splitting the cleaned text must reproduce the count
+    (concat_ws round-trip, no whitespace artifacts)."""
+    stats = dd.exact_substring_dedup(docs, k=10).select(
+        "doc_id", F.col("n_tokens_kept").alias("from_stats")
+    )
+    clean = dd.exact_substring_clean(docs, k=10)
+    joined = clean.join(stats, "doc_id").cache()
+    assert joined.where(F.col("n_tokens_kept") != F.col("from_stats")).count() == 0
+    resplit = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+        F.size(F.split("clean_text", " "))
+    )
+    assert joined.where(resplit != F.col("n_tokens_kept")).count() == 0
+    assert joined.count() == docs.count()
+    joined.unpersist()
+
+
 def test_exact_substring_dedup_invariants(docs):
     """Fixture-level contract: one row per doc, exact count algebra,
     every removed run >= k tokens, and the fixture's near-dup pairs

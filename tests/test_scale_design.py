@@ -720,6 +720,9 @@ _PLAN_FINGERPRINTS = {
     # BOTH groupBys — islands/runs agg must NOT add an exchange); the
     # per-doc removal table joins broadcast at fixture stats
     "exact_substring_dedup": dict(exchanges=2, bhj=1, smj=0, windows=3, topk=0),
+    # clean twin: same shared runs core; the runs-array join
+    # broadcasts and the per-token keep test adds NO exchange
+    "exact_substring_clean": dict(exchanges=2, bhj=1, smj=0, windows=3, topk=0),
     "gopher_quality_rules": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     "dsir_importance_weights": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
     # bloom: the probe itself is map-only (bitmap literal); the one
