@@ -454,3 +454,72 @@ def test_unimax_matches_python_twin(spark, sizes, budget, epoch_cap):
         assert B - total_alloc < G - n_capped
     else:
         assert total_alloc == sum(c for c, _, _ in caps)
+
+
+# ---------------------------------------------------------------------------
+# exact_substring dedup Python twin (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=14),
+        min_size=1,
+        max_size=7,
+    )
+)
+def test_exact_substring_matches_python_twin(spark, corpora):
+    """For ANY corpus over a tiny alphabet (dense k-gram collisions),
+    BOTH ExactSubstr views must equal a straight-line Python twin of
+    the published rule: duplicated overlapping k-grams, globally-first
+    keeper, per-doc interval-union removal — counts AND the cleaned
+    token sequence itself."""
+    from lichess_db_spark.operators.dedup import (
+        exact_substring_clean,
+        exact_substring_dedup,
+    )
+
+    k = 3
+    toks_by_id = {i: t for i, t in enumerate(corpora)}
+    occ: dict = {}
+    for d in sorted(toks_by_id):
+        t = toks_by_id[d]
+        for i in range(len(t) - k + 1):
+            occ.setdefault(tuple(t[i : i + k]), []).append((d, i + 1))
+    victims: dict = {}
+    for g, lst in occ.items():
+        for d, s in sorted(lst)[1:]:
+            victims.setdefault(d, []).append((s, s + k - 1))
+    want = {}
+    for d, t in toks_by_id.items():
+        merged: list = []
+        for s, e in sorted(victims.get(d, [])):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        removed = sum(e - s + 1 for s, e in merged)
+        kept = [
+            t[i - 1]
+            for i in range(1, len(t) + 1)
+            if not any(s <= i <= e for s, e in merged)
+        ]
+        want[d] = (len(t), len(merged), removed, " ".join(kept))
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks_by_id.items()],
+        "doc_id int, text string",
+    )
+    stats = {
+        r.doc_id: (r.n_tokens, r.n_spans_removed, r.n_tokens_removed)
+        for r in exact_substring_dedup(docs, k=k).collect()
+    }
+    clean = {
+        r.doc_id: (r.n_tokens_kept, r.clean_text)
+        for r in exact_substring_clean(docs, k=k).collect()
+    }
+    assert set(stats) == set(want) == set(clean)
+    for d, (n, n_spans, removed, text) in want.items():
+        assert stats[d] == (n, n_spans, removed), (d, corpora)
+        assert clean[d] == (n - removed, text), (d, corpora)
