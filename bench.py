@@ -158,6 +158,11 @@ HEADLINE = [
     "unimax_lang_allocation",
     "stupid_backoff_score",
     "countmin_mv_orders",
+    # r8 session 4: the paper's SemDeDup keep rule and ExactSubstr
+    # span dedup (stats + cleaned-corpus views, shared runs core)
+    "semdedup_centroid_far",
+    "exact_substring_dedup",
+    "exact_substring_clean",
 ]
 
 

@@ -120,13 +120,20 @@ def _minhash_sig(sh: "F.Column", num_perms: int, portable: bool = False) -> "F.C
 
     @pandas_udf("array<bigint>")
     def _sig_udf(base: pd.Series) -> pd.Series:
-        # One affine matmul + segment-min for the WHOLE Arrow batch:
-        # flatten every doc's base hashes into one vector, apply all
-        # num_perms maps at memory bandwidth, then minimum.reduceat at
-        # the doc boundaries. The previous per-row loop paid numpy
-        # dispatch overhead (~50 small (|sh| x perms) kernels per ms)
-        # per document; this pays it once per batch. Integer-exact:
-        # identical signatures to the per-row form.
+        # Affine maps + segment-min over the WHOLE Arrow batch, in
+        # doc-aligned CHUNKS through one REUSED buffer: Spark's
+        # higher-order lambdas would interpret num_perms * |shingles|
+        # evals per doc (measured 7.4s -> <1s for 5k docs at sf0.1),
+        # and the obvious whole-batch (|elems| x perms) temporary —
+        # ~0.5 GB at a 10k-doc batch — turned out to collapse under
+        # CONCURRENCY: 32 workers each page-faulting fresh GB-scale
+        # allocations serialize on kernel page zeroing (measured on
+        # this host: the identical 500k x 128 matmul is 0.8s in one
+        # process and 165s when 32 run at once; with a reused 64MB
+        # chunk buffer the worst concurrent case is 3s — see
+        # tools/bench_scale.py, 64x corpus). Chunks end on doc
+        # boundaries so minimum.reduceat never straddles; arithmetic
+        # per element is unchanged -> signatures bit-identical.
         lens = np.fromiter(
             (0 if h is None else len(h) for h in base), dtype=np.int64, count=len(base)
         )
@@ -134,10 +141,33 @@ def _minhash_sig(sh: "F.Column", num_perms: int, portable: bool = False) -> "F.C
         if not nonempty:
             return pd.Series([None] * len(base), dtype=object)
         flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in nonempty])
-        sig_flat = (flat[:, None] * A + B) % _MERSENNE_P
         pos = lens[lens > 0]
-        starts = np.concatenate(([0], np.cumsum(pos)[:-1]))
-        mins = np.minimum.reduceat(sig_flat, starts, axis=0)
+        ends = np.cumsum(pos)
+        starts = ends - pos
+        n_docs = len(pos)
+        CH = 65536  # elements per chunk (soft cap; one oversize doc ok)
+        buf = None
+        mins_parts = []
+        i = 0
+        while i < n_docs:
+            j = int(np.searchsorted(ends, starts[i] + CH, side="right"))
+            j = min(max(j, i + 1), n_docs)
+            lo, hi = int(starts[i]), int(ends[j - 1])
+            seg = flat[lo:hi]
+            if buf is None or buf.shape[0] < len(seg):
+                # A/B are (1, num_perms) row vectors (broadcast shape)
+                buf = np.empty((max(len(seg), CH), A.shape[-1]), dtype=np.int64)
+            b = buf[: len(seg)]
+            np.multiply(seg[:, None], A, out=b)
+            np.add(b, B, out=b)
+            np.mod(b, _MERSENNE_P, out=b)
+            mins_parts.append(
+                np.minimum.reduceat(b, starts[i:j] - lo, axis=0)
+            )
+            i = j
+        mins = (
+            np.concatenate(mins_parts) if len(mins_parts) > 1 else mins_parts[0]
+        )
         out, j = [], 0
         for n in lens:
             if n == 0:
