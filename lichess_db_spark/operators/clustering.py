@@ -151,15 +151,38 @@ def assign_clusters_arrow(
 
     @pandas_udf("struct<cluster:int, dist2:double>")
     def _assign(vecs: pd.Series) -> pd.DataFrame:
+        # chunked through REUSED buffers: the obvious whole-batch
+        # (n, k, d) temporary is k*d-proportional (at k=128/d=64 it is
+        # ~0.65 GB float64 per 10k-row batch), and fresh GB-scale
+        # allocations in every concurrent worker serialize on kernel
+        # page zeroing — the same concurrency collapse measured and
+        # fixed in dedup._sig_udf (see BENCH_SCALE.json finding).
+        # Chunk rows so the float64 + int64 buffers stay ~64 MB each;
+        # per-element arithmetic is unchanged (floor(d*d*SCALE + 0.5)
+        # on the same IEEE doubles, truncating int64 cast, int64 dim
+        # sum), so assignments stay BIT-IDENTICAL to the expression
+        # path at any chunk boundary.
         X = np.asarray(list(vecs), dtype=np.float64)  # (n, d)
-        diff = X[:, None, :] - C[None, :, :]  # (n, k, d)
-        scaled = np.floor(diff * diff * _SCALE + 0.5).astype(np.int64).sum(axis=2)
-        return pd.DataFrame(
-            {
-                "cluster": scaled.argmin(axis=1).astype("int32"),
-                "dist2": scaled.min(axis=1) / _SCALE,
-            }
-        )
+        n, k, d = X.shape[0], C.shape[0], C.shape[1]
+        cl = np.empty(n, dtype=np.int32)
+        d2 = np.empty(n, dtype=np.float64)
+        ch = max(1, (8 << 20) // (k * d))  # rows per ~64MB buffer
+        fbuf = np.empty((min(ch, n), k, d), dtype=np.float64)
+        ibuf = np.empty((min(ch, n), k, d), dtype=np.int64)
+        for s in range(0, n, ch):
+            xb = X[s : s + ch]
+            m = xb.shape[0]
+            fb, ib = fbuf[:m], ibuf[:m]
+            np.subtract(xb[:, None, :], C[None, :, :], out=fb)
+            np.multiply(fb, fb, out=fb)
+            np.multiply(fb, _SCALE, out=fb)
+            np.add(fb, 0.5, out=fb)
+            np.floor(fb, out=fb)
+            np.copyto(ib, fb, casting="unsafe")  # == astype(int64)
+            sums = ib.sum(axis=2)  # (m, k) int64
+            cl[s : s + m] = sums.argmin(axis=1).astype(np.int32)
+            d2[s : s + m] = sums.min(axis=1) / _SCALE
+        return pd.DataFrame({"cluster": cl, "dist2": d2})
 
     # two-step projection: CollapseProject will not inline a Python
     # UDF into two field references, so the kernel runs once per row

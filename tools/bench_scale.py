@@ -63,12 +63,52 @@ def scaled_docs(spark, base_dir: str, factor: int, path: str):
     out.write.mode("overwrite").parquet(path)
 
 
+def scaled_embeddings(spark, base_dir: str, factor: int, path: str):
+    """N replicas of sf embeddings, each under a deterministic
+    per-replica SIGN PATTERN (v -> v * s_r, s_r in {-1,+1}^dim): all
+    WITHIN-replica pairwise cosines are exactly invariant (a common
+    sign flip cancels in every dot product), while CROSS-replica
+    cosines become sign-scrambled sums that land near zero — so the
+    near-dup structure per replica is preserved bit-for-bit and the
+    duplication rate stays constant as volume grows, the same
+    invariant the token salt gives the text family."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+
+    base = load_table(spark, base_dir, "embeddings").select("vec_id", "embedding")
+    parts = []
+    for i in range(factor):
+        sign = lambda x, d: x * F.when(  # noqa: E731
+            F.pmod(F.xxhash64(F.lit(i), d), 2) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)).cast("float")
+        parts.append(
+            base.select(
+                (F.col("vec_id") + (i * OFFSET)).alias("vec_id"),
+                F.transform("embedding", sign).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.write.mode("overwrite").parquet(path)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,8,64")
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--json", default="BENCH_SCALE.json")
+    ap.add_argument(
+        "--family",
+        default="text",
+        choices=("text", "emb"),
+        help="text = dedup ops over scaled documents; emb = SemDeDup "
+        "fixed-k vs corpus-scaled-k + embedding LSH over scaled "
+        "embeddings (the docstring's 'choose k so clusters hold "
+        "~1-10k vectors' claim, measured)",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -83,17 +123,43 @@ def main() -> None:
 
     from lichess_db_spark.operators import dedup as dd
 
-    ops = {
-        "exact_dedup_groups": lambda d: dd.exact_dedup_groups(d),
-        "minhash_dedup_pairs": lambda d: dd.minhash_dedup_pairs(d, threshold=0.5),
-        "exact_substring_dedup": lambda d: dd.exact_substring_dedup(d, k=10),
-        "exact_substring_clean": lambda d: dd.exact_substring_clean(d, k=10),
-    }
+    if args.family == "text":
+        build, table = scaled_docs, "documents"
+        ops = {
+            "exact_dedup_groups": lambda d, f: dd.exact_dedup_groups(d),
+            "minhash_dedup_pairs": lambda d, f: dd.minhash_dedup_pairs(
+                d, threshold=0.5
+            ),
+            "exact_substring_dedup": lambda d, f: dd.exact_substring_dedup(d, k=10),
+            "exact_substring_clean": lambda d, f: dd.exact_substring_clean(d, k=10),
+        }
+    else:
+        build, table = scaled_embeddings, "embeddings"
+        ops = {
+            # fixed k: sum_c n_c^2 pair work grows quadratically with
+            # volume — the documented FAILURE mode of running SemDeDup
+            # with a constant cluster count
+            "semdedup_fixed_k8": lambda d, f: dd.semdedup(
+                d, k=8, eps=0.3, use_arrow=True
+            ),
+            # the paper's recipe: k grows with the corpus so clusters
+            # keep a bounded population -> linear pair work
+            "semdedup_scaled_k": lambda d, f: dd.semdedup(
+                d, k=8 * f, eps=0.3, use_arrow=True
+            ),
+            # auto-sized hyperplane buckets (n_planes=None): the
+            # designed linear path for embedding near-dup
+            "embedding_lsh_pairs": lambda d, f: dd.embedding_lsh_dedup_pairs(
+                d, n_planes=None
+            ),
+        }
 
     report: dict = {
+        "family": args.family,
         "note": (
-            "replica-scaled sf0.1 documents (per-replica token salt -> "
-            "constant duplication rate, zero cross-replica dups); "
+            "replica-scaled sf0.1 corpus (per-replica salt — token "
+            "prefix for documents, sign pattern for embeddings — keeps "
+            "the duplication rate constant, zero cross-replica dups); "
             "median of kept samples per cell; alpha = fitted scaling "
             "exponent log(t_hi/t_lo)/log(f_hi/f_lo) between the two "
             "largest factors (1.0 = linear)"
@@ -106,8 +172,8 @@ def main() -> None:
 
     sizes = {}
     for f in factors:
-        path = f"{WORKDIR}/x{f}/documents.parquet"
-        scaled_docs(spark, args.sf, f, path)
+        path = f"{WORKDIR}/x{f}/{table}.parquet"
+        build(spark, args.sf, f, path)
         n = spark.read.parquet(path).count()
         sizes[f] = n
     report["rows"] = {str(f): sizes[f] for f in factors}
@@ -118,10 +184,10 @@ def main() -> None:
         # pays whole-stage codegen compilation + Python/Arrow worker
         # startup, which would otherwise land in the x1 cell and
         # flatten the fitted exponent
-        warm = spark.read.parquet(f"{WORKDIR}/x{factors[0]}/documents.parquet")
-        fn(warm).write.mode("overwrite").format("noop").save()
+        warm = spark.read.parquet(f"{WORKDIR}/x{factors[0]}/{table}.parquet")
+        fn(warm, factors[0]).write.mode("overwrite").format("noop").save()
         for f in factors:
-            docs = spark.read.parquet(f"{WORKDIR}/x{f}/documents.parquet")
+            docs = spark.read.parquet(f"{WORKDIR}/x{f}/{table}.parquet")
             ts = []
             for _ in range(args.samples):
                 spark.catalog.clearCache()
@@ -131,7 +197,7 @@ def main() -> None:
                 # ELIMINATE the final left join (aggregate right side
                 # is unique on the key and contributes no columns),
                 # silently benching a truncated plan
-                fn(docs).write.mode("overwrite").format("noop").save()
+                fn(docs, f).write.mode("overwrite").format("noop").save()
                 ts.append(round(time.time() - t0, 3))
             ts.sort()
             report["cells"][name][str(f)] = {
