@@ -94,6 +94,44 @@ def scaled_embeddings(spark, base_dir: str, factor: int, path: str):
     out.write.mode("overwrite").parquet(path)
 
 
+def scaled_tpch(spark, base_dir: str, factor: int, path_dir: str):
+    """An sf-dir LOOK-ALIKE with orders+lineitem replicated N-fold
+    (order keys offset per replica, so every replica is a disjoint,
+    join-consistent slice of extra history for the SAME dimension
+    rows — customers/parts/suppliers each accumulate N-fold more
+    orders, which is how a fact table actually grows) and the small
+    dimension tables copied verbatim. Catalog builders run against it
+    unchanged via their ``sf_dir`` parameter."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+
+    os.makedirs(path_dir, exist_ok=True)
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        src = f"{base_dir}/{dim}.parquet"
+        dst = f"{path_dir}/{dim}.parquet"
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+    for fact, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        base = load_table(spark, base_dir, fact)
+        parts = [
+            base.select(
+                *[
+                    (F.col(c) + (i * OFFSET)).alias(c) if c == key else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            for i in range(factor)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(f"{path_dir}/{fact}.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,8,64")
@@ -103,11 +141,13 @@ def main() -> None:
     ap.add_argument(
         "--family",
         default="text",
-        choices=("text", "emb"),
+        choices=("text", "emb", "oltp"),
         help="text = dedup ops over scaled documents; emb = SemDeDup "
         "fixed-k vs corpus-scaled-k + embedding LSH over scaled "
         "embeddings (the docstring's 'choose k so clusters hold "
-        "~1-10k vectors' claim, measured)",
+        "~1-10k vectors' claim, measured); oltp = TPC-H-style scan/"
+        "join/MV catalog entries over N-fold replicated fact tables "
+        "with verbatim dimensions",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -132,6 +172,22 @@ def main() -> None:
             ),
             "exact_substring_dedup": lambda d, f: dd.exact_substring_dedup(d, k=10),
             "exact_substring_clean": lambda d, f: dd.exact_substring_clean(d, k=10),
+        }
+    elif args.family == "oltp":
+        build, table = scaled_tpch, None
+        from lichess_db_spark.plans import QUERIES as CATQ
+
+        def _catq(name):
+            return lambda d, f: CATQ[name].build(spark, d)
+
+        ops = {
+            n: _catq(n)
+            for n in (
+                "q1_pricing_summary",       # pure scan + hash agg
+                "q9_profit_by_nation_year",  # multi-join, broadcast dims
+                "q18_large_orders",          # agg -> semi filter -> join
+                "incremental_agg_orders",    # MV delta merge
+            )
         }
     else:
         build, table = scaled_embeddings, "embeddings"
@@ -170,11 +226,22 @@ def main() -> None:
         "alpha": {},
     }
 
+    def handle(f: int):
+        """What ops consume: an sf-dir path (oltp) or a DataFrame."""
+        if table is None:
+            return f"{WORKDIR}/x{f}"
+        return spark.read.parquet(f"{WORKDIR}/x{f}/{table}.parquet")
+
     sizes = {}
     for f in factors:
-        path = f"{WORKDIR}/x{f}/{table}.parquet"
-        build(spark, args.sf, f, path)
-        n = spark.read.parquet(path).count()
+        if table is None:
+            path = f"{WORKDIR}/x{f}"
+            build(spark, args.sf, f, path)
+            n = spark.read.parquet(f"{path}/lineitem.parquet").count()
+        else:
+            path = f"{WORKDIR}/x{f}/{table}.parquet"
+            build(spark, args.sf, f, path)
+            n = spark.read.parquet(path).count()
         sizes[f] = n
     report["rows"] = {str(f): sizes[f] for f in factors}
 
@@ -184,10 +251,11 @@ def main() -> None:
         # pays whole-stage codegen compilation + Python/Arrow worker
         # startup, which would otherwise land in the x1 cell and
         # flatten the fitted exponent
-        warm = spark.read.parquet(f"{WORKDIR}/x{factors[0]}/{table}.parquet")
-        fn(warm, factors[0]).write.mode("overwrite").format("noop").save()
+        fn(handle(factors[0]), factors[0]).write.mode("overwrite").format(
+            "noop"
+        ).save()
         for f in factors:
-            docs = spark.read.parquet(f"{WORKDIR}/x{f}/{table}.parquet")
+            docs = handle(f)
             ts = []
             for _ in range(args.samples):
                 spark.catalog.clearCache()
