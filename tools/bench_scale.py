@@ -36,13 +36,16 @@ WORKDIR = "/tmp/scale_bench"
 OFFSET = 10_000_000
 
 
-def scaled_docs(spark, base_dir: str, factor: int, path: str):
-    """N salted replicas of sf documents -> parquet at ``path``."""
+def scaled_docs(spark, base_dir: str, factor: int, path: str, keep_all=False):
+    """N salted replicas of sf documents -> parquet at ``path``.
+    ``keep_all`` carries the non-text columns (lang/source/...) through
+    verbatim for operators that stream or stratify by them."""
     from pyspark.sql import functions as F
 
     from lichess_db_spark.io import load_table
 
-    base = load_table(spark, base_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, base_dir, "documents")
+    extra = [c for c in base.columns if c not in ("doc_id", "text")] if keep_all else []
     parts = []
     for i in range(factor):
         tag = F.lit(f"r{i}_")
@@ -55,6 +58,7 @@ def scaled_docs(spark, base_dir: str, factor: int, path: str):
                         F.split("text", " "), lambda t: F.concat(tag, t)
                     ),
                 ).alias("text"),
+                *extra,
             )
         )
     out = parts[0]
@@ -141,13 +145,15 @@ def main() -> None:
     ap.add_argument(
         "--family",
         default="text",
-        choices=("text", "emb", "oltp"),
+        choices=("text", "emb", "oltp", "curation"),
         help="text = dedup ops over scaled documents; emb = SemDeDup "
         "fixed-k vs corpus-scaled-k + embedding LSH over scaled "
         "embeddings (the docstring's 'choose k so clusters hold "
         "~1-10k vectors' claim, measured); oltp = TPC-H-style scan/"
         "join/MV catalog entries over N-fold replicated fact tables "
-        "with verbatim dimensions",
+        "with verbatim dimensions; curation = global shuffle rank, "
+        "greedy packing, DLT top-k sample and token-budget fill over "
+        "scaled documents (the range-exchange / window-heavy ops)",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -172,6 +178,51 @@ def main() -> None:
             ),
             "exact_substring_dedup": lambda d, f: dd.exact_substring_dedup(d, k=10),
             "exact_substring_clean": lambda d, f: dd.exact_substring_clean(d, k=10),
+        }
+    elif args.family == "curation":
+        from pyspark.sql import functions as F
+
+        from lichess_db_spark.operators.curation import pack_sequences
+        from lichess_db_spark.operators.rank import global_rank
+        from lichess_db_spark.operators.sampling import (
+            priority_sample,
+            sample_token_budget,
+        )
+
+        def _keep_all_docs(spark_, sf, f_, path_):
+            scaled_docs(spark_, sf, f_, path_, keep_all=True)
+
+        build, table = _keep_all_docs, "documents"
+
+        def _w(d):
+            return d.withColumn(
+                "w", F.size(F.split("text", " ")).cast("bigint")
+            )
+
+        ops = {
+            # TeraSort-style range exchange + per-partition offsets —
+            # the scalable global order (single-partition windows are
+            # the anti-pattern this operator exists to avoid)
+            "global_shuffle_rank": lambda d, f: global_rank(
+                d.select(
+                    "doc_id",
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("-s"))).alias("h"),
+                ),
+                F.col("h"),
+                F.col("doc_id"),
+            ),
+            # one running-sum window per lang stream
+            "pack_sequences_lang": lambda d, f: pack_sequences(d, seq_len=2048),
+            # top-k via TakeOrderedAndProject + one k-row window
+            "priority_sample_topk": lambda d, f: priority_sample(
+                _w(d), "doc_id", "w", k=10_000
+            ),
+            # distributed prefix sum (range exchange + offset fold);
+            # budget scales with f so the fill depth stays proportional
+            "sample_token_budget": lambda d, f: sample_token_budget(
+                _w(d), "doc_id", "w", budget=30_000 * f
+            ),
         }
     elif args.family == "oltp":
         build, table = scaled_tpch, None
