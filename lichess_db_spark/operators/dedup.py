@@ -1456,11 +1456,29 @@ def _bloom_pos(digest_col, j: int, m: int):
 
 
 def bloom_build(ref: DataFrame, digest_col: str, m: int, k: int):
-    """Build the m-char '0'/'1' bitmap literal from a reference
+    """Build the m-byte '0'/'1' bitmap LITERAL from a reference
     digest relation — ONE distinct-positions aggregate (bounded by m,
     not |ref|) collected to the driver. Shared by the batch novelty
     scan (:func:`bloom_membership`) and the streaming anti-join
-    prefilter (streaming/ingest.py curation_batch_plan)."""
+    prefilter (streaming/ingest.py curation_batch_plan).
+
+    BINARY literal, not a string: Substring on StringType is
+    CHARACTER-indexed, so each probe walks the UTF8 bytes up to the
+    position — O(m) per lookup, measured as a cliff at large m
+    (m=2^18: 13.8 s for a 5k-row probe; m=2^20 effectively hangs).
+    On BinaryType the same Substring expression is a byte-indexed
+    O(1) slice. The literal itself still rides every plan and task,
+    so beyond ~10^5 bits use :func:`bloom_bitmap_bytes` +
+    :func:`bloom_hit_udf` (broadcast) instead."""
+    return F.lit(bloom_bitmap_bytes(ref, digest_col, m, k))
+
+
+def bloom_bitmap_bytes(ref: DataFrame, digest_col: str, m: int, k: int) -> bytes:
+    """The bitmap as raw driver-side bytes — the input both probe
+    shapes share: wrap in ``F.lit`` for the literal probe
+    (:func:`bloom_hit_expr`, oracle-portable, fine to ~10^5 bits) or
+    hand to :func:`bloom_hit_udf` for the broadcast probe (the
+    steady-state streaming shape at real bitmap sizes)."""
     positions = {
         r.p
         for r in ref.select(
@@ -1471,17 +1489,58 @@ def bloom_build(ref: DataFrame, digest_col: str, m: int, k: int):
         .distinct()
         .collect()
     }
-    return F.lit("".join("1" if i in positions else "0" for i in range(m)))
+    return "".join("1" if i in positions else "0" for i in range(m)).encode()
+
+
+def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
+    """Probe factory for LARGE bitmaps: returns ``hit(digest_col) ->
+    BooleanColumn`` backed by a BROADCAST of the bitmap and one Arrow
+    lookup kernel. A literal bitmap column costs O(m) per PLAN — a
+    4 MB literal measured ~10 s of driver/codegen/task-ship overhead
+    per micro-batch regardless of row count — while the broadcast
+    ships once per executor and the probe is k O(1) byte loads per
+    row. Positions stay JVM-side md5 (identical to
+    :func:`bloom_hit_expr`, decisions bit-identical — equality
+    tested); only the lookup crosses into Arrow. NULL digests return
+    NULL, matching the literal probe (callers coalesce to False)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(
+        np.frombuffer(bitmap_bytes, dtype=np.uint8)
+    )
+
+    @pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        arr = bc.value
+        out = []
+        one = ord("1")
+        for p in pos:
+            if p is None:
+                out.append(None)
+            else:
+                idx = np.asarray(p, dtype=np.int64)
+                out.append(bool((arr[idx] == one).all()))
+        return pd.Series(out, dtype=object)
+
+    def hit(digest_col) -> "F.Column":
+        positions = F.when(
+            digest_col.isNotNull(),
+            F.array(*[_bloom_pos(digest_col, j, m) for j in range(1, k + 1)]),
+        )
+        return _probe(positions)
+
+    return hit
 
 
 def bloom_hit_expr(digest_col, bitmap, m: int, k: int):
-    """Map-only membership probe: AND of k substring lookups into the
-    bitmap literal. False positives possible, false negatives never —
-    a miss is PROOF of novelty (the property the streaming prefilter
-    relies on)."""
+    """Map-only membership probe: AND of k byte-slice lookups into the
+    binary bitmap literal. False positives possible, false negatives
+    never — a miss is PROOF of novelty (the property the streaming
+    prefilter relies on)."""
     hit = None
     for j in range(1, k + 1):
-        h = F.substring(bitmap, _bloom_pos(digest_col, j, m) + 1, 1) == "1"
+        h = F.substring(bitmap, _bloom_pos(digest_col, j, m) + 1, 1) == F.lit(b"1")
         hit = h if hit is None else (hit & h)
     return hit
 

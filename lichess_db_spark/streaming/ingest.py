@@ -764,7 +764,7 @@ def curation_batch_plan(
     seen: DataFrame | None = None,
     digest=None,
     order_col: str = "doc_id",
-    bloom_prefilter: tuple[int, int] | None = None,
+    bloom_prefilter: tuple | None = None,
 ) -> DataFrame:
     """One micro-batch's exact-dedup tier as a plan-fingerprintable
     DataFrame (tests/test_scale_design.py): digest, keep min id per
@@ -777,7 +777,9 @@ def curation_batch_plan(
     non-text batches (the embedding sink digests the vector
     rendering).
 
-    ``bloom_prefilter=(m, k)`` enables the Bloom pushdown the module
+    ``bloom_prefilter=(m, k)`` (build now) or ``(bitmap, m, k)``
+    (prebuilt — the steady-state streaming shape) enables the Bloom
+    pushdown the module
     docstring promises: a bitmap built from the state digests
     (operators/dedup.py bloom_build — O(m) state, one distinct-
     positions aggregate) rides the batch plan as a literal, and rows
@@ -807,15 +809,33 @@ def curation_batch_plan(
     )
     if seen is not None:
         if bloom_prefilter is not None:
-            m, k = bloom_prefilter
-            bitmap = bloom_build(seen.select("__digest"), "__digest", m, k)
+            # (m, k) builds a bitmap LITERAL from the state NOW (one
+            # distinct-positions aggregate — fine for one-shot plans
+            # and small m); (bitmap_bytes, m, k) with PREBUILT bytes
+            # is the steady-state streaming shape: bloom_bitmap_bytes
+            # once per state-compaction cycle, then a BROADCAST +
+            # Arrow probe per micro-batch — a literal bitmap costs
+            # O(m) per plan (a 4 MB literal measured ~10 s of driver/
+            # task-ship overhead per batch), the broadcast ships once
+            # per executor (a stale bitmap is correct as long as it
+            # contains every state digest — see the cadence note)
+            if len(bloom_prefilter) == 3:
+                from ..operators.dedup import bloom_hit_udf
+
+                bitmap_bytes, m, k = bloom_prefilter
+                probe = bloom_hit_udf(
+                    batch_df.sparkSession, bitmap_bytes, m, k
+                )
+                raw_hit = probe(F.col("__digest"))
+            else:
+                m, k = bloom_prefilter
+                bitmap = bloom_build(seen.select("__digest"), "__digest", m, k)
+                raw_hit = bloom_hit_expr(F.col("__digest"), bitmap, m, k)
             # a NULL digest (null/absent text) must count as a MISS:
             # the plain anti-join keeps such rows (NULL never equals a
             # state digest), so the prefilter must route them down the
             # proven-novel branch, not drop them from both
-            hit = F.coalesce(
-                bloom_hit_expr(F.col("__digest"), bitmap, m, k), F.lit(False)
-            )
+            hit = F.coalesce(raw_hit, F.lit(False))
             suspects = batch.where(hit).join(
                 seen.select("__digest"), "__digest", "left_anti"
             )

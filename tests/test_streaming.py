@@ -1352,3 +1352,17 @@ def test_curation_batch_bloom_prefilter_identical(spark):
         for r in curation_batch_plan(batch, seen, bloom_prefilter=(1, 1)).collect()
     }
     assert tiny == plain
+    # the PREBUILT-bytes mode (broadcast + Arrow probe — the
+    # steady-state streaming shape; a literal bitmap costs O(m) per
+    # plan) must make the same decisions as the literal probe,
+    # including the NULL-digest row
+    from lichess_db_spark.operators.dedup import bloom_bitmap_bytes
+
+    bb = bloom_bitmap_bytes(seen, "__digest", 4096, 4)
+    pre = {
+        r.doc_id
+        for r in curation_batch_plan(
+            batch, seen, bloom_prefilter=(bb, 4096, 4)
+        ).collect()
+    }
+    assert pre == plain
