@@ -76,7 +76,9 @@ def assign_clusters(
     path and the Arrow kernel (``use_arrow=True``, 3.5x at sf0.1/k=8)
     are BIT-IDENTICAL twins (pinned in tests)."""
     if use_arrow:
-        return assign_clusters_arrow(emb, centroids, id_col, vec_col)
+        # canonical 4-column schema, matching the expression path
+        # (the exact d2s column is an assign_clusters_arrow extra)
+        return assign_clusters_arrow(emb, centroids, id_col, vec_col).drop("d2s")
     dists = F.array(*[_sq_dist_scaled(F.col(vec_col), c) for c in centroids])
     return emb.select(
         F.col(id_col),
@@ -149,7 +151,7 @@ def assign_clusters_arrow(
 
     C = np.asarray(centroids, dtype=np.float64)  # (k, d)
 
-    @pandas_udf("struct<cluster:int, dist2:double>")
+    @pandas_udf("struct<cluster:int, dist2:double, d2s:bigint>")
     def _assign(vecs: pd.Series) -> pd.DataFrame:
         # chunked through REUSED buffers: the obvious whole-batch
         # (n, k, d) temporary is k*d-proportional (at k=128/d=64 it is
@@ -166,6 +168,7 @@ def assign_clusters_arrow(
         n, k, d = X.shape[0], C.shape[0], C.shape[1]
         cl = np.empty(n, dtype=np.int32)
         d2 = np.empty(n, dtype=np.float64)
+        d2s = np.empty(n, dtype=np.int64)
         ch = max(1, (8 << 20) // (k * d))  # rows per ~64MB buffer
         fbuf = np.empty((min(ch, n), k, d), dtype=np.float64)
         ibuf = np.empty((min(ch, n), k, d), dtype=np.int64)
@@ -181,8 +184,15 @@ def assign_clusters_arrow(
             np.copyto(ib, fb, casting="unsafe")  # == astype(int64)
             sums = ib.sum(axis=2)  # (m, k) int64
             cl[s : s + m] = sums.argmin(axis=1).astype(np.int32)
-            d2[s : s + m] = sums.min(axis=1) / _SCALE
-        return pd.DataFrame({"cluster": cl, "dist2": d2})
+            mins = sums.min(axis=1)
+            d2s[s : s + m] = mins
+            d2[s : s + m] = mins / _SCALE
+        # d2s is the EXACT int64 scaled distance — consumers whose
+        # tiebreaks compare distances (semdedup centroid_far) must use
+        # it, not a dist2*SCALE round-trip: dist2 is a double and two
+        # distinct bigints beyond ~2^53-magnitude arithmetic can
+        # collapse after the /SCALE division
+        return pd.DataFrame({"cluster": cl, "dist2": d2, "d2s": d2s})
 
     # two-step projection: CollapseProject will not inline a Python
     # UDF into two field references, so the kernel runs once per row
@@ -193,6 +203,7 @@ def assign_clusters_arrow(
         vec_col,
         F.col("__a.cluster").alias("cluster"),
         F.col("__a.dist2").alias("dist2"),
+        F.col("__a.d2s").alias("d2s"),
     )
 
 

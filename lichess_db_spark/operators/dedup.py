@@ -1323,8 +1323,10 @@ def semdedup(
     cluster centroid dies (SemDeDup keeps the low-cosine-to-centroid
     representative to preserve diversity at the cluster edge); exact
     scaled-int distances decide, ties keep the lower id. Under this
-    rule ``dup_of`` is the (possibly higher-id) mate that outlived
-    the victim.
+    rule ``dup_of`` is the (possibly higher-id) mate that beat the
+    victim IN THAT PAIR — like keep-lowest-id's dup_of, it is pair
+    lineage, not a canonical survivor (the mate may itself lose a
+    different pair; follow ``keep`` for the surviving set).
 
     Scale shape: assignment is map-only (k x d centroid literal rides
     the plan); the self-join shuffles each side ONCE on the cluster
@@ -1337,7 +1339,6 @@ def semdedup(
     """
     from ..functions.vectors import dot_exact, dot_exact_arrow, norm_exact
     from .clustering import (
-        _SCALE,
         _portable_dists_col,
         assign_clusters_arrow,
         portable_init_centroids,
@@ -1353,14 +1354,12 @@ def semdedup(
         # the signed-round Arrow dot kernel — removes the interpreted
         # zip_with fold that dominates the pair join (measured 29s ->
         # see tests/test_north_star.py::test_semdedup_arrow_bit_identical)
-        # the kill tiebreak compares the RAW scaled-int distance, not
-        # the reported double: dist2 = scaled/1e12 and two distinct
-        # bigints at ~2.5e14 magnitude can collapse to one double
-        # after the division (diff 1e-12 < ulp 1.5e-11), which would
-        # let Spark's strict < disagree with a bigint-comparing
-        # oracle. The round-trip back is exact: scaled < 2^53, and
-        # the relative error of /1e12 then *1e12 is ~1e-16 * 2.5e14
-        # = 0.03 < 0.5, so round() recovers the integer bit-for-bit.
+        # the kill tiebreak compares the kernel's EXACT int64 scaled
+        # distance (d2s), never a dist2*SCALE double round-trip: two
+        # distinct bigints whose magnitude arithmetic exceeds ~2^53
+        # can collapse to one double after the /SCALE division, which
+        # would let Spark's strict < disagree with a bigint-comparing
+        # oracle on large-norm embeddings (review r8s4 finding).
         cents = portable_init_centroids(emb, k, id_col, vec_col)
         cols = [
             F.col(id_col).alias("__id"),
@@ -1369,9 +1368,7 @@ def semdedup(
             F.col("cluster"),
         ]
         if keep_rule == "centroid_far":
-            cols.append(
-                F.round(F.col("dist2") * F.lit(_SCALE)).cast("bigint").alias("__d2s")
-            )
+            cols.append(F.col("d2s").alias("__d2s"))
         e = assign_clusters_arrow(emb, cents, id_col, vec_col).select(*cols)
         dot_fn = dot_exact_arrow
     else:
@@ -1492,6 +1489,15 @@ def bloom_bitmap_bytes(ref: DataFrame, digest_col: str, m: int, k: int) -> bytes
     return "".join("1" if i in positions else "0" for i in range(m)).encode()
 
 
+# probe-factory cache: one Broadcast + one UDF per distinct bitmap —
+# calling bloom_hit_udf once per micro-batch must NOT re-broadcast the
+# m-byte bitmap to every executor each batch (review r8s4 finding).
+# Keyed on content, small FIFO cap so a long session rotating bitmaps
+# (one per compaction cycle) never accumulates unbounded broadcasts.
+_BLOOM_PROBE_CACHE: dict = {}
+_BLOOM_PROBE_CACHE_MAX = 4
+
+
 def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
     """Probe factory for LARGE bitmaps: returns ``hit(digest_col) ->
     BooleanColumn`` backed by a BROADCAST of the bitmap and one Arrow
@@ -1499,12 +1505,21 @@ def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
     4 MB literal measured ~10 s of driver/codegen/task-ship overhead
     per micro-batch regardless of row count — while the broadcast
     ships once per executor and the probe is k O(1) byte loads per
-    row. Positions stay JVM-side md5 (identical to
+    row (one vectorized gather per Arrow batch, not a Python loop).
+    Repeat calls with the same (bitmap, m, k) reuse the cached
+    broadcast+UDF, so per-micro-batch cost is plan-reference only.
+    Positions stay JVM-side md5 (identical to
     :func:`bloom_hit_expr`, decisions bit-identical — equality
     tested); only the lookup crosses into Arrow. NULL digests return
     NULL, matching the literal probe (callers coalesce to False)."""
+    import hashlib
+
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    key = (hashlib.md5(bitmap_bytes).hexdigest(), m, k, id(spark.sparkContext))
+    if key in _BLOOM_PROBE_CACHE:
+        return _BLOOM_PROBE_CACHE[key]
 
     bc = spark.sparkContext.broadcast(
         np.frombuffer(bitmap_bytes, dtype=np.uint8)
@@ -1513,14 +1528,15 @@ def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
     @pandas_udf("boolean")
     def _probe(pos: pd.Series) -> pd.Series:
         arr = bc.value
-        out = []
-        one = ord("1")
-        for p in pos:
-            if p is None:
-                out.append(None)
-            else:
-                idx = np.asarray(p, dtype=np.int64)
-                out.append(bool((arr[idx] == one).all()))
+        n = len(pos)
+        mask = pos.notna().to_numpy()
+        out = np.empty(n, dtype=object)
+        out[~mask] = None
+        if mask.any():
+            idx = np.stack(
+                [np.asarray(p, dtype=np.int64) for p in pos[mask]]
+            )  # (n_nonnull, k)
+            out[mask] = (arr[idx] == ord("1")).all(axis=1)
         return pd.Series(out, dtype=object)
 
     def hit(digest_col) -> "F.Column":
@@ -1530,6 +1546,9 @@ def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
         )
         return _probe(positions)
 
+    if len(_BLOOM_PROBE_CACHE) >= _BLOOM_PROBE_CACHE_MAX:
+        _BLOOM_PROBE_CACHE.pop(next(iter(_BLOOM_PROBE_CACHE)))
+    _BLOOM_PROBE_CACHE[key] = hit
     return hit
 
 
@@ -1754,8 +1773,11 @@ def exact_substring_clean(
             runs, lambda r: (r["__s"] <= i + 1) & (i + 1 <= r["__e"])
         ),
     )
+    # coalesce: a NULL text gives size(filter(NULL)) = NULL under
+    # ANSI, but concat_ws still yields '' — the contract (and the
+    # oracle's COALESCE) is ('', 0) for token-less docs
     return joined.select(
         F.col("__id").alias(id_col),
-        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        F.coalesce(F.size(kept).cast("bigint"), F.lit(0)).alias("n_tokens_kept"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )

@@ -308,8 +308,10 @@ _EXACTSUBSTR_CTES = """
     "relation shuffles ONCE on the 128-bit md5 digest (constant-width "
     "keys, not k-word strings), only the duplicated occurrences "
     "shuffle back for the per-doc island window, nothing quadratic, "
-    "no driver state. Full oracle: the identical gram/keeper/island "
-    "SQL over the same md5 digests.",
+    "no driver state. Full oracle: the same gram/keeper/island SQL "
+    "over the same md5 digests (oracle docs capped at 100k tokens by "
+    "the repo-wide range(1,100001) pattern — fixture max ~100; the "
+    "Spark side has no cap).",
 )
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substring_dedup as esd

@@ -765,6 +765,7 @@ def curation_batch_plan(
     digest=None,
     order_col: str = "doc_id",
     bloom_prefilter: tuple | None = None,
+    seen_delta: DataFrame | None = None,
 ) -> DataFrame:
     """One micro-batch's exact-dedup tier as a plan-fingerprintable
     DataFrame (tests/test_scale_design.py): digest, keep min id per
@@ -788,11 +789,20 @@ def curation_batch_plan(
     shuffle. When most arriving content is novel (the steady-state
     firehose), the anti-join's batch side shrinks to the rare
     dup-suspect rows; results are identical by the no-false-negative
-    property (tested). Production note: rebuild cadence follows the
-    state compaction cadence — the bitmap only needs refreshing when
-    the state grows, and a stale bitmap is CORRECT (just less
-    selective) as long as it contains every state digest, so it can
-    lag behind in-flight batches but must never skip one.
+    property (tested).
+
+    STALENESS CONTRACT (review r8s4): the digest state is append-only
+    per micro-batch, so a bitmap built at compaction time necessarily
+    misses digests appended since — and a bloom MISS is only proof of
+    absence from the bitmap's SNAPSHOT, not from the live state. A
+    lagging bitmap is therefore correct ONLY together with
+    ``seen_delta`` = the digests appended since the bitmap build:
+    bloom-miss rows additionally anti-join the (small, broadcastable)
+    delta, bloom-hit rows anti-join the full state as before. Without
+    ``seen_delta`` the bitmap must cover EVERY current state digest
+    (i.e. be rebuilt whenever the state grows). The lag trap and the
+    delta repair are both pinned in
+    tests/test_streaming.py::test_curation_batch_bloom_prefilter_identical.
     """
     from pyspark.sql import Window
 
@@ -839,7 +849,17 @@ def curation_batch_plan(
             suspects = batch.where(hit).join(
                 seen.select("__digest"), "__digest", "left_anti"
             )
-            batch = batch.where(~hit).unionByName(suspects)
+            misses = batch.where(~hit)
+            if seen_delta is not None:
+                # a miss only proves absence from the bitmap's
+                # SNAPSHOT; digests appended since the build must be
+                # checked exactly (tiny side -> broadcast anti-join)
+                misses = misses.join(
+                    F.broadcast(seen_delta.select("__digest")),
+                    "__digest",
+                    "left_anti",
+                )
+            batch = misses.unionByName(suspects)
         else:
             batch = batch.join(seen.select("__digest"), "__digest", "left_anti")
     return batch

@@ -1098,7 +1098,6 @@ def test_semdedup_centroid_far_semantics(emb):
     usual output contract holds, and the rule must actually change
     decisions vs keep-lowest-id on the fixture (not a silent alias)."""
     from lichess_db_spark.operators.clustering import (
-        _SCALE,
         assign_clusters_arrow,
         portable_init_centroids,
     )
@@ -1125,10 +1124,7 @@ def test_semdedup_centroid_far_semantics(emb):
     # its surviving mate, or tied with the victim being the higher id
     # (exact scaled-int distances — same round-trip the kernel uses)
     cents = portable_init_centroids(emb, 8)
-    d2s = assign_clusters_arrow(emb, cents).select(
-        "vec_id",
-        F.round(F.col("dist2") * F.lit(_SCALE)).cast("bigint").alias("d2s"),
-    )
+    d2s = assign_clusters_arrow(emb, cents).select("vec_id", "d2s")
     v = (
         out.where(~F.col("keep"))
         .select("vec_id", "dup_of")

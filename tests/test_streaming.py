@@ -1366,3 +1366,32 @@ def test_curation_batch_bloom_prefilter_identical(spark):
         ).collect()
     }
     assert pre == plain
+    # STALENESS contract: the state grows after the bitmap build; a
+    # duplicate of a post-build digest MISSES the stale bloom and —
+    # without the delta check — is wrongly admitted (the lag trap);
+    # passing seen_delta repairs it exactly
+    delta = spark.createDataFrame([("late doc",)], "text string").select(
+        F.md5(F.lower(F.trim("text"))).alias("__digest")
+    )
+    grown = seen.unionByName(delta)
+    batch2 = spark.createDataFrame(
+        [(1, "late doc"), (2, "another fresh doc")], "doc_id int, text string"
+    )
+    want = {
+        r.doc_id for r in curation_batch_plan(batch2, grown).collect()
+    }
+    assert want == {2}
+    trapped = {
+        r.doc_id
+        for r in curation_batch_plan(
+            batch2, grown, bloom_prefilter=(bb, 4096, 4)
+        ).collect()
+    }
+    assert trapped == {1, 2}  # the documented trap: stale bitmap admits the dup
+    repaired = {
+        r.doc_id
+        for r in curation_batch_plan(
+            batch2, grown, bloom_prefilter=(bb, 4096, 4), seen_delta=delta
+        ).collect()
+    }
+    assert repaired == want

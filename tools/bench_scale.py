@@ -141,7 +141,13 @@ def main() -> None:
     ap.add_argument("--factors", default="1,8,64")
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--json", default="BENCH_SCALE.json")
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="output path; defaults to BENCH_SCALE.json for the text "
+        "family and BENCH_SCALE_<FAMILY>.json otherwise, so a "
+        "forgotten flag can never clobber another family's artifact",
+    )
     ap.add_argument(
         "--family",
         default="text",
@@ -157,6 +163,16 @@ def main() -> None:
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
+    if len(set(factors)) < 2:
+        ap.error("--factors needs >= 2 distinct values (alpha is a "
+                 "ratio between the two largest) — fail BEFORE the "
+                 "hours-long timing loop, not after")
+    if args.json is None:
+        args.json = (
+            "BENCH_SCALE.json"
+            if args.family == "text"
+            else f"BENCH_SCALE_{args.family.upper()}.json"
+        )
 
     # same tuned session as bench.py (1MB parquet splits keep all
     # cores busy on the single-file local fixtures; AQE on) so the
