@@ -142,6 +142,13 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated subset of the family's ops to run "
+        "(skip ops whose cost model forbids the top factor, e.g. "
+        "fixed-k SemDeDup's quadratic pair work at x64)",
+    )
+    ap.add_argument(
         "--json",
         default=None,
         help="output path; defaults to BENCH_SCALE.json for the text "
@@ -276,6 +283,13 @@ def main() -> None:
                 d, n_planes=None
             ),
         }
+
+    if args.ops:
+        wanted = set(args.ops.split(","))
+        unknown = wanted - set(ops)
+        if unknown:
+            ap.error(f"unknown ops for family {args.family}: {sorted(unknown)}")
+        ops = {n: fn for n, fn in ops.items() if n in wanted}
 
     report: dict = {
         "family": args.family,
