@@ -83,16 +83,45 @@ def dot_exact_arrow(a: Column | str, b: Column | str) -> Column:
     every within-cluster pair). The dim-sum accumulates int64
     (order-free); the final division by 1e12 is the same single IEEE
     op as the expression path.
+
+    NULL handling matches the expression twin (ADVICE r8): a NULL
+    vector, a length-mismatched pair (``zip_with`` pads the short
+    side with NULL) or an inner NULL element (Arrow delivers it as
+    NaN) all yield a NULL output row instead of crashing the batch —
+    so ``use_arrow=True`` filters exactly the rows ``dot_exact``
+    would.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        X = np.asarray(list(xs), dtype=np.float64)
-        Y = np.asarray(list(ys), dtype=np.float64)
-        v = X * Y * EXACT_SCALE
-        scaled = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
-        return pd.Series(scaled.sum(axis=1) / EXACT_SCALE)
+        xv, yv = list(xs), list(ys)
+        n = len(xv)
+        # bucket valid pairs by dimension so each group is ONE numpy
+        # broadcast (the corpus is fixed-dim in practice: one group,
+        # one matmul-shaped kernel — the bucketing loop is O(n)
+        # pointer checks, no per-element Python work)
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            x, y = xv[i], yv[i]
+            if x is None or y is None or len(x) != len(y):
+                continue
+            groups.setdefault(len(x), []).append(i)
+        out = np.full(n, np.nan, dtype=np.float64)  # NaN -> Arrow NULL
+        for _d, idxs in groups.items():
+            ii = np.asarray(idxs, dtype=np.int64)
+            X = np.asarray([xv[i] for i in idxs], dtype=np.float64)
+            Y = np.asarray([yv[i] for i in idxs], dtype=np.float64)
+            v = X * Y * EXACT_SCALE
+            # inner NULL elements arrive as NaN: those rows stay NULL,
+            # matching acc + NULL = NULL in the expression fold
+            good = ~np.isnan(v).any(axis=1)
+            if good.any():
+                scaled = np.copysign(
+                    np.floor(np.abs(v[good]) + 0.5), v[good]
+                ).astype(np.int64)
+                out[ii[good]] = scaled.sum(axis=1) / EXACT_SCALE
+        return pd.Series(out)
 
     return _dot(_c(a), _c(b))

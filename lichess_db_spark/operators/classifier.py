@@ -279,7 +279,11 @@ def logreg_predict(
 
     w = weights[:-1]
     b = weights[-1]
-    wlit = F.array(*[F.lit(float(x)).cast("float") for x in w])
+    # double literals: the weights were trained in float64 and
+    # dot_exact computes in double anyway — a float32 literal cast
+    # would silently truncate and can flip near-zero margins
+    # (ADVICE r8)
+    wlit = F.array(*[F.lit(float(x)).cast("double") for x in w])
     margin = dot_exact(F.col(vec_col), wlit) + F.lit(b)
     return df.withColumn("margin", margin).withColumn(
         "pred", (F.col("margin") > 0).cast("int")

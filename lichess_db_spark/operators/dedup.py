@@ -1517,9 +1517,13 @@ def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    key = (hashlib.md5(bitmap_bytes).hexdigest(), m, k, id(spark.sparkContext))
+    # applicationId is a stable per-context identifier; id() of the
+    # SparkContext object is NOT — after a stop + GC a new context can
+    # reuse the address and hit a cached probe bound to a dead
+    # broadcast (ADVICE r8)
+    key = (hashlib.md5(bitmap_bytes).hexdigest(), m, k, spark.sparkContext.applicationId)
     if key in _BLOOM_PROBE_CACHE:
-        return _BLOOM_PROBE_CACHE[key]
+        return _BLOOM_PROBE_CACHE[key][0]
 
     bc = spark.sparkContext.broadcast(
         np.frombuffer(bitmap_bytes, dtype=np.uint8)
@@ -1547,8 +1551,16 @@ def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
         return _probe(positions)
 
     if len(_BLOOM_PROBE_CACHE) >= _BLOOM_PROBE_CACHE_MAX:
-        _BLOOM_PROBE_CACHE.pop(next(iter(_BLOOM_PROBE_CACHE)))
-    _BLOOM_PROBE_CACHE[key] = hit
+        _, old_bc = _BLOOM_PROBE_CACHE.pop(next(iter(_BLOOM_PROBE_CACHE)))
+        try:
+            # release the evicted bitmap's executor + driver copies; a
+            # long session rotating bitmaps must not leak broadcasts
+            # (ADVICE r8)
+            old_bc.unpersist()
+            old_bc.destroy()
+        except Exception:
+            pass  # context already stopped — nothing to release
+    _BLOOM_PROBE_CACHE[key] = (hit, bc)
     return hit
 
 

@@ -216,7 +216,161 @@ def fi_estimate(col: Column | str, k: int) -> Column:
     return F.call_function("approx_top_k_estimate", c, F.lit(k))
 
 
+_CM_DEFAULT_W, _CM_DEFAULT_D = 32, 4
+
+
+def cm_bin(item: Column | str, j: int, w: int = _CM_DEFAULT_W) -> Column:
+    """CountMin bin for hash row ``j``: ``(j-1)*w + md5-bucket(item‖-j)
+    % w`` — the repo's standard engine-portable md5 slice, one FLAT bin
+    index so both state forms (long-form ``(group, bin)`` relation and
+    the dense ``cm:<w>x<d>`` vector) share the same position space."""
+    c = F.col(item) if isinstance(item, str) else item
+    col = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(c, F.lit(f"-{j}"))), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(w),
+    )
+    return F.lit((j - 1) * w) + col
+
+
+def cm_bins(
+    item: Column | str, w: int = _CM_DEFAULT_W, d: int = _CM_DEFAULT_D
+) -> Column:
+    """Array of the ``d`` flat bin positions an item touches."""
+    return F.array(*[cm_bin(item, j, w) for j in range(1, d + 1)])
+
+
+def cm_accumulate(
+    df: DataFrame,
+    grp: str = "grp",
+    item: str = "item",
+    w: int = _CM_DEFAULT_W,
+    d: int = _CM_DEFAULT_D,
+) -> DataFrame:
+    """Long-form (sparse) CountMin partial: one (group, bin, cnt) row
+    per touched counter — the accumulate half of the algebra. Sparse
+    long form beats a dense w*d array at high group cardinality (most
+    counters are zero) and makes the MERGE a plain union +
+    re-groupBy SUM, exactly the relational shape of the other
+    mergeable-MV algebras (hist/set/topk). Unified here from
+    plans/catalog_staged.py in r9 (ROADMAP 0b); the dense twin is the
+    ``cm:<w>x<d>`` StateCol algebra below."""
+    return (
+        df.select(F.col(grp), F.explode(cm_bins(F.col(item), w, d)).alias("bin"))
+        .groupBy(grp, "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cm_merge(*states: DataFrame) -> DataFrame:
+    """Merge long-form CountMin states: union + re-groupBy SUM —
+    counters add, the defining mergeability of the sketch (delta-cost
+    refresh, no history rescan)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    grp_cols = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*grp_cols).agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    state: DataFrame,
+    probes: DataFrame,
+    grp: str = "grp",
+    item: str = "item",
+    w: int = _CM_DEFAULT_W,
+    d: int = _CM_DEFAULT_D,
+) -> DataFrame:
+    """Point-query estimates off long-form state: min over the d
+    probed counters — the CountMin read. Guaranteed >= the true count
+    (each counter holds the true count plus non-negative collision
+    mass). Probe relation is (group, item) pairs; the join is
+    (group, bin)-keyed against the bounded state."""
+    pb = probes.select(grp, item, F.explode(cm_bins(F.col(item), w, d)).alias("bin"))
+    return (
+        pb.join(state, [grp, "bin"], "left")
+        .groupBy(grp, item)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
+    )
+
+
+def _cm_merge(w: int, d: int):
+    """The ``cm:<w>x<d>`` STATE-COLUMN algebra: state is the dense
+    length-``w*d`` BIGINT counter vector (the d hash rows laid out
+    flat); two states merge by element-wise addition — literally the
+    ``hist:<n>`` vector-add algebra at n = w*d, because a CountMin
+    sketch IS d stacked count histograms over hashed bins. Same
+    caller contract as hist (no NULL cells; over-length truncates,
+    under-length zero-fills). Build per-batch partials with
+    :func:`cm_accumulate_vec`; read point estimates with
+    :func:`cm_estimate_expr` — no extra shuffle, the read is a pure
+    array expression over merged state."""
+    return _hist_merge(w * d)
+
+
+def cm_accumulate_vec(
+    df: DataFrame,
+    keys: list[str],
+    item: str = "item",
+    w: int = _CM_DEFAULT_W,
+    d: int = _CM_DEFAULT_D,
+    out_col: str = "cm",
+) -> DataFrame:
+    """Dense-vector CountMin partial for the ``cm:<w>x<d>`` StateCol
+    algebra: explode the d bin positions, count per (keys, bin) —
+    map-combinable on the fact table — then assemble the length-w*d
+    vector with :func:`bins_to_array`, touching only the tiny
+    (groups x touched-bins) relation."""
+    binned = (
+        df.select(
+            *keys,
+            # bins_to_array's map is keyed by the INT sequence index
+            # (cast the ARRAY, not the exploded column — a generator
+            # can't be nested in a cast expression)
+            F.explode(cm_bins(F.col(item), w, d).cast("array<int>")).alias("bin"),
+        )
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return binned.groupBy(*keys).agg(
+        bins_to_array(w * d, "bin", "cnt").alias(out_col)
+    )
+
+
+def cm_estimate_expr(
+    state_col: Column | str,
+    item: Column | str,
+    w: int = _CM_DEFAULT_W,
+    d: int = _CM_DEFAULT_D,
+) -> Column:
+    """Point-query read off a merged ``cm:<w>x<d>`` state vector: min
+    over the item's d probed cells. Pure array expression (no join,
+    no shuffle) — usable right after ``merge_agg_state``; missing
+    cells read 0 like the long-form LEFT-join read."""
+    s = F.col(state_col) if isinstance(state_col, str) else state_col
+    return F.array_min(
+        F.transform(
+            cm_bins(item, w, d),
+            lambda p: F.coalesce(
+                F.element_at(s, (p + 1).cast("int")), F.lit(0).cast("bigint")
+            ),
+        )
+    )
+
+
 def _merge_fn(how: str):
+    if how.startswith("cm:"):
+        # cm:<w>x<d> — malformed specs ("cm:", "cm:32", "cm:0x4",
+        # "cm:axb") report through the unified unknown-algebra error
+        try:
+            w_s, d_s = how.split(":", 1)[1].split("x", 1)
+            w, d = int(w_s), int(d_s)
+        except ValueError:
+            return None
+        if w <= 0 or d <= 0:
+            return None
+        return _cm_merge(w, d)
     if how.startswith("fi:"):
         try:
             n = int(how.split(":", 1)[1])
@@ -262,7 +416,10 @@ class StateCol:
     domains; "hist:<n>" adds length-n bin-count vectors element-wise,
     the maintainable histogram/quantile distribution; "fi:<n>" combines
     Spark-4 approx_top_k sketches, the maintainable frequency heavy
-    hitters — capacity-exact when n covers the domain)."""
+    hitters — capacity-exact when n covers the domain; "cm:<w>x<d>"
+    adds dense length-w*d CountMin counter vectors element-wise, the
+    maintainable point-frequency sketch — build partials with
+    cm_accumulate_vec, read with cm_estimate_expr)."""
 
     name: str
     how: str

@@ -29,8 +29,53 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    suite (tests/test_catalog_oracle.py).
 # 3. Everything else, least-recently-driver-verified first (ascending
 #    last-green round, registration order as tiebreaker).
-_ROUND = 8
+_ROUND = 9
 _TOUCHED_THIS_ROUND = (
+    # r9 window budget: 21 touched + 2 sentinels leaves 27 rotation-tail
+    # slots (the 5 r4-vintage spill entries lead it, then the 22 oldest
+    # r5-vintage).  VERDICT r8 item 2 asked for >=25 r5 re-greens, but
+    # items 1 (11 staged never-greens) + 3 (CountMin dispatch re-enters
+    # the MV dependents) + the four ADVICE closures (classifier +
+    # Arrow-dot helpers changed -> their dependents re-enter) together
+    # demand 21 slots; the tradeoff is resolved in the mandated
+    # priority order (staged rows > helper-change re-entries > tail),
+    # and the 24 r5-vintage entries that spill reach staleness 5 at r10
+    # — the same bound the r8 tail accepted for the r4 spill (ROADMAP).
+    #
+    # VERDICT r8 item 1: the eleven r8-staged entries (STAGED_NEXT now
+    # cleared) lead the window in their staging order.
+    "semdedup_embeddings",
+    "semdedup_centroid_far",
+    "exact_substring_dedup",
+    "exact_substring_clean",
+    "gopher_quality_rules",
+    "dsir_importance_weights",
+    "bloom_novelty_docs",
+    "curation_funnel_report",
+    "unimax_lang_allocation",
+    "stupid_backoff_score",
+    "countmin_mv_orders",
+    # VERDICT r8 item 3: the cm:<w>x<d> CountMin algebra joins the
+    # shared spec dispatch in operators/incremental.py — every MV
+    # dependent of the dispatch re-enters per the rotation contract.
+    "incremental_agg_orders",
+    "mv_hll_maintenance_orders",
+    "incremental_topk_orders",
+    "incremental_distinct_years_orders",
+    "incremental_histogram_orders",
+    "incremental_freq_items_orders",
+    "hist_quantile_orders",
+    # ADVICE r8: functions/vectors.dot_exact_arrow now NULL-masks
+    # (row-level NULL / ragged / inner-NULL vectors -> NULL output,
+    # matching the expression twin) — its non-staged dependent
+    # re-enters (the semdedup/funnel dependents are staged above).
+    "embedding_contamination",
+    # ADVICE r8: logreg_predict weight literals now cast("double")
+    # (no more silent float32 truncation) — both dependents re-enter.
+    "logreg_quality_filter",
+    "logreg_text_quality_gate",
+)
+_TOUCHED_R8 = (
     # r8 window budget (final, measured at session close): 18 touched
     # (13 of them brand-new/never-green) + 2 sentinels leaves 30
     # rotation-tail slots; measured window by last-green round:

@@ -25,20 +25,10 @@ from ..io import load_table
 from .registry import register
 
 # names ranked at the catalog tail this round; plans/catalog.py clears
-# this at the r9 boundary (moving them into _TOUCHED_THIS_ROUND)
-STAGED_NEXT = (
-    "semdedup_embeddings",
-    "semdedup_centroid_far",
-    "exact_substring_dedup",
-    "exact_substring_clean",
-    "gopher_quality_rules",
-    "dsir_importance_weights",
-    "bloom_novelty_docs",
-    "curation_funnel_report",
-    "unimax_lang_allocation",
-    "stupid_backoff_score",
-    "countmin_mv_orders",
-)
+# this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
+# r9 boundary: the eleven r8-staged entries moved into the r9 window;
+# entries registered AFTER the r9 window freezes are staged here.
+STAGED_NEXT: tuple[str, ...] = ()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -221,11 +211,11 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scaled-int distances (ties kill the higher id), so dup_of can "
     "be a higher-id survivor. Same pair relation, assignment and "
     "Arrow kernels as semdedup_embeddings — the two entries "
-    "hash-pin that ONLY the keep rule differs. The Arrow path "
-    "recovers the bigint distance from the kernel's double via "
-    "round(dist2 * 1e12): scaled < 2^53 and the /1e12-then-*1e12 "
-    "relative error is ~0.03 << 0.5, so the round-trip is exact and "
-    "the tiebreak can never flip (pinned bit-identical in "
+    "hash-pin that ONLY the keep rule differs. The Arrow path's "
+    "tiebreak reads the kernel's EXACT int64 scaled distance (the "
+    "d2s field assign_clusters_arrow emits alongside the cluster "
+    "id) — NOT a dist2*1e12 double round-trip, which could collapse "
+    "distinct bigints past 2^53 (pinned bit-identical in "
     "tests/test_north_star.py). Scale shape identical: map-only "
     "assignment, ONE cluster-keyed shuffle per side, pair work "
     "sum_c n_c^2. Full oracle: the shared pair CTEs joined to the "
@@ -758,62 +748,11 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CM_W, _CM_D = 32, 4  # width x depth; 97 items over 32 cols -> collisions
 # guaranteed, so the entry demonstrably exercises the overestimate side
 
-
-def _cm_bin(item, j: int):
-    """CountMin bin for hash row j: (j-1)*w + md5-bucket(item‖-j) % w —
-    the repo's standard engine-portable md5 slice, one flat bin index
-    so the long-form state is a single (group, bin) relation."""
-    col = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(item, F.lit(f"-{j}"))), 1, 8), 16, 10
-        ).cast("bigint"),
-        F.lit(_CM_W),
-    )
-    return F.lit((j - 1) * _CM_W) + col
-
-
-def cm_accumulate(df: DataFrame, grp: str = "grp", item: str = "item") -> DataFrame:
-    """Long-form (sparse) CountMin partial: one (group, bin, cnt) row
-    per touched counter — the accumulate half of the algebra. Sparse
-    long form beats a dense w*d array at high group cardinality (most
-    counters are zero) and makes the MERGE a plain union +
-    re-groupBy SUM, exactly the relational shape of the other
-    mergeable-MV algebras (hist/set/topk)."""
-    bins = F.array(*[_cm_bin(F.col(item), j) for j in range(1, _CM_D + 1)])
-    return (
-        df.select(F.col(grp), F.explode(bins).alias("bin"))
-        .groupBy(grp, "bin")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-    )
-
-
-def cm_merge(*states: DataFrame) -> DataFrame:
-    """Merge CountMin states: union + re-groupBy SUM — counters add,
-    the defining mergeability of the sketch (delta-cost refresh, no
-    history rescan)."""
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
-    grp_cols = [c for c in out.columns if c != "cnt"]
-    return out.groupBy(*grp_cols).agg(F.sum("cnt").alias("cnt"))
-
-
-def cm_estimate(
-    state: DataFrame, probes: DataFrame, grp: str = "grp", item: str = "item"
-) -> DataFrame:
-    """Point-query estimates: min over the d probed counters — the
-    CountMin read. Guaranteed >= the true count (each counter holds
-    the true count plus non-negative collision mass); equality exactly
-    when no colliding item shares all... any of the d bins is
-    collision-free. Probe relation is (group, item) pairs; the join is
-    (group, bin)-keyed against the bounded state."""
-    bins = F.array(*[_cm_bin(F.col(item), j) for j in range(1, _CM_D + 1)])
-    pb = probes.select(grp, item, F.explode(bins).alias("bin"))
-    return (
-        pb.join(state, [grp, "bin"], "left")
-        .groupBy(grp, item)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
-    )
+# The CountMin algebra itself moved to operators/incremental.py in r9
+# (ROADMAP 0b / VERDICT r8 item 3): long-form accumulate/merge/estimate
+# plus the dense cm:<w>x<d> StateCol spec. Imported here so the entry
+# below stays bit-identical to its r8-staged form.
+from ..operators.incremental import cm_accumulate, cm_estimate, cm_merge  # noqa: E402
 
 
 _CM_BIN_SQL = (
@@ -885,10 +824,13 @@ _CM_BINS_ROWS = " UNION ALL ".join(
     "hash-pins every estimate next to its exact count (97 items over "
     "32 columns force real collisions — the overestimate side is "
     "exercised, and cm_estimate >= exact_count is a tested "
-    "invariant). Standalone algebra by rotation-budget design: "
-    "unifying it into operators/incremental.py's spec dispatch "
-    "re-enters six MV dependents, deferred to r9's window "
-    "(ROADMAP 0b).",
+    "invariant). Unified into operators/incremental.py in r9 "
+    "(ROADMAP 0b): this entry drives the long-form "
+    "cm_accumulate/cm_merge/cm_estimate helpers; the dense "
+    "cm:<w>x<d> StateCol spec (element-wise vector add, "
+    "cm_accumulate_vec partials, cm_estimate_expr reads) merges "
+    "through the same dispatch as count/sum/min/max/hll/topk/set/"
+    "hist/fi and is property-tested equal to this long form.",
 )
 def countmin_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

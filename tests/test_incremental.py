@@ -788,3 +788,137 @@ def test_countmin_never_underestimates_and_merges(spark):
         for r in cm_estimate(oneshot, probes).collect()
     }
     assert a == b
+
+
+def test_cm_vector_state_merge_equals_long_form(spark):
+    """The dense 'cm:<w>x<d>' StateCol algebra must agree with the
+    long-form relational algebra the catalog entry drives: folding
+    per-batch cm_accumulate_vec partials through merge_agg_state and
+    reading with cm_estimate_expr gives EXACTLY the long-form
+    cm_merge + cm_estimate values (same md5 bin space), and every
+    estimate >= the exact count."""
+    from lichess_db_spark.operators.incremental import (
+        StateCol,
+        cm_accumulate,
+        cm_accumulate_vec,
+        cm_estimate,
+        cm_estimate_expr,
+        cm_merge,
+        merge_agg_state,
+    )
+
+    w, d = 32, 4
+    orders = load_table(spark, SF_SMALL, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_custkey") % 97).cast("string").alias("item"),
+        "o_orderkey",
+    )
+    cols = [StateCol("cm", f"cm:{w}x{d}")]
+    state = cm_accumulate_vec(
+        base.where(F.col("o_orderkey") % 3 == 0), ["grp"], "item", w, d
+    )
+    for m in (1, 2):
+        delta = cm_accumulate_vec(
+            base.where(F.col("o_orderkey") % 3 == m), ["grp"], "item", w, d
+        )
+        state = merge_agg_state(state, delta, keys=["grp"], cols=cols)
+
+    probes = base.select("grp", "item").distinct()
+    vec_reads = {
+        (r.grp, r.item, r.est)
+        for r in probes.join(state, "grp")
+        .select(
+            "grp", "item", cm_estimate_expr("cm", F.col("item"), w, d).alias("est")
+        )
+        .collect()
+    }
+    long_reads = {
+        (r.grp, r.item, r.cm_estimate)
+        for r in cm_estimate(
+            cm_merge(
+                cm_accumulate(base.where(F.col("o_orderkey") % 3 == 0)),
+                cm_accumulate(base.where(F.col("o_orderkey") % 3 == 1)),
+                cm_accumulate(base.where(F.col("o_orderkey") % 3 == 2)),
+            ),
+            probes,
+        ).collect()
+    }
+    assert vec_reads == long_reads and len(vec_reads) > 0
+    exact = {
+        (r.grp, r.item): r.n
+        for r in base.groupBy("grp", "item").agg(F.count("*").alias("n")).collect()
+    }
+    for g, item, est in vec_reads:
+        assert est >= exact[(g, item)]
+
+
+def test_cm_merge_random_folds_vs_python(spark):
+    """Seeded-random items folded in random batch splits — the cm
+    vector algebra must equal a Python CountMin (same md5 bins)
+    regardless of how rows are distributed over merge batches."""
+    import hashlib
+    import random
+
+    from lichess_db_spark.operators.incremental import (
+        StateCol,
+        cm_accumulate_vec,
+        cm_estimate_expr,
+        merge_agg_state,
+    )
+
+    w, d = 8, 3
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 1), f"it{rng.randint(0, 30)}") for _ in range(200)]
+
+    def pybins(item: str) -> list[int]:
+        return [
+            (j - 1) * w
+            + int(hashlib.md5(f"{item}-{j}".encode()).hexdigest()[:8], 16) % w
+            for j in range(1, d + 1)
+        ]
+
+    sketch: dict[int, list[int]] = {}
+    counts: dict[tuple[int, str], int] = {}
+    for g, item in rows:
+        vec = sketch.setdefault(g, [0] * (w * d))
+        for p in pybins(item):
+            vec[p] += 1
+        counts[(g, item)] = counts.get((g, item), 0) + 1
+
+    rng.shuffle(rows)
+    parts = [rows[0::3], rows[1::3], rows[2::3]]
+    cols = [StateCol("cm", f"cm:{w}x{d}")]
+    state = None
+    for p in parts:
+        df = spark.createDataFrame(p, "g int, item string")
+        partial = cm_accumulate_vec(df, ["g"], "item", w, d)
+        state = (
+            partial
+            if state is None
+            else merge_agg_state(state, partial, keys=["g"], cols=cols)
+        )
+    got = {r["g"]: list(r["cm"]) for r in state.collect()}
+    assert got == sketch
+    # point reads match the python min-over-bins too
+    probes = spark.createDataFrame(
+        sorted(counts), "g int, item string"
+    ).join(state, "g")
+    reads = {
+        (r.g, r.item): r.est
+        for r in probes.select(
+            "g", "item", cm_estimate_expr("cm", F.col("item"), w, d).alias("est")
+        ).collect()
+    }
+    for (g, item), est in reads.items():
+        assert est == min(sketch[g][p] for p in pybins(item))
+        assert est >= counts[(g, item)]
+
+
+@pytest.mark.parametrize("bad", ["cm:", "cm:32", "cm:0x4", "cm:4x0", "cm:ax4", "cm:4xb", "cm:-2x4"])
+def test_malformed_cm_spec_unified_error(spark, bad):
+    from lichess_db_spark.operators.incremental import StateCol, merge_agg_state
+
+    df = spark.createDataFrame([(1, [0, 0])], "g int, cm array<bigint>")
+    with pytest.raises(ValueError, match="unknown merge algebra"):
+        merge_agg_state(df, df, keys=["g"], cols=[StateCol("cm", bad)])

@@ -1340,3 +1340,27 @@ def test_embedding_contamination_arrow_bit_identical(emb):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_dot_exact_arrow_null_handling(spark):
+    """ADVICE r8: use_arrow must not change NULL handling from
+    filter-out to failure. NULL vectors, ragged pairs and inner-NULL
+    elements all yield NULL from BOTH paths; valid rows stay
+    bit-identical."""
+    from lichess_db_spark.functions.vectors import dot_exact, dot_exact_arrow
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),   # valid
+        (1, None, [1.0, 1.0, 1.0]),               # NULL left
+        (2, [1.0, 1.0, 1.0], None),               # NULL right
+        (3, [1.0, 2.0], [1.0, 2.0, 3.0]),         # ragged pair
+        (4, [1.0, None, 3.0], [1.0, 2.0, 3.0]),   # inner NULL element
+        (5, [0.5, -0.25, 8.0], [-2.0, 4.0, 0.125]),  # signed valid
+    ]
+    df = spark.createDataFrame(rows, "id int, a array<float>, b array<float>")
+    expr = {r.id: r.d for r in df.select("id", dot_exact("a", "b").alias("d")).collect()}
+    arrow = {r.id: r.d for r in df.select("id", dot_exact_arrow("a", "b").alias("d")).collect()}
+    assert expr == arrow
+    assert expr[0] is not None and expr[5] is not None
+    for i in (1, 2, 3, 4):
+        assert expr[i] is None and arrow[i] is None
