@@ -364,3 +364,94 @@ def spread_by_size(df: DataFrame, data_col: str = "data", target_partition_bytes
     total = int(stats.n * (stats.mean_b or 0))
     parts = max(1, min(10000, total // target_partition_bytes + 1))
     return df.repartition(int(parts))
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def _ahash_bits_from_gray(gray: "list[int]") -> str:
+    """The aHash bit rule over a flat gray-value sequence: split into
+    64 equal-span blocks, bit b = 1 iff the block mean exceeds the
+    global mean — decided by EXACT integer cross-multiplication
+    (block_sum * n_total > total_sum * block_count), never a float
+    division, so any engine reproduces every bit. Shared by the
+    byte-stub and the PIL paths (for an 8x8 resize the 64 'blocks'
+    are single pixels and the rule degrades to the classic
+    pixel > mean)."""
+    import numpy as np
+
+    a = np.asarray(gray, dtype=np.int64)
+    n = a.size
+    blocks = (np.arange(n, dtype=np.int64) * 64) // n
+    # bincount's float64 weights are exact here: block sums are
+    # integers far below 2^53
+    sums = np.bincount(blocks, weights=a, minlength=64).astype(np.int64)
+    cnts = np.bincount(blocks, minlength=64).astype(np.int64)
+    bits = sums * n > int(a.sum()) * cnts
+    return "".join("1" if b else "0" for b in bits)
+
+
+def ahash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    use_real: bool | None = None,
+) -> DataFrame:
+    """Perceptual hash (aHash) per blob -> 64-char '0'/'1' string, the
+    image-dedup signature (near-identical images differ in a few
+    bits; pair them with :func:`~..operators.dedup.
+    bitstring_near_dup_pairs`).
+
+    Real path (PIL importable or ``use_real=True``): decode ->
+    grayscale ('L') -> 8x8 resize -> the classic average-hash bit
+    rule. Stub path (this container): the SAME aHash math applied to
+    the raw BYTES as a 1-D gray sequence — the decode step is the
+    identity, the perceptual-hash math is real, deterministic and
+    oracle-checkable, and it keeps the stub locality-sensitive
+    (blobs differing in a few bytes differ in a few bits, unlike an
+    md5 stand-in). Empty/NULL blobs are dropped (no pixels, no
+    hash).
+
+    Scale: Arrow-batched mapInPandas, one pass, no shuffle; peak
+    memory is one batch of blobs. O(bytes) per blob — the same order
+    as the decode it rides along with."""
+    if use_real is None:
+        use_real = HAVE_REAL_CODECS
+    if use_real and not HAVE_REAL_CODECS:
+        raise ImportError(
+            "ahash_images(use_real=True) requires PIL; the byte-stub "
+            "path (use_real=False) needs no codec"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                if blob is None or len(blob) == 0:
+                    continue
+                if use_real:
+                    try:
+                        img = (
+                            _PILImage.open(io.BytesIO(blob))
+                            .convert("L")
+                            .resize((8, 8))
+                        )
+                        gray = list(img.getdata())
+                    except Exception:  # corrupt blob: no hash row
+                        continue
+                else:
+                    gray = list(blob)
+                ids.append(doc_id)
+                hashes.append(_ahash_bits_from_gray(gray))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -1793,3 +1793,87 @@ def exact_substring_clean(
         F.coalesce(F.size(kept).cast("bigint"), F.lit(0)).alias("n_tokens_kept"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def bitstring_hamming(a, b, n_bits: int) -> "F.Column":
+    """Exact Hamming distance between two '0'/'1' bit-string columns:
+    a fold over the n_bits positions comparing one char at a time —
+    pure codegen expressions, engine-portable (the identical CASE
+    sum runs in DuckDB), intended for CANDIDATE pairs (O(n_bits^2)
+    char walks per pair is trivial at candidate-relation size, wrong
+    for a full cross join — band first)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_bits)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + (a.substr(i, F.lit(1)) != b.substr(i, F.lit(1))).cast("bigint"),
+    )
+
+
+def bitstring_near_dup_pairs(
+    sigs: DataFrame,
+    sig_col: str = "phash",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-space near-dup pairs over bit-string signatures (the
+    pairing tier for perceptual image hashes — aHash/dHash/pHash all
+    emit Hamming-comparable bit strings).
+
+    LSH by bit-slicing (the classic pigeonhole construction): split
+    the signature into ``bands`` contiguous segments; two signatures
+    within ``max_hamming`` bits MUST agree on at least one whole
+    segment whenever ``max_hamming < bands`` (pigeonhole: k < bands
+    differing bits cannot touch every band), so banding loses
+    nothing — candidates are exact, only false candidates are
+    filtered by the verify step. Scale shape: one exchange on
+    (band_idx, segment) — candidate volume is bucket-bounded like
+    the MinHash band join, never all-pairs; the Hamming verify walks
+    n_bits chars on candidate pairs only.
+
+    Returns (id_lo, id_hi, hamming) with id_lo < id_hi, one row per
+    qualifying pair. Raises when the pigeonhole guarantee would not
+    hold (max_hamming >= bands) or the signature does not split
+    evenly."""
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits {n_bits} not divisible by bands {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}"
+        )
+    seg = n_bits // bands
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.posexplode(
+            F.array(
+                *[F.substring(sig_col, b * seg + 1, seg) for b in range(bands)]
+            )
+        ).alias("__b", "__key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_lo"),
+            F.col("b.__id").alias("id_hi"),
+            F.col("a.__sig").alias("__s1"),
+            F.col("b.__sig").alias("__s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", bitstring_hamming(F.col("__s1"), F.col("__s2"), n_bits)
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_lo", "id_hi", "hamming")
+    )

@@ -28,7 +28,9 @@ from .registry import register
 # this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
 # r9 boundary: the eleven r8-staged entries moved into the r9 window;
 # entries registered AFTER the r9 window freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = ()
+STAGED_NEXT: tuple[str, ...] = (
+    "mm_phash_dedup",
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -852,4 +854,113 @@ def countmin_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item",
         "cm_estimate",
         "exact_count",
+    )
+
+
+@register(
+    "mm_phash_dedup",
+    """
+    WITH ch AS (
+        SELECT doc_id, g.i - 1 AS pos,
+               unicode(substr(text, CAST(g.i AS INT), 1)) AS v,
+               len(text) AS n
+        FROM documents, range(1, 100001) AS g(i)
+        WHERE g.i <= len(text)
+    ),
+    agg AS (
+        SELECT doc_id, CAST((pos * 64) // n AS INT) AS b,
+               CAST(SUM(v) AS BIGINT) AS sum_b,
+               CAST(COUNT(*) AS BIGINT) AS cnt_b
+        FROM ch GROUP BY doc_id, (pos * 64) // n
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ch GROUP BY doc_id
+    ),
+    ph AS (
+        SELECT t.doc_id,
+               string_agg(CASE WHEN COALESCE(a.sum_b, 0) * t.n
+                                    > t.s * COALESCE(a.cnt_b, 0)
+                               THEN '1' ELSE '0' END, '' ORDER BY g.i) AS phash
+        FROM tot t
+        CROSS JOIN range(0, 64) AS g(i)
+        LEFT JOIN agg a ON a.doc_id = t.doc_id AND a.b = g.i
+        GROUP BY t.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, phash, g.j AS b,
+               substr(phash, CAST(g.j * 16 + 1 AS INT), 16) AS key
+        FROM ph, range(0, 4) AS g(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+        FROM bands a
+        JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT c.id_lo, c.id_hi,
+               CAST(SUM(CASE WHEN substr(pa.phash, CAST(g.i AS INT), 1)
+                              != substr(pb.phash, CAST(g.i AS INT), 1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN ph pa ON pa.doc_id = c.id_lo
+        JOIN ph pb ON pb.doc_id = c.id_hi,
+        range(1, 65) AS g(i)
+        GROUP BY c.id_lo, c.id_hi
+    ),
+    dups AS (
+        SELECT id_hi AS doc_id, id_lo AS dup_of, hamming FROM (
+            SELECT id_hi, id_lo, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY id_hi ORDER BY id_lo) AS rn
+            FROM ham WHERE hamming <= 3
+        ) WHERE rn = 1
+    )
+    SELECT p.doc_id, p.phash, d.dup_of IS NULL AS keep, d.dup_of, d.hamming
+    FROM ph p LEFT JOIN dups d USING (doc_id)
+    """,
+    "Perceptual-hash image dedup — the multimodal member of the dedup "
+    "family (text: exact/minhash/simhash/exactsubstr; embeddings: "
+    "lsh/semdedup; images: THIS). aHash signature per blob "
+    "(multimodal.media.ahash_images: 64 equal-span blocks, bit = "
+    "block mean > global mean by EXACT integer cross-multiplication) "
+    "+ Hamming near-dup pairing (dedup.bitstring_near_dup_pairs: "
+    "4x16-bit band LSH, pigeonhole-exact for hamming <= 3, verify "
+    "only candidates). Decode step is the byte-identity stub (the "
+    "container has no codecs); the PIL path computes the classic "
+    "gray-8x8 aHash through the SAME bit rule and is gated like "
+    "decode_images. Keep rule: a doc dies iff a LOWER-id doc hashes "
+    "within hamming 3; dup_of = the smallest such id. Oracle "
+    "portability: fixture text is pure ASCII so DuckDB codepoints == "
+    "the kernel's bytes (asserted pure-ASCII at all three SF tiers "
+    "before registration). Scale shape: map-only Arrow signature "
+    "pass, ONE (band, key) exchange, bucket-bounded candidates, "
+    "O(64) verify per candidate — never all-pairs.",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import ahash_images
+    from ..operators.dedup import bitstring_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+    sigs = ahash_images(blobs, use_real=False)
+    pairs = bitstring_near_dup_pairs(
+        sigs, sig_col="phash", id_col="doc_id", n_bits=64, max_hamming=3, bands=4
+    )
+    w = Window.partitionBy("id_hi").orderBy("id_lo")
+    dups = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_hi").alias("doc_id"),
+            F.col("id_lo").alias("dup_of"),
+            "hamming",
+        )
+    )
+    return sigs.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "phash",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+        "hamming",
     )

@@ -1364,3 +1364,83 @@ def test_dot_exact_arrow_null_handling(spark):
     assert expr[0] is not None and expr[5] is not None
     for i in (1, 2, 3, 4):
         assert expr[i] is None and arrow[i] is None
+
+
+def test_ahash_locality_and_hamming_pairs(spark):
+    """The pHash dedup kit: identical blobs hash identically (hamming
+    0), a few flipped bytes move only a few bits (locality — the
+    property an md5 stand-in would NOT have), the band-LSH pairing
+    catches every pair within the pigeonhole bound, and distant blobs
+    don't pair."""
+    from lichess_db_spark.multimodal.media import ahash_images
+    from lichess_db_spark.operators.dedup import (
+        bitstring_hamming,
+        bitstring_near_dup_pairs,
+    )
+
+    # 64 blocks x 10 bytes, every byte 100: every block mean == the
+    # global mean -> all-zero hash, and each block bit sits exactly on
+    # the decision edge, so one raised byte flips exactly that bit
+    base = bytes([100]) * 640
+    tweaked = bytearray(base)
+    for blk in (2, 20, 40):  # one flip in each of 3 different bands
+        tweaked[blk * 10] = 200
+    # structurally different: alternating loud/quiet blocks -> hash
+    # 1010... (hamming 32 from base), must NOT pair
+    far = bytes(([150] * 10 + [50] * 10) * 32)
+    rows = [
+        (1, base),
+        (2, bytes(base)),     # exact dup of 1
+        (3, bytes(tweaked)),  # near dup of 1 (3 bits)
+        (4, far),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    sigs = ahash_images(df, use_real=False)
+    by_id = {r.doc_id: r.phash for r in sigs.collect()}
+    assert by_id[1] == by_id[2] and len(by_id[1]) == 64
+    ham13 = sum(a != b for a, b in zip(by_id[1], by_id[3]))
+    assert 0 < ham13 <= 3  # locality: 3 byte flips -> few bits
+    pairs = {
+        (r.id_lo, r.id_hi): r.hamming
+        for r in bitstring_near_dup_pairs(
+            sigs, max_hamming=3, bands=4
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == ham13 and pairs[(2, 3)] == ham13
+    assert not any(4 in p for p in pairs)
+    # the expression Hamming agrees with Python on a direct pair
+    a = sigs.alias("a").where(F.col("doc_id") == 1)
+    b = sigs.alias("b").where(F.col("doc_id") == 4)
+    d = (
+        a.crossJoin(b.select(F.col("phash").alias("ph2")))
+        .select(bitstring_hamming(F.col("phash"), F.col("ph2"), 64).alias("h"))
+        .first()
+        .h
+    )
+    assert d == sum(x != y for x, y in zip(by_id[1], by_id[4]))
+
+
+def test_bitstring_near_dup_validation(spark):
+    from lichess_db_spark.operators.dedup import bitstring_near_dup_pairs
+
+    sigs = spark.createDataFrame([(1, "01" * 32)], "doc_id long, phash string")
+    with pytest.raises(ValueError, match="divisible"):
+        bitstring_near_dup_pairs(sigs, n_bits=64, bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        bitstring_near_dup_pairs(sigs, max_hamming=4, bands=4)
+
+
+def test_ahash_real_pil_gate(spark):
+    """Without PIL, use_real=True fails up front; with PIL, the real
+    path computes the classic gray-8x8 aHash through the same bit
+    rule (shape + determinism asserted)."""
+    from lichess_db_spark.multimodal.media import HAVE_REAL_CODECS, ahash_images
+
+    df = spark.createDataFrame([(1, b"\x89PNG-not-really")], "doc_id long, data binary")
+    if not HAVE_REAL_CODECS:
+        with pytest.raises(ImportError, match="requires PIL"):
+            ahash_images(df, use_real=True)
+        return
+    out = ahash_images(df, use_real=True).collect()  # corrupt blob -> no row
+    assert out == []
