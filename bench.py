@@ -163,6 +163,10 @@ HEADLINE = [
     "semdedup_centroid_far",
     "exact_substring_dedup",
     "exact_substring_clean",
+    # r9: perceptual-hash image dedup (aHash + Hamming band LSH) and
+    # its connected-components cluster tier
+    "mm_phash_dedup",
+    "dedup_cc_clusters",
 ]
 
 

@@ -462,6 +462,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """Near-dup pairs -> canonical cluster ids (min reachable id).
 
@@ -472,6 +473,22 @@ def connected_components(
     shuffle join + one groupBy; the driver only checks a convergence
     count. This is the step that turns pairwise dedup output into the
     keep-one-per-cluster decision a 100 TB pipeline actually applies.
+
+    ``strict=True`` raises RuntimeError when the fixpoint is not
+    reached within ``max_iter`` rounds instead of returning the
+    partially-propagated labels (r9: silent non-convergence would
+    mislabel components on an unexpectedly deep graph; the default
+    stays lenient so existing callers' plans are unchanged).
+
+    Lineage is CUT with an eager ``localCheckpoint`` every 5 rounds
+    (r9): each round's plan embeds the previous round's TWICE (the
+    union side and the join side), so the logical tree grows
+    exponentially with rounds — a diameter-12 graph OOMed the driver
+    in ``generateTreeString`` before any task ran. Near-dup graphs
+    converge in 2-4 rounds and never hit the cut, so the catalog
+    dependents' plans are byte-identical; only deep graphs pay the
+    checkpoint. For extreme diameters switch to a log-diameter
+    star-contraction variant.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.union(
@@ -482,7 +499,8 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
-    for _ in range(max_iter):
+    converged = False
+    for _i in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("cluster_id"))
@@ -502,7 +520,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+        if (_i + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds — raise max_iter (or use a log-diameter "
+            f"star-contraction variant) for deep graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 

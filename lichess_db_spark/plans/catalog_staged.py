@@ -30,6 +30,7 @@ from .registry import register
 # entries registered AFTER the r9 window freezes are staged here.
 STAGED_NEXT: tuple[str, ...] = (
     "mm_phash_dedup",
+    "dedup_cc_clusters",
 )
 
 
@@ -857,10 +858,13 @@ def countmin_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_phash_dedup",
-    """
-    WITH ch AS (
+# Shared pHash CTE block (same one-text discipline as _SEMDEDUP_CTES):
+# byte-stub aHash signatures -> band-LSH candidates -> verified
+# Hamming pairs, consumed by the per-doc dedup entry AND the
+# connected-components cluster entry so their pair relations can
+# never drift.
+_PHASH_CTES = """
+    ch AS (
         SELECT doc_id, g.i - 1 AS pos,
                unicode(substr(text, CAST(g.i AS INT), 1)) AS v,
                len(text) AS n
@@ -908,7 +912,13 @@ def countmin_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN ph pb ON pb.doc_id = c.id_hi,
         range(1, 65) AS g(i)
         GROUP BY c.id_lo, c.id_hi
-    ),
+    )"""
+
+
+@register(
+    "mm_phash_dedup",
+    f"""
+    WITH {_PHASH_CTES},
     dups AS (
         SELECT id_hi AS doc_id, id_lo AS dup_of, hamming FROM (
             SELECT id_hi, id_lo, hamming,
@@ -943,7 +953,12 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
-    sigs = ahash_images(blobs, use_real=False)
+    # persist: the signature relation is consumed three times (both
+    # sides of the band self-join + the final doc join); without it
+    # each reference re-runs the Arrow hash kernel over the corpus.
+    # At scale the signatures are the materialization point, exactly
+    # like the MinHash posting archive.
+    sigs = ahash_images(blobs, use_real=False).persist()
     pairs = bitstring_near_dup_pairs(
         sigs, sig_col="phash", id_col="doc_id", n_bits=64, max_hamming=3, bands=4
     )
@@ -963,4 +978,84 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").isNull().alias("keep"),
         "dup_of",
         "hamming",
+    )
+
+
+@register(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE {_PHASH_CTES},
+    prs2 AS (SELECT id_lo, id_hi FROM ham WHERE hamming <= 3),
+    sym AS (
+        SELECT id_lo AS s, id_hi AS d FROM prs2
+        UNION ALL
+        SELECT id_hi AS s, id_lo AS d FROM prs2
+    ),
+    reach(node, comp) AS (
+        SELECT s, s FROM sym
+        UNION
+        SELECT sym.d, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+    alldocs AS (
+        SELECT p.doc_id, COALESCE(cc.component, p.doc_id) AS component
+        FROM ph p LEFT JOIN cc ON cc.node = p.doc_id
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM alldocs GROUP BY component
+    )
+    SELECT f.doc_id, f.component, f.doc_id = f.component AS keep,
+           s.cluster_size
+    FROM alldocs f JOIN sizes s USING (component)
+    """,
+    "Connected components over the near-dup pair graph — the cluster "
+    "tier every real dedup pipeline needs: pair relations only say "
+    "'a matches b'; transitive grouping (a~b, b~c => one cluster) "
+    "picks ONE canonical keeper per component instead of one per "
+    "pair. Hash-min label propagation "
+    "(operators/dedup.connected_components): every node starts as "
+    "its own label, each superstep takes the min over neighbors, "
+    "early-stops at the fixpoint (<= diameter supersteps; near-dup "
+    "graphs are cliques and short chains). component = min doc_id "
+    "in the component; keep = being that minimum; cluster_size "
+    "counts members (singletons included via the left join). Edges "
+    "= the SAME shared pHash Hamming pair CTEs as mm_phash_dedup "
+    "(one-text discipline). Scale shape: one (join + min-groupBy) "
+    "shuffle per superstep over |V|-row state, edge relation "
+    "persisted once; the oracle's recursive CTE replays the closure "
+    "exactly (UNION dedup terminates on cycles). Full oracle.",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import ahash_images
+    from ..operators.dedup import bitstring_near_dup_pairs, connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    # persist for the same three-consumer reason as mm_phash_dedup
+    # (plus the CC loop's convergence counts re-reading the pair side)
+    sigs = ahash_images(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("data")),
+        use_real=False,
+    ).persist()
+    pairs = bitstring_near_dup_pairs(
+        sigs, sig_col="phash", id_col="doc_id", n_bits=64, max_hamming=3, bands=4
+    )
+    cc = connected_components(
+        pairs, a_col="id_lo", b_col="id_hi", strict=True
+    ).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )
+    alldocs = (
+        sigs.select("doc_id")
+        .join(cc, sigs["doc_id"] == cc["node"], "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    sizes = alldocs.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return alldocs.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+        "cluster_size",
     )

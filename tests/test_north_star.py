@@ -1444,3 +1444,52 @@ def test_ahash_real_pil_gate(spark):
         return
     out = ahash_images(df, use_real=True).collect()  # corrupt blob -> no row
     assert out == []
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation must match a Python union-find on a
+    seeded random graph (chains, cliques), with cluster_id = min
+    member id; strict mode converges fine on it."""
+    import random
+
+    rng = random.Random(23)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    want = {}
+    for n in touched:
+        r = find(n)
+        want[n] = min(m for m in touched if find(m) == r)
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(df, strict=True).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_strict_nonconvergence_raises(spark):
+    """strict=True fails loud when max_iter rounds don't reach the
+    fixpoint (a 5-chain needs >1 round); the lenient default returns
+    the partial labels unchanged — existing-caller behavior."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(df, max_iter=1, strict=True)
+    lenient = dd.connected_components(df, max_iter=1)
+    assert lenient.count() == 5  # partial labels, no raise

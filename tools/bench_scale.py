@@ -205,7 +205,11 @@ def main() -> None:
     elif args.family == "curation":
         from pyspark.sql import functions as F
 
-        from lichess_db_spark.operators.curation import pack_sequences
+        from lichess_db_spark.multimodal.media import ahash_images
+        from lichess_db_spark.operators.curation import (
+            dsir_importance,
+            pack_sequences,
+        )
         from lichess_db_spark.operators.rank import global_rank
         from lichess_db_spark.operators.sampling import (
             priority_sample,
@@ -245,6 +249,26 @@ def main() -> None:
             # budget scales with f so the fill depth stays proportional
             "sample_token_budget": lambda d, f: sample_token_budget(
                 _w(d), "doc_id", "w", budget=30_000 * f
+            ),
+            # DSIR (r9): exploded n-gram scan -> bounded 1024-bucket
+            # count agg broadcast back -> one doc-keyed exchange; the
+            # replica token salt grows the BUCKET collision mix but the
+            # bucket relation stays fixed-size, so the design predicts
+            # linear-or-below
+            "dsir_importance": lambda d, f: dsir_importance(
+                d, target_pred=F.col("lang") == "en"
+            ),
+            # pHash image dedup (r9): map-only aHash signature pass +
+            # one (band, key) exchange + candidate-only Hamming verify;
+            # salted replicas share no bytes, so candidate volume per
+            # replica is constant by construction
+            "mm_phash_dedup": lambda d, f: dd.bitstring_near_dup_pairs(
+                ahash_images(
+                    d.select("doc_id", F.encode("text", "UTF-8").alias("data")),
+                    use_real=False,
+                ),
+                max_hamming=3,
+                bands=4,
             ),
         }
     elif args.family == "oltp":
