@@ -1844,6 +1844,8 @@ def bitstring_near_dup_pairs(
     n_bits: int = 64,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = 256,
+    observation=None,
 ) -> DataFrame:
     """Hamming-space near-dup pairs over bit-string signatures (the
     pairing tier for perceptual image hashes — aHash/dHash/pHash all
@@ -1856,9 +1858,24 @@ def bitstring_near_dup_pairs(
     differing bits cannot touch every band), so banding loses
     nothing — candidates are exact, only false candidates are
     filtered by the verify step. Scale shape: one exchange on
-    (band_idx, segment) — candidate volume is bucket-bounded like
-    the MinHash band join, never all-pairs; the Hamming verify walks
-    n_bits chars on candidate pairs only.
+    (band_idx, segment), per-bucket ordered-pair explode (same shape
+    as the MinHash band join), Hamming verify walks n_bits chars on
+    candidate pairs only.
+
+    ``max_bucket_size`` drops band buckets bigger than the cap before
+    pairing — a corpus with D near-identical copies of an image puts
+    all D in the same buckets and would emit ~D^2/2 pairs per bucket
+    (measured: the r9 scale suite's 64x salted replicas, which ARE
+    perceptual near-dups of each other, drove the uncapped join to
+    alpha 1.18 / 326 s at 64x — candidate volume by construction, not
+    a plan defect, but worst-case work must be bounded). Members of a
+    capped bucket can still pair through their other bands; the cap
+    is a silent-recall hazard exactly like MinHash's, so pass an
+    ``observation`` (pyspark.sql.Observation) to get
+    ``capped_buckets`` / ``max_bucket_size_seen`` after the first
+    action. The default 256 is verified non-binding on all three
+    fixture tiers (max bucket 4 / 4 / 19 at sf0.001/0.01/0.1), so
+    the catalog oracles stay uncapped and exact.
 
     Returns (id_lo, id_hi, hamming) with id_lo < id_hi, one row per
     qualifying pair. Raises when the pigeonhole guarantee would not
@@ -1881,19 +1898,46 @@ def bitstring_near_dup_pairs(
             )
         ).alias("__b", "__key"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = banded.groupBy("__b", "__key").agg(
+        F.sort_array(F.collect_list(F.struct("__id", "__sig"))).alias("ms")
+    )
+    if observation is not None:
+        over_cap = (
+            F.size("ms") > max_bucket_size
+            if max_bucket_size is not None
+            else F.lit(False)
+        )
+        buckets = buckets.observe(
+            observation,
+            F.count(F.when(over_cap, 1)).alias("capped_buckets"),
+            F.max(F.size("ms")).alias("max_bucket_size_seen"),
+        )
+    size_ok = F.size("ms") > 1
+    if max_bucket_size is not None:
+        size_ok = size_ok & (F.size("ms") <= max_bucket_size)
     cand = (
-        a.join(
-            b,
-            (F.col("a.__b") == F.col("b.__b"))
-            & (F.col("a.__key") == F.col("b.__key"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        buckets.where(size_ok)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ms") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ms"), i + 2, F.size("ms")),
+                            lambda m: F.struct(
+                                F.element_at(F.col("ms"), i + 1).alias("a"),
+                                m.alias("b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
         .select(
-            F.col("a.__id").alias("id_lo"),
-            F.col("b.__id").alias("id_hi"),
-            F.col("a.__sig").alias("__s1"),
-            F.col("b.__sig").alias("__s2"),
+            F.col("p.a.__id").alias("id_lo"),
+            F.col("p.b.__id").alias("id_hi"),
+            F.col("p.a.__sig").alias("__s1"),
+            F.col("p.b.__sig").alias("__s2"),
         )
         .distinct()
     )

@@ -22,7 +22,11 @@ distributed:
 No data moves through Python, everything stays in whole-stage codegen,
 and the only single-partition window runs over #partitions rows.
 Determinism requires the key set to be a total order (pass explicit
-tiebreakers), same as the single-partition form.
+tiebreakers), same as the single-partition form. The positioned
+relation is eagerly localCheckpoint-ed before the offsets branch (r9):
+without it the two branches re-execute the sampled range exchange
+independently, and disagreeing boundary samples yield ranks with gaps
+and duplicates — see the inline comment.
 """
 
 from __future__ import annotations
@@ -56,6 +60,21 @@ def global_rank(
     ).withColumn(
         "__gr_local", F.col("__gr_mid") - F.expr(f"shiftleft(__gr_pid, {_LOCAL_BITS})")
     )
+    # MATERIALIZE the positioned relation before branching (r9): the
+    # offsets branch and the main branch below otherwise each
+    # re-execute the range exchange, and Spark never ReusedExchanges
+    # across nondeterministic projections — so the per-partition
+    # counts can come from DIFFERENT sampled range boundaries than
+    # the local positions they offset, yielding ranks with gaps and
+    # duplicates. The failure is a race (identical inputs usually
+    # re-sample identical boundaries, which is why small fixtures
+    # always passed), observed once at sf0.1 under host load as
+    # scrambled 162-231-row shards in the WebDataset export. The
+    # eager localCheckpoint guarantees ONE execution feeds both
+    # branches — the same persist-the-shared-relation rule
+    # sample_token_budget's prefix sum follows (ROADMAP r6 lesson);
+    # rank is a prefix sum, it was never exempt.
+    base = base.localCheckpoint(eager=True)
 
     counts = base.groupBy("__gr_pid").agg(F.count("*").alias("__gr_n"))
     w = (

@@ -74,6 +74,18 @@ _TOUCHED_THIS_ROUND = (
     # (no more silent float32 truncation) — both dependents re-enter.
     "logreg_quality_filter",
     "logreg_text_quality_gate",
+    # r9 latent-bug fix: operators/rank.global_rank now eagerly
+    # localCheckpoints the positioned relation before the offsets
+    # branch — without it the two branches re-execute the SAMPLED
+    # range exchange independently and disagreeing boundaries yield
+    # ranks with gaps/duplicates (observed once at sf0.1 under host
+    # load as scrambled WebDataset shard sizes; small fixtures always
+    # re-sampled identically, which is why 4 rounds of driver rows
+    # never caught it). A correctness fix earns driver rows: both
+    # rank dependents re-enter (tail drops to 25 = 5 r4 + 20 r5; the
+    # 2 displaced r5 entries join the r10 lead).
+    "o1_global_rank_scalable",
+    "corpus_shuffle_rank",
 )
 _TOUCHED_R8 = (
     # r8 window budget (final, measured at session close): 18 touched

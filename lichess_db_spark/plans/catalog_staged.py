@@ -33,6 +33,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "dedup_cc_clusters",
     "dsir_resample_docs",
     "embedding_matryoshka_truncate",
+    "export_webdataset_docs",
 )
 
 
@@ -1188,3 +1189,56 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+_WDS_SHARD_MAX = 200
+
+
+@register(
+    "export_webdataset_docs",
+    f"""
+    WITH ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn FROM documents
+    ),
+    per AS (
+        SELECT rn // {_WDS_SHARD_MAX} AS s, COUNT(*) AS n
+        FROM ranked GROUP BY rn // {_WDS_SHARD_MAX}
+    )
+    SELECT printf('shard-%06d.tar', s) AS shard_file,
+           CAST(n AS BIGINT) AS n_records,
+           CAST(n AS BIGINT) AS n_members
+    FROM per
+    """,
+    "WebDataset tar-shard export driven end to end under the hash "
+    "gate (operators/curation.export_webdataset_shards): docs land "
+    "in shard-NNNNNN.tar files by global id rank // 200, one .txt "
+    "member per record, deterministic BYTES (zeroed mtime/uid/gid, "
+    "rank-ordered members — re-export is byte-identical, pinned in "
+    "tests/test_curation.py). The entry returns the accounting "
+    "parsed FROM THE WRITTEN TARS (binaryFile read-back + stdlib "
+    "tarfile), so a hash match proves the export actually wrote "
+    "every record into the right shard — the oracle derives the "
+    "same accounting from nothing but the corpus row count. Scale "
+    "shape: one range exchange (global rank), one shard-keyed "
+    "exchange, tasks own whole tars, write-aside + atomic rename. "
+    "n_bytes is returned by the operator but excluded here (exact "
+    "tar framing is pinned by the determinism test instead).",
+)
+def export_webdataset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.curation import export_webdataset_shards
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"lichess_db_spark_wds_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    acct = export_webdataset_shards(
+        _t(spark, sf_dir, "documents"),
+        out_dir,
+        shard_max_records=_WDS_SHARD_MAX,
+    )
+    return acct.select("shard_file", "n_records", "n_members")

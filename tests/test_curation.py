@@ -487,3 +487,67 @@ def test_matryoshka_truncate_unit_norm_and_prefix(spark):
         s = sum(x * x for x in r.embedding_16)
         assert abs(s - 1.0) < 1e-9, (r.vec_id, s)
         assert r.nrm > 0
+
+
+def test_webdataset_export_roundtrip_and_determinism(spark, tmp_path):
+    """The tar shards must contain every document's exact text under
+    its rank key, respect the shard size cap, and be BYTE-identical
+    across re-exports (zeroed metadata + rank-ordered members)."""
+    import hashlib
+    import tarfile
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.curation import export_webdataset_shards
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    ids = sorted(want)
+
+    out1 = str(tmp_path / "wds1")
+    acct = {
+        r.shard_file: (r.n_records, r.n_members, r.n_bytes)
+        for r in export_webdataset_shards(
+            docs, out1, shard_max_records=64
+        ).collect()
+    }
+    # shard accounting: every shard except the last holds exactly 64
+    n = len(ids)
+    n_shards = (n + 63) // 64
+    assert len(acct) == n_shards
+    for s in range(n_shards):
+        rec, mem, _ = acct[f"shard-{s:06d}.tar"]
+        assert rec == mem == min(64, n - s * 64)
+
+    # content round-trip: member key = global rank-1 in doc_id order
+    got = {}
+    for s in range(n_shards):
+        with tarfile.open(f"{out1}/shard-{s:06d}.tar") as tf:
+            for m in tf.getmembers():
+                key = int(m.name.split(".")[0])
+                got[ids[key]] = tf.extractfile(m).read().decode()
+    assert got == want
+
+    def dirhash(d):
+        h = hashlib.md5()
+        for s in range(n_shards):
+            h.update(open(f"{d}/shard-{s:06d}.tar", "rb").read())
+        return h.hexdigest()
+
+    out2 = str(tmp_path / "wds2")
+    export_webdataset_shards(docs.orderBy(F.rand(7)), out2, shard_max_records=64)
+    assert dirhash(out1) == dirhash(out2)  # byte-identical re-export
+
+
+def test_webdataset_export_validation(spark):
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.curation import export_webdataset_shards
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="content_cols"):
+        export_webdataset_shards(docs, "/tmp/x", content_cols={})
+    with pytest.raises(ValueError, match="shard_max_records"):
+        export_webdataset_shards(docs, "/tmp/x", shard_max_records=0)

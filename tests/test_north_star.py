@@ -1493,3 +1493,31 @@ def test_connected_components_strict_nonconvergence_raises(spark):
         dd.connected_components(df, max_iter=1, strict=True)
     lenient = dd.connected_components(df, max_iter=1)
     assert lenient.count() == 5  # partial labels, no raise
+
+
+def test_bitstring_pairs_hot_bucket_cap(spark):
+    """A flood of identical signatures makes every one of its band
+    buckets hot; the cap drops those buckets (bounding the D^2 pair
+    explosion) while the Observation reports what was capped, and an
+    unrelated near pair in cold buckets is still found."""
+    from pyspark.sql import Observation
+
+    from lichess_db_spark.operators.dedup import bitstring_near_dup_pairs
+
+    flood_sig = "01" * 32
+    near_a = "1" * 64
+    near_b = "1" * 63 + "0"
+    rows = [(i, flood_sig) for i in range(80)] + [(100, near_a), (101, near_b)]
+    sigs = spark.createDataFrame(rows, "doc_id long, phash string")
+    obs = Observation("phash_cap")
+    pairs = bitstring_near_dup_pairs(
+        sigs, max_bucket_size=16, observation=obs
+    ).collect()
+    got = {(r.id_lo, r.id_hi): r.hamming for r in pairs}
+    assert got == {(100, 101): 1}  # flood pairs all capped away
+    m = obs.get
+    assert m["capped_buckets"] == 4  # all 4 of the flood's band buckets
+    assert m["max_bucket_size_seen"] == 80
+    # uncapped: the flood emits all 80*79/2 pairs
+    full = bitstring_near_dup_pairs(sigs, max_bucket_size=None).count()
+    assert full == 80 * 79 // 2 + 1

@@ -285,8 +285,13 @@ def test_global_rank_avoids_single_partition_window(spark):
     # assert on the pre-execution plan (post-collect AQE explain prints
     # initial + final plans and double-counts nodes)
     plan = _plan(scalable, "formatted")
-    # the main branch carries a range partitioning, not a single partition
-    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    # r9: the range exchange + local positions now materialize behind
+    # an eager localCheckpoint BEFORE the offsets branch (one
+    # execution feeds both sides — disagreeing boundary re-samples
+    # made ranks gap/duplicate under load), so the visible plan scans
+    # the checkpointed RDD instead of showing RangePartitioning.
+    assert "existingrdd" in plan.lower(), plan[:3000]
+    assert "rangepartitioning" not in plan.lower(), plan[:3000]
     simple = _plan(scalable, "simple")
     assert simple.count("Window") == 1, simple  # counts-offset window only
 

@@ -36,28 +36,50 @@ WORKDIR = "/tmp/scale_bench"
 OFFSET = 10_000_000
 
 
-def scaled_docs(spark, base_dir: str, factor: int, path: str, keep_all=False):
+def scaled_docs(
+    spark, base_dir: str, factor: int, path: str, keep_all=False, salt_mode="token"
+):
     """N salted replicas of sf documents -> parquet at ``path``.
     ``keep_all`` carries the non-text columns (lang/source/...) through
-    verbatim for operators that stream or stratify by them."""
+    verbatim for operators that stream or stratify by them.
+
+    ``salt_mode``:
+    - "token" (default): prefix every token with ``r{i}_`` — replicas
+      share no exact tokens/shingles, so TOKEN-level dedup ops see a
+      constant duplication rate. But the replicas stay byte-level
+      NEAR-identical (one short prefix per token), so byte/perceptual
+      ops (pHash) correctly see every replica of a doc as a near-dup —
+      the corpus then measures a factor-x-near-duplicated world, and
+      candidate volume grows ~factor^2 BY CONSTRUCTION (the r9 finding
+      on mm_phash_dedup, alpha 1.18 uncapped).
+    - "bytes": REWRITE every token to an 8-hex md5 slice of
+      (replica-tag ‖ token) — the mapping is consistent within a
+      replica (within-replica similarity structure preserved) while
+      cross-replica bytes are unrelated, so byte-level ops also see a
+      constant dup rate as volume grows. Use for perceptual-hash
+      cells."""
     from pyspark.sql import functions as F
 
     from lichess_db_spark.io import load_table
 
+    if salt_mode not in ("token", "bytes"):
+        raise ValueError(f"unknown salt_mode {salt_mode!r}")
     base = load_table(spark, base_dir, "documents")
     extra = [c for c in base.columns if c not in ("doc_id", "text")] if keep_all else []
     parts = []
     for i in range(factor):
         tag = F.lit(f"r{i}_")
+        if salt_mode == "token":
+            salted = F.transform(F.split("text", " "), lambda t: F.concat(tag, t))
+        else:
+            salted = F.transform(
+                F.split("text", " "),
+                lambda t: F.substring(F.md5(F.concat(tag, t)), 1, 8),
+            )
         parts.append(
             base.select(
                 (F.col("doc_id") + (i * OFFSET)).alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.split("text", " "), lambda t: F.concat(tag, t)
-                    ),
-                ).alias("text"),
+                F.concat_ws(" ", salted).alias("text"),
                 *extra,
             )
         )
@@ -168,6 +190,16 @@ def main() -> None:
         "greedy packing, DLT top-k sample and token-budget fill over "
         "scaled documents (the range-exchange / window-heavy ops)",
     )
+    ap.add_argument(
+        "--salt-mode",
+        default="token",
+        choices=("token", "bytes"),
+        help="replica salt for scaled documents: 'token' (prefix tag; "
+        "constant dup rate for TOKEN-level ops, but replicas stay "
+        "byte-near-identical so perceptual ops correctly see them as "
+        "near-dups) or 'bytes' (md5 token rewrite; constant dup rate "
+        "for BYTE-level ops too — use for pHash cells)",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     if len(set(factors)) < 2:
@@ -193,7 +225,10 @@ def main() -> None:
     from lichess_db_spark.operators import dedup as dd
 
     if args.family == "text":
-        build, table = scaled_docs, "documents"
+        def _docs(spark_, sf, f_, path_):
+            scaled_docs(spark_, sf, f_, path_, salt_mode=args.salt_mode)
+
+        build, table = _docs, "documents"
         ops = {
             "exact_dedup_groups": lambda d, f: dd.exact_dedup_groups(d),
             "minhash_dedup_pairs": lambda d, f: dd.minhash_dedup_pairs(
@@ -217,7 +252,9 @@ def main() -> None:
         )
 
         def _keep_all_docs(spark_, sf, f_, path_):
-            scaled_docs(spark_, sf, f_, path_, keep_all=True)
+            scaled_docs(
+                spark_, sf, f_, path_, keep_all=True, salt_mode=args.salt_mode
+            )
 
         build, table = _keep_all_docs, "documents"
 
@@ -349,6 +386,7 @@ def main() -> None:
             n = spark.read.parquet(path).count()
         sizes[f] = n
     report["rows"] = {str(f): sizes[f] for f in factors}
+    report["salt_mode"] = args.salt_mode
 
     for name, fn in ops.items():
         report["cells"][name] = {}
