@@ -1948,3 +1948,145 @@ def bitstring_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_lo", "id_hi", "hamming")
     )
+
+
+def bitstring_band_postings(
+    sigs: DataFrame,
+    sig_col: str = "phash",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """(band_idx, band_hash, id) posting list for bit-string
+    signatures — the PERSISTABLE form of the Hamming band-LSH index,
+    schema-compatible with the MinHash posting archive (band_hash =
+    xxhash64 of the bit segment; a 64-bit collision only ever adds a
+    false CANDIDATE, which the Hamming verify removes), so
+    :func:`compact_postings` and the incremental core apply
+    unchanged."""
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits {n_bits} not divisible by bands {bands}")
+    seg = n_bits // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), F.substring(sig_col, b * seg + 1, seg))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def incremental_phash_near_dup(
+    new_sigs: DataFrame,
+    postings_path: str,
+    sigs_path: str,
+    sig_col: str = "phash",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_postings_per_key: int | None = 256,
+    observation=None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Incremental perceptual-hash near-dup: VERIFIED Hamming pairs of
+    an arriving batch of image signatures against the archive — the
+    multimodal member of the incremental family, next to the MinHash
+    (text) and hyperplane (embedding) tiers, built on the same shared
+    posting core (archive replay exclusion, layout guard, hot-key
+    cap + Observation, canonical pairs, idempotent batch_id-scoped
+    writes) and the same :func:`compact_postings` lifecycle.
+
+    ``new_sigs`` is the batch's (id, bit-string) relation — compute it
+    with :func:`~lichess_db_spark.multimodal.media.ahash_images` so
+    only NEW blobs are ever decoded/hashed; the archive participates
+    through its persisted postings. Alongside the postings, the
+    signatures themselves are archived at ``sigs_path`` (same
+    batch_id/flat layout contract) because the Hamming VERIFY needs
+    both members' bit strings — per doc that is one 64-char row, the
+    side table is id + signature, and the verify join touches only
+    candidate ids. Union of per-batch verified pairs over any arrival
+    order equals the one-shot :func:`bitstring_near_dup_pairs` of the
+    full corpus (cap disabled; pinned by test).
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <=
+    ``max_hamming``."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}"
+        )
+    from ..io import path_exists
+
+    spark = new_sigs.sparkSession
+    new_sigs = new_sigs.select(
+        F.col(id_col), F.col(sig_col).alias("__sig")
+    ).persist()
+    try:
+        new_post = bitstring_band_postings(
+            new_sigs.select(F.col(id_col), F.col("__sig").alias(sig_col)),
+            sig_col=sig_col,
+            id_col=id_col,
+            n_bits=n_bits,
+            bands=bands,
+        )
+        pairs = _incremental_posting_pairs(
+            new_post,
+            postings_path,
+            key_cols=("band_idx", "band_hash"),
+            id_col=id_col,
+            out_cols=("doc_a", "doc_b"),
+            max_per_key=max_postings_per_key,
+            observation=observation,
+            batch_id=batch_id,
+            write_postings=True,
+        )
+        # signature side table: archive current batch's sigs with the
+        # same replay contract as the postings
+        sig_rows = new_sigs.select(F.col(id_col), F.col("__sig").alias(sig_col))
+        all_sigs = sig_rows
+        if path_exists(spark, sigs_path):
+            archived = spark.read.parquet(sigs_path)
+            if batch_id is not None and "batch" in archived.columns:
+                archived = archived.where(F.col("batch") != F.lit(batch_id))
+            # dropDuplicates: the verify join below evaluates LAZILY,
+            # after the flat-layout append lands — the re-listed
+            # directory would otherwise hand the current batch's sigs
+            # back a second time through the union (a per-id sig is
+            # unique, so the dedup is exact, not lossy)
+            all_sigs = (
+                archived.select(id_col, sig_col)
+                .unionByName(sig_rows)
+                .dropDuplicates([id_col])
+            )
+        if batch_id is not None:
+            (
+                sig_rows.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(sigs_path)
+            )
+        else:
+            sig_rows.write.mode("append").parquet(sigs_path)
+        sa = all_sigs.select(
+            F.col(id_col).alias("doc_a"), F.col(sig_col).alias("__s1")
+        )
+        sb = all_sigs.select(
+            F.col(id_col).alias("doc_b"), F.col(sig_col).alias("__s2")
+        )
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "hamming", bitstring_hamming(F.col("__s1"), F.col("__s2"), n_bits)
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+        )
+    finally:
+        new_sigs.unpersist()
