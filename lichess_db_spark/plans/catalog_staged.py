@@ -876,12 +876,42 @@ def countmin_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hamming pairs, consumed by the per-doc dedup entry AND the
 # connected-components cluster entry so their pair relations can
 # never drift.
+def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic re-uploads (the duplicated corpus the
+    shared _PHASH_CTES oracle mirrors — see the comment there)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies1 = d.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    copies2 = d.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies1).unionByName(copies2)
+
+
+# The documents fixture carries no byte-identical blobs (verified: zero
+# exact text dups and min pairwise aHash Hamming 10 at sf0.01), so the
+# pHash entries derive a deterministic DUPLICATED corpus — re-uploads
+# of every 25th doc plus a second re-upload of every 50th — modeling
+# the actual duplicated-image-upload scenario a perceptual-hash dedup
+# exists for: Hamming-0 pairs, 3-member clusters, and dup_of/keep
+# decisions are all exercised under the hash gate instead of being
+# vacuously NULL.
 _PHASH_CTES = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        WHERE doc_id % 50 = 0
+    ),
     ch AS (
         SELECT doc_id, g.i - 1 AS pos,
                unicode(substr(text, CAST(g.i AS INT), 1)) AS v,
                len(text) AS n
-        FROM documents, range(1, 100001) AS g(i)
+        FROM corpus, range(1, 100001) AS g(i)
         WHERE g.i <= len(text)
     ),
     agg AS (
@@ -953,7 +983,11 @@ _PHASH_CTES = """
     "container has no codecs); the PIL path computes the classic "
     "gray-8x8 aHash through the SAME bit rule and is gated like "
     "decode_images. Keep rule: a doc dies iff a LOWER-id doc hashes "
-    "within hamming 3; dup_of = the smallest such id. Oracle "
+    "within hamming 3; dup_of = the smallest such id. The corpus is "
+    "documents + deterministic re-uploads of every 25th/50th doc "
+    "(the raw fixture has no byte-identical blobs — min pairwise "
+    "aHash Hamming 10 at sf0.01 — so the dup path would otherwise "
+    "be vacuously NULL; see the _PHASH_CTES comment). Oracle "
     "portability: fixture text is pure ASCII so DuckDB codepoints == "
     "the kernel's bytes (asserted pure-ASCII at all three SF tiers "
     "before registration). Scale shape: map-only Arrow signature "
@@ -964,7 +998,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.media import ahash_images
     from ..operators.dedup import bitstring_near_dup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _phash_corpus(spark, sf_dir)
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
     # persist: the signature relation is consumed three times (both
     # sides of the band self-join + the final doc join); without it
@@ -1026,13 +1060,18 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tier every real dedup pipeline needs: pair relations only say "
     "'a matches b'; transitive grouping (a~b, b~c => one cluster) "
     "picks ONE canonical keeper per component instead of one per "
-    "pair. Hash-min label propagation "
-    "(operators/dedup.connected_components): every node starts as "
-    "its own label, each superstep takes the min over neighbors, "
-    "early-stops at the fixpoint (<= diameter supersteps; near-dup "
-    "graphs are cliques and short chains). component = min doc_id "
-    "in the component; keep = being that minimum; cluster_size "
-    "counts members (singletons included via the left join). Edges "
+    "pair. Drives the EXISTING min-label-propagation operator "
+    "(operators/dedup.connected_components, hash-green over Jaccard "
+    "pairs as dedup_cluster_assignment since r5) over a SECOND pair "
+    "graph — the r9 pHash Hamming pairs — with strict=True (r9: "
+    "loud RuntimeError on non-convergence instead of silently "
+    "mislabeled components; the lenient default keeps existing "
+    "callers unchanged). component = min doc_id in the component; "
+    "keep = being that minimum; cluster_size counts members "
+    "(singletons included via the left join — two columns "
+    "dedup_cluster_assignment does not surface; the re-upload corpus "
+    "construction puts real 3-member clusters under the gate, see "
+    "the _PHASH_CTES comment). Edges "
     "= the SAME shared pHash Hamming pair CTEs as mm_phash_dedup "
     "(one-text discipline). Scale shape: one (join + min-groupBy) "
     "shuffle per superstep over |V|-row state, edge relation "
@@ -1043,11 +1082,12 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.media import ahash_images
     from ..operators.dedup import bitstring_near_dup_pairs, connected_components
 
-    d = _t(spark, sf_dir, "documents")
     # persist for the same three-consumer reason as mm_phash_dedup
     # (plus the CC loop's convergence counts re-reading the pair side)
     sigs = ahash_images(
-        d.select("doc_id", F.encode("text", "UTF-8").alias("data")),
+        _phash_corpus(spark, sf_dir).select(
+            "doc_id", F.encode("text", "UTF-8").alias("data")
+        ),
         use_real=False,
     ).persist()
     pairs = bitstring_near_dup_pairs(

@@ -1521,3 +1521,58 @@ def test_bitstring_pairs_hot_bucket_cap(spark):
     # uncapped: the flood emits all 80*79/2 pairs
     full = bitstring_near_dup_pairs(sigs, max_bucket_size=None).count()
     assert full == 80 * 79 // 2 + 1
+
+
+def test_incremental_phash_equals_one_shot(spark, tmp_path):
+    """Union of per-batch incremental pHash pairs over an arbitrary
+    arrival split must equal the one-shot bitstring_near_dup_pairs of
+    the full corpus (cap disabled), and replaying a batch_id-scoped
+    batch must not duplicate postings, signatures, or pairs."""
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.multimodal.media import ahash_images
+    from lichess_db_spark.operators.dedup import (
+        bitstring_near_dup_pairs,
+        incremental_phash_near_dup,
+    )
+
+    from .conftest import SF_MED
+
+    # the duplicated pHash corpus (documents + re-uploads) — the raw
+    # fixture has no byte-identical blobs and the equivalence would be
+    # vacuous over it
+    from lichess_db_spark.plans.catalog_staged import _phash_corpus
+
+    docs = _phash_corpus(spark, SF_MED)
+    sigs = ahash_images(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("data")),
+        use_real=False,
+    ).persist()
+    want = {
+        (r.id_lo, r.id_hi, r.hamming)
+        for r in bitstring_near_dup_pairs(sigs, max_bucket_size=None).collect()
+    }
+    post = str(tmp_path / "postings")
+    sigp = str(tmp_path / "sigs")
+    got = set()
+    for b in range(3):
+        batch = sigs.where(F.col("doc_id") % 3 == b)
+        pairs = incremental_phash_near_dup(
+            batch, post, sigp, max_postings_per_key=None, batch_id=b
+        )
+        got |= {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+    assert got == want and len(want) > 0
+
+    # replay batch 1: same pairs back, archives not duplicated
+    replay = incremental_phash_near_dup(
+        sigs.where(F.col("doc_id") % 3 == 1),
+        post,
+        sigp,
+        max_postings_per_key=None,
+        batch_id=1,
+    )
+    replay_pairs = {(r.doc_a, r.doc_b, r.hamming) for r in replay.collect()}
+    assert replay_pairs <= want
+    n_docs = sigs.count()
+    assert spark.read.parquet(sigp).count() == n_docs
+    assert spark.read.parquet(post).select("doc_id").distinct().count() == n_docs
+    sigs.unpersist()
