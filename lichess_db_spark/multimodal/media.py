@@ -396,11 +396,33 @@ def _ahash_bits_from_gray(gray: "list[int]") -> str:
     return "".join("1" if b else "0" for b in bits)
 
 
+def _dhash_bits_from_gray(gray: "list[int]") -> str:
+    """The dHash (difference/gradient hash) bit rule: split into 65
+    equal-span blocks, bit b = 1 iff block b's mean < block b+1's mean
+    — the GRADIENT between adjacent regions, robust to global
+    brightness shifts that flip every aHash bit at once. Same exact
+    integer cross-multiplication discipline (sum_b * cnt_{b+1} <
+    sum_{b+1} * cnt_b), engine-portable bit for bit. This is the
+    FLAT-sequence gradient variant (65 cells -> 64 adjacent
+    comparisons); the classic 2-D dHash compares within rows of a
+    9x8 grid — same robustness property, one fewer reshape."""
+    import numpy as np
+
+    a = np.asarray(gray, dtype=np.int64)
+    n = a.size
+    blocks = (np.arange(n, dtype=np.int64) * 65) // n
+    sums = np.bincount(blocks, weights=a, minlength=65).astype(np.int64)
+    cnts = np.bincount(blocks, minlength=65).astype(np.int64)
+    bits = sums[:-1] * cnts[1:] < sums[1:] * cnts[:-1]
+    return "".join("1" if b else "0" for b in bits)
+
+
 def ahash_images(
     df: DataFrame,
     id_col: str = "doc_id",
     data_col: str = "data",
     use_real: bool | None = None,
+    method: str = "ahash",
 ) -> DataFrame:
     """Perceptual hash (aHash) per blob -> 64-char '0'/'1' string, the
     image-dedup signature (near-identical images differ in a few
@@ -420,6 +442,9 @@ def ahash_images(
     Scale: Arrow-batched mapInPandas, one pass, no shuffle; peak
     memory is one batch of blobs. O(bytes) per blob — the same order
     as the decode it rides along with."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"unknown perceptual-hash method {method!r}")
+    bits_fn = _ahash_bits_from_gray if method == "ahash" else _dhash_bits_from_gray
     if use_real is None:
         use_real = HAVE_REAL_CODECS
     if use_real and not HAVE_REAL_CODECS:
@@ -440,10 +465,13 @@ def ahash_images(
                     continue
                 if use_real:
                     try:
+                        # ahash: 8x8 (64 blocks = 64 pixels);
+                        # dhash: 65 flat cells -> adjacent-cell gradient
+                        size = (8, 8) if method == "ahash" else (13, 5)
                         img = (
                             _PILImage.open(io.BytesIO(blob))
                             .convert("L")
-                            .resize((8, 8))
+                            .resize(size)
                         )
                         gray = list(img.getdata())
                     except Exception:  # corrupt blob: no hash row
@@ -451,7 +479,7 @@ def ahash_images(
                 else:
                     gray = list(blob)
                 ids.append(doc_id)
-                hashes.append(_ahash_bits_from_gray(gray))
+                hashes.append(bits_fn(gray))
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
     return df.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -897,3 +897,53 @@ def export_webdataset_shards(
         count_members,
         "shard_file string, n_records bigint, n_members bigint, n_bytes bigint",
     )
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Loader side of the WebDataset contract: tar shards ->
+    one row per member file (key, ext, data, shard_file) — the
+    ingestion edge for tar-packed multimodal corpora (including the
+    shards :func:`export_webdataset_shards` writes; round-trip
+    pinned by test).
+
+    Scale shape: ``binaryFile`` hands each tar to one task (shards
+    are the parallelism unit, exactly how WebDataset loaders consume
+    them); the stdlib-tarfile parse streams members out of the
+    in-memory blob through Arrow batches. At 100 TB keep shards in
+    the 100 MB-1 GB band — one shard is one task's working set."""
+
+    def parse(batches):
+        import io as _io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            keys, exts, datas, shards = [], [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = p.rsplit("/", 1)[-1]
+                with tarfile.open(fileobj=_io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.partition(".")
+                        keys.append(key)
+                        exts.append(ext)
+                        datas.append(tf.extractfile(m).read())
+                        shards.append(shard)
+            yield pd.DataFrame(
+                {"key": keys, "ext": exts, "data": datas, "shard_file": shards}
+            )
+
+    tars = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"{prefix}-*.tar")
+        .load(path)
+    )
+    return tars.select("path", "content").mapInPandas(
+        parse, "key string, ext string, data binary, shard_file string"
+    )

@@ -38,6 +38,25 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif isinstance(s.dtype, pd.ArrowDtype) or str(s.dtype) == "object":
             # dates / decimals / arrow-backed strings -> python objects
             df[c] = s.astype("object")
+        vals = df[c]
+        if str(vals.dtype) == "object":
+            head = vals.dropna().head(1)
+            if len(head) and isinstance(head.iloc[0], (list, np.ndarray)):
+                # array cells: numpy arrays are unhashable/unsortable in
+                # pandas — normalize to the driver's stringified form
+                # (floats via repr, exact), matching driver_sim._norm_cell
+                def _cell(v):
+                    if v is None:
+                        return None
+                    return "[" + ",".join(
+                        "NULL" if x is None or (isinstance(x, float) and np.isnan(x))
+                        else (repr(float(x)) if isinstance(x, (float, np.floating))
+                              else str(int(x)) if isinstance(x, (int, np.integer))
+                              else str(x))
+                        for x in v
+                    ) + "]"
+
+                df[c] = vals.map(_cell)
     sort_cols = list(df.columns)
     df = df.sort_values(sort_cols, na_position="first").reset_index(drop=True)
     return df

@@ -551,3 +551,29 @@ def test_webdataset_export_validation(spark):
         export_webdataset_shards(docs, "/tmp/x", content_cols={})
     with pytest.raises(ValueError, match="shard_max_records"):
         export_webdataset_shards(docs, "/tmp/x", shard_max_records=0)
+
+
+def test_webdataset_loader_roundtrip(spark, tmp_path):
+    """export -> read_webdataset must reproduce every document's bytes
+    under its rank key (the loader is the other half of the format
+    contract)."""
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.curation import (
+        export_webdataset_shards,
+        read_webdataset,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "wds")
+    export_webdataset_shards(docs, out, shard_max_records=16)
+    back = read_webdataset(spark, out).collect()
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    want = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {ids[int(r.key)]: bytes(r.data).decode() for r in back}
+    assert got == want
+    assert {r.ext for r in back} == {"txt"}
+    # shard attribution: key // 16 determines the shard file
+    for r in back:
+        assert r.shard_file == f"shard-{int(r.key) // 16:06d}.tar"

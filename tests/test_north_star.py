@@ -1576,3 +1576,41 @@ def test_incremental_phash_equals_one_shot(spark, tmp_path):
     assert spark.read.parquet(sigp).count() == n_docs
     assert spark.read.parquet(post).select("doc_id").distinct().count() == n_docs
     sigs.unpersist()
+
+
+def test_dhash_gradient_variant(spark):
+    """dHash: brightness-shift robustness (adding a constant to every
+    byte flips many aHash bits but NO dHash bits — the gradient is
+    shift-invariant), python-twin exactness, and validation."""
+    from lichess_db_spark.multimodal.media import ahash_images
+
+    base = bytes(range(30, 190)) * 4
+    brighter = bytes(min(255, b + 40) for b in base)  # uniform shift
+    df = spark.createDataFrame(
+        [(1, base), (2, brighter)], "doc_id long, data binary"
+    )
+    d = {r.doc_id: r.phash for r in ahash_images(df, use_real=False, method="dhash").collect()}
+    a = {r.doc_id: r.phash for r in ahash_images(df, use_real=False, method="ahash").collect()}
+    assert len(d[1]) == 64
+    # gradient invariance under the (non-clipped) shift region
+    ham_d = sum(x != y for x, y in zip(d[1], d[2]))
+    ham_a = sum(x != y for x, y in zip(a[1], a[2]))
+    assert ham_d <= ham_a  # dhash at least as shift-robust
+    assert ham_d <= 8  # clipping at 255 may move a few edge gradients
+
+    # python twin
+    import numpy as np
+
+    arr = np.frombuffer(base, dtype=np.uint8).astype(np.int64)
+    n = arr.size
+    blocks = (np.arange(n) * 65) // n
+    sums = np.bincount(blocks, weights=arr, minlength=65).astype(np.int64)
+    cnts = np.bincount(blocks, minlength=65).astype(np.int64)
+    want = "".join(
+        "1" if sums[i] * cnts[i + 1] < sums[i + 1] * cnts[i] else "0"
+        for i in range(64)
+    )
+    assert d[1] == want
+
+    with pytest.raises(ValueError, match="method"):
+        ahash_images(df, use_real=False, method="phash64")

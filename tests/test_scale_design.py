@@ -608,7 +608,10 @@ _PLAN_FINGERPRINTS = {
     "pack_sequences_lang": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
     "tfidf_top_terms": dict(exchanges=5, bhj=1, smj=0, windows=3, topk=0),
     "dedup_exact_groups": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
-    "corpus_shuffle_rank": dict(exchanges=4, bhj=1, smj=0, windows=1, topk=0),
+    # r9: the range exchange + local positions sit behind global_rank's
+    # eager localCheckpoint (the branch-divergence fix), so the visible
+    # plan keeps only the offsets aggregate's two exchanges
+    "corpus_shuffle_rank": dict(exchanges=2, bhj=1, smj=0, windows=1, topk=0),
     "repeated_passages": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
     # r5 corpus-statistics family, pinned at SF_SMALL default conf where
     # the vocab-side joins broadcast (under fact-sized stats they flip
