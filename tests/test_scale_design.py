@@ -910,3 +910,74 @@ def test_unimax_returned_plan_is_corpus_free(spark):
 
     p = _plan(QUERIES["unimax_lang_allocation"].build(spark, SF_SMALL), "simple")
     assert "FileScan parquet" not in p, p[:2000]
+
+
+def test_runtime_bloom_filter_join_engages(spark):
+    from .conftest import SF_MED
+
+    """Spark's native runtime filtering (InjectRuntimeFilter): a
+    selective dim-side predicate on a shuffle join plants a
+    bloom_filter_agg on the creation side and a might_contain probe
+    above the application-side SCAN — row groups that cannot join are
+    skipped before the shuffle, the built-in cousin of our manual
+    semi-join prunes. Default thresholds target >10 GB scans, so the
+    test lowers them (and restores) to prove the plan shape engages;
+    results must be identical with the rule on and off."""
+    conf = spark.conf
+    saved = {}
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # keep the join a shuffle join so the filter has a side to prune
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in overrides.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        li = load_table(spark, SF_MED, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = (
+            load_table(spark, SF_MED, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        q = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("s"),
+        )
+        plan = _plan(q)
+        assert "might_contain" in plan, plan[:4000]
+        assert "bloom_filter_agg" in plan, plan[:4000]
+        with_filter = q.collect()[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        li = load_table(spark, SF_MED, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = (
+            load_table(spark, SF_MED, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        without = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("s"),
+            )
+        ).collect()[0]
+    finally:
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    assert (with_filter["n"], with_filter["s"]) == (without["n"], without["s"])
+    assert with_filter["n"] > 0
