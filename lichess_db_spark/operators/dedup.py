@@ -1992,7 +1992,9 @@ def incremental_phash_near_dup(
     max_postings_per_key: int | None = 256,
     observation=None,
     batch_id: int | None = None,
-) -> DataFrame:
+    write_archives: bool = True,
+    return_archives: bool = False,
+):
     """Incremental perceptual-hash near-dup: VERIFIED Hamming pairs of
     an arriving batch of image signatures against the archive — the
     multimodal member of the incremental family, next to the MinHash
@@ -2014,11 +2016,21 @@ def incremental_phash_near_dup(
     full corpus (cap disabled; pinned by test).
 
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <=
-    ``max_hamming``."""
+    ``max_hamming``. ``write_archives=False`` skips both archive
+    writes and (with ``return_archives=True``) returns
+    ``(pairs, new_post, sig_rows)`` with ``new_post`` still cached —
+    for sinks that archive a KEPT-ONLY subset themselves (the
+    embeddings-sink policy); the caller owns the new_post unpersist
+    and both writes."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < bands, got "
             f"{max_hamming} >= {bands}"
+        )
+    if return_archives and write_archives:
+        raise ValueError(
+            "return_archives=True requires write_archives=False — the "
+            "kept-only caller owns the archive writes"
         )
     from ..io import path_exists
 
@@ -2034,7 +2046,7 @@ def incremental_phash_near_dup(
             n_bits=n_bits,
             bands=bands,
         )
-        pairs = _incremental_posting_pairs(
+        core = _incremental_posting_pairs(
             new_post,
             postings_path,
             key_cols=("band_idx", "band_hash"),
@@ -2043,8 +2055,10 @@ def incremental_phash_near_dup(
             max_per_key=max_postings_per_key,
             observation=observation,
             batch_id=batch_id,
-            write_postings=True,
+            write_postings=write_archives,
+            return_postings=not write_archives,
         )
+        pairs, new_post_cached = core if not write_archives else (core, None)
         # signature side table: archive current batch's sigs with the
         # same replay contract as the postings
         sig_rows = new_sigs.select(F.col(id_col), F.col("__sig").alias(sig_col))
@@ -2063,23 +2077,24 @@ def incremental_phash_near_dup(
                 .unionByName(sig_rows)
                 .dropDuplicates([id_col])
             )
-        if batch_id is not None:
-            (
-                sig_rows.withColumn("batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(sigs_path)
-            )
-        else:
-            sig_rows.write.mode("append").parquet(sigs_path)
+        if write_archives:
+            if batch_id is not None:
+                (
+                    sig_rows.withColumn("batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(sigs_path)
+                )
+            else:
+                sig_rows.write.mode("append").parquet(sigs_path)
         sa = all_sigs.select(
             F.col(id_col).alias("doc_a"), F.col(sig_col).alias("__s1")
         )
         sb = all_sigs.select(
             F.col(id_col).alias("doc_b"), F.col(sig_col).alias("__s2")
         )
-        return (
+        verified = (
             pairs.join(sa, "doc_a")
             .join(sb, "doc_b")
             .withColumn(
@@ -2088,5 +2103,8 @@ def incremental_phash_near_dup(
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming")
         )
+        if return_archives:
+            return verified, new_post_cached, sig_rows
+        return verified
     finally:
         new_sigs.unpersist()

@@ -1286,3 +1286,145 @@ def compact_before_read(
         spark, state_path, rows_per_file=rows_per_file, exclude_batch=exclude_batch
     )
     return {"compacted": True, "batch_dirs": batch_dirs, **stats}
+
+
+def stream_images_curation(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+    max_hamming: int = 3,
+    bands: int = 4,
+    compact_every: int | None = None,
+):
+    """Streaming IMAGE curation: micro-batches of (doc_id, data) blobs
+    flow through exact dedup and incremental perceptual-hash near-dup
+    into an append-only media corpus — the image member of the
+    streaming-curation family, completing the modality symmetry
+    (text: :func:`stream_documents_curation`; vectors:
+    :func:`stream_embeddings_curation`; images: this).
+
+    Tiers per batch:
+
+    - **exact**: digest = md5 of the raw bytes; intra-batch
+      keep-min-id, then anti-join the persisted digest state (a
+      re-uploaded byte-identical image never reaches hashing).
+    - **near-dup**: aHash signatures of the exact-survivors
+      (:func:`~..multimodal.media.ahash_images` — only NEW blobs are
+      ever hashed), candidates + Hamming verification from
+      ``incremental_phash_near_dup`` against the posting/signature
+      archives; a doc drops when a verified pair links it to an
+      earlier-arrived KEPT image or a smaller-id batch member.
+
+    **Archives hold kept images only** — the embeddings-sink policy,
+    and for the same reason: the signature side table exists to
+    verify future candidates, and dropped images are never written,
+    so their signatures must not linger as phantom partners. The
+    documented trade also carries over: in a chain A~B~C where B
+    dropped for A, C re-enters unless it verifies against A directly
+    (clique-shaped duplicate families — the common re-upload case —
+    are unaffected).
+
+    Exactly-once: every write (media corpus, digest state, postings,
+    signatures) is a batch_id-scoped overwrite; state reads exclude
+    the current batch's own directories, so a checkpoint-replayed
+    batch rewrites identical outputs. ``compact_every`` compacts the
+    posting archive on the same cadence contract as the other sinks.
+    """
+    from ..io import path_exists
+    from ..multimodal.media import ahash_images
+    from ..operators.dedup import incremental_phash_near_dup
+
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    state_path = os.path.join(out_dir, "_digest_state")
+    postings_path = os.path.join(out_dir, "_phash_postings")
+    sigs_path = os.path.join(out_dir, "_phash_sigs")
+    imgs_path = os.path.join(out_dir, "imgs")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = None
+        if path_exists(sess, state_path):
+            seen = sess.read.parquet(state_path)
+            if "batch" in seen.columns:
+                seen = seen.where(F.col("batch") != F.lit(batch_id))
+        staged = curation_batch_plan(
+            batch_df,
+            seen,
+            digest=F.md5(F.col("data")),
+            order_col="doc_id",
+        ).persist()
+        verified = batch_post = None
+        try:
+            sigs = ahash_images(staged.select("doc_id", "data"), use_real=False)
+            verified, batch_post, sig_rows = incremental_phash_near_dup(
+                sigs,
+                postings_path,
+                sigs_path,
+                max_hamming=max_hamming,
+                bands=bands,
+                batch_id=batch_id,
+                write_archives=False,
+                return_archives=True,
+            )
+            verified = verified.persist()
+            ids = staged.select(F.col("doc_id").alias("__bid"))
+            both_in = verified.join(
+                ids, verified["doc_a"] == ids["__bid"], "left_semi"
+            ).join(ids, F.col("doc_b") == ids["__bid"], "left_semi")
+            drop_intra = both_in.select(F.col("doc_b").alias("__drop"))
+            a_only = (
+                verified.join(ids, verified["doc_a"] == ids["__bid"], "left_semi")
+                .join(ids, F.col("doc_b") == ids["__bid"], "left_anti")
+                .select(F.col("doc_a").alias("__drop"))
+            )
+            b_only = (
+                verified.join(ids, verified["doc_b"] == ids["__bid"], "left_semi")
+                .join(ids, F.col("doc_a") == ids["__bid"], "left_anti")
+                .select(F.col("doc_b").alias("__drop"))
+            )
+            drops = drop_intra.union(a_only).union(b_only).distinct()
+            kept = staged.join(
+                drops, staged["doc_id"] == drops["__drop"], "left_anti"
+            ).select(*batch_df.columns).persist()
+            try:
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(imgs_path, f"batch={batch_id}")
+                )
+                kept_ids = kept.select("doc_id")
+                batch_post.join(kept_ids, "doc_id", "left_semi").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(postings_path, f"batch={batch_id}"))
+                sig_rows.join(kept_ids, "doc_id", "left_semi").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(sigs_path, f"batch={batch_id}"))
+                staged.select("__digest").write.mode("overwrite").parquet(
+                    os.path.join(state_path, f"batch={batch_id}")
+                )
+                if compact_every and (batch_id + 1) % compact_every == 0:
+                    from ..operators.dedup import compact_postings
+
+                    compact_postings(
+                        sess,
+                        postings_path,
+                        id_col="doc_id",
+                        key_cols=("band_idx", "band_hash"),
+                    )
+            finally:
+                kept.unpersist()
+        finally:
+            if verified is not None:
+                verified.unpersist()
+            if batch_post is not None:
+                batch_post.unpersist()
+            staged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

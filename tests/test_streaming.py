@@ -1395,3 +1395,59 @@ def test_curation_batch_bloom_prefilter_identical(spark):
         ).collect()
     }
     assert repaired == want
+
+
+def test_stream_images_curation(spark, tmp_path):
+    """Image member of the streaming-curation family: a batch-2 blob
+    that is byte-identical to a kept batch-1 blob dies in the digest
+    tier; a batch-2 blob within aHash Hamming 3 of a kept batch-1
+    blob (one flipped byte on the decision edge) dies in the
+    perceptual tier; unrelated blobs survive; replaying batch
+    directories is idempotent (batch_id-scoped overwrites)."""
+    from lichess_db_spark.streaming.ingest import stream_images_curation
+
+    # engineered blobs: all-100 bytes sit every block mean exactly on
+    # the global mean, so one raised byte flips exactly one bit
+    base = bytes([100]) * 640
+    tweaked = bytearray(base)
+    tweaked[20] = 200  # one bit -> hamming 1
+    far = bytes(([150] * 10 + [50] * 10) * 32)  # hash 1010... (far)
+    b1 = spark.createDataFrame(
+        [(1, base), (2, far)], "doc_id long, data binary"
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, bytes(base)),      # exact re-upload of 1 -> digest tier
+            (11, bytes(tweaked)),   # near-dup of 1 -> perceptual tier
+            # unrelated survivor: 0011-repeating block pattern (a
+            # CONSTANT blob would aHash to all-zeros like base does —
+            # brightness-invariant hash)
+            (12, bytes(([50] * 20 + [150] * 20) * 16)),
+        ],
+        "doc_id long, data binary",
+    )
+    src = tmp_path / "isrc"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    out = tmp_path / "iout"
+    q = stream_images_curation(
+        spark, str(src), str(out), str(tmp_path / "ickpt")
+    )
+    q.awaitTermination(240)
+
+    kept = {r.doc_id for r in spark.read.parquet(str(out / "imgs")).collect()}
+    assert kept == {1, 2, 12}
+    # kept-only archives: dropped 10/11 never entered sigs or postings
+    sig_ids = {
+        r.doc_id for r in spark.read.parquet(str(out / "_phash_sigs")).collect()
+    }
+    assert sig_ids == {1, 2, 12}
+    post_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(out / "_phash_postings"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert post_ids == {1, 2, 12}
