@@ -167,6 +167,12 @@ HEADLINE = [
     # its connected-components cluster tier
     "mm_phash_dedup",
     "dedup_cc_clusters",
+    # r9 session 2: DSIR resampling, Matryoshka truncation, Heaps-law
+    # vocab curve (export_webdataset_docs stays out like
+    # merge_upsert_orders — side-effecting entries don't bench)
+    "dsir_resample_docs",
+    "embedding_matryoshka_truncate",
+    "vocab_growth_curve",
 ]
 
 

@@ -34,6 +34,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "dsir_resample_docs",
     "embedding_matryoshka_truncate",
     "export_webdataset_docs",
+    "vocab_growth_curve",
 )
 
 
@@ -1282,3 +1283,61 @@ def export_webdataset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_max_records=_WDS_SHARD_MAX,
     )
     return acct.select("shard_file", "n_records", "n_members")
+
+
+@register(
+    "vocab_growth_curve",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    firsts AS (
+        SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t
+    ),
+    n AS (SELECT MAX(doc_id) AS mx FROM tok),
+    marks AS (SELECT unnest([10, 25, 50, 100]) AS pct)
+    SELECT m.pct,
+           CAST(COUNT(*) FILTER (
+               f.first_doc * 100 <= n.mx * m.pct
+           ) AS BIGINT) AS vocab_size,
+           CAST((SELECT COUNT(*) FROM tok t2, n
+                 WHERE t2.doc_id * 100 <= n.mx * m.pct) AS BIGINT) AS n_tokens
+    FROM firsts f CROSS JOIN n CROSS JOIN marks m
+    GROUP BY m.pct, n.mx
+    """,
+    "Vocabulary growth curve (Heaps' law diagnostic): distinct-token "
+    "count at 10/25/50/100% corpus prefixes (by doc_id order) next "
+    "to total token volume — the measurement that sizes a tokenizer "
+    "vocab and predicts how vocabulary scales to the full 100 TB "
+    "crawl BEFORE training on it (V ~ N^beta; fit beta from the "
+    "curve). Single-pass shape: one exploded scan feeds BOTH sides — "
+    "each token's FIRST-occurrence doc (a token-keyed min-agg, "
+    "vocab-sized) bucketed against the prefix marks, and the "
+    "per-prefix token volume from the same relation; no per-prefix "
+    "rescans, no count_distinct per mark (which would be 4 full "
+    "shuffles). The prefix test is exact integer cross-multiply "
+    "(first_doc * 100 <= max_doc * pct). Full oracle.",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    mx = tok.agg(F.max("doc_id").alias("mx"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    marks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 100)])).alias("pct")
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(marks))
+        .where(F.col("first_doc") * 100 <= F.col("mx") * F.col("pct"))
+        .groupBy("pct")
+        .agg(F.count("*").cast("bigint").alias("vocab_size"))
+    )
+    volume = (
+        tok.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(marks))
+        .where(F.col("doc_id") * 100 <= F.col("mx") * F.col("pct"))
+        .groupBy("pct")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )
+    return vocab.join(volume, "pct").select("pct", "vocab_size", "n_tokens")
