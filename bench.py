@@ -173,6 +173,7 @@ HEADLINE = [
     "dsir_resample_docs",
     "embedding_matryoshka_truncate",
     "vocab_growth_curve",
+    "countmin_vec_mv_orders",
 ]
 
 

@@ -35,6 +35,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "embedding_matryoshka_truncate",
     "export_webdataset_docs",
     "vocab_growth_curve",
+    "countmin_vec_mv_orders",
 )
 
 
@@ -788,9 +789,10 @@ _CM_BINS_ROWS = " UNION ALL ".join(
 )
 
 
-@register(
-    "countmin_mv_orders",
-    f"""
+# Shared CountMin oracle (one-text discipline): the long-form entry
+# and the dense cm:<w>x<d> StateCol entry produce IDENTICAL estimates
+# (same md5 bins, counters add either way), so they share this SQL.
+_CM_ORACLE = f"""
     WITH base AS (
         SELECT o_orderpriority AS grp,
                CAST(o_custkey % 97 AS VARCHAR) AS item,
@@ -826,7 +828,12 @@ _CM_BINS_ROWS = " UNION ALL ".join(
     SELECT est.grp AS o_orderpriority, est.item, est.cm_estimate,
            exact.exact_count
     FROM est JOIN exact ON est.grp = exact.grp AND est.item = exact.item
-    """,
+    """
+
+
+@register(
+    "countmin_mv_orders",
+    _CM_ORACLE,
     "CountMin sketch as a mergeable-MV algebra — the frequency-sketch "
     "member that completes the family next to hll (distinct), topk "
     "(order statistics), fi (heavy hitters), hist (distribution), "
@@ -1341,3 +1348,61 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_tokens"))
     )
     return vocab.join(volume, "pct").select("pct", "vocab_size", "n_tokens")
+
+
+@register(
+    "countmin_vec_mv_orders",
+    _CM_ORACLE,
+    "The DENSE `cm:<w>x<d>` StateCol algebra driven end to end under "
+    "the hash gate — the r9 spec-dispatch unification's own driver "
+    "row beside the long-form entry: per-batch partials from "
+    "cm_accumulate_vec (length-128 BIGINT counter vectors, one per "
+    "group), merged through merge_agg_state's cm:32x4 dispatch "
+    "(element-wise vector add — the hist algebra at n=w*d), point "
+    "reads from cm_estimate_expr (min over the item's d probed "
+    "cells, a pure array expression — no join against counter rows). "
+    "SHARES the long-form entry's oracle text verbatim: same md5 "
+    "bins, counters add either way, so the two state layouts are "
+    "estimate-identical by construction (also property-tested in "
+    "test_incremental). Scale tradeoff the pair documents: LONG form "
+    "wins at high group cardinality (sparse — most counters zero), "
+    "DENSE wins at low cardinality with heavy merge traffic (one row "
+    "per group, no per-counter shuffle keys).",
+)
+def countmin_vec_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        StateCol,
+        cm_accumulate_vec,
+        cm_estimate_expr,
+        merge_agg_state,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_custkey") % 97).cast("string").alias("item"),
+        "o_orderkey",
+    )
+    cols = [StateCol("cm", "cm:32x4")]
+    hist = cm_accumulate_vec(
+        base.where(F.col("o_orderkey") % 10 != 0), ["grp"], "item"
+    )
+    delta = cm_accumulate_vec(
+        base.where(F.col("o_orderkey") % 10 == 0), ["grp"], "item"
+    )
+    state = merge_agg_state(hist, delta, keys=["grp"], cols=cols)
+    probes = base.select("grp", "item").distinct()
+    est = probes.join(state, "grp").select(
+        "grp",
+        "item",
+        cm_estimate_expr("cm", F.col("item")).alias("cm_estimate"),
+    )
+    exact = base.groupBy("grp", "item").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    return est.join(exact, ["grp", "item"]).select(
+        F.col("grp").alias("o_orderpriority"),
+        "item",
+        "cm_estimate",
+        "exact_count",
+    )
