@@ -174,6 +174,7 @@ HEADLINE = [
     "embedding_matryoshka_truncate",
     "vocab_growth_curve",
     "countmin_vec_mv_orders",
+    "knn_matryoshka_rerank",
 ]
 
 

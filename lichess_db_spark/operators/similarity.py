@@ -847,3 +847,93 @@ def embedding_contamination(
             F.round(F.col("__exact"), 3).alias("score"),
         )
     )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 16,
+    overfetch: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN with Matryoshka prefixes (Kusupati et al. 2022's
+    adaptive-retrieval recipe): a COARSE pass ranks by cosine over the
+    first ``prefix_dim`` dims (reading 1/4 of the vector bytes at
+    dim 64/prefix 16), keeps ``overfetch`` candidates per query, then
+    an exact FULL-dimension cosine reranks the candidates to the
+    final top-``k`` — the serving pattern that makes one stored
+    embedding work at several cost tiers.
+
+    Determinism: both stages use the exact scaled-int cosine with
+    3-decimal rounding + id tiebreaks for their cuts (the repo's knn
+    kit), so the selected sets are engine-portable. Scale shape:
+    coarse = broadcast queries x corpus map-side scan over prefix
+    bytes + per-query TopK window; rerank touches Q x overfetch rows
+    only. Recall floor vs brute force is test-pinned; prefix quality
+    is the model's MRL property, not the operator's."""
+    from ..functions.vectors import dot_exact, norm_exact
+
+    if not 0 < prefix_dim:
+        raise ValueError(f"prefix_dim must be positive, got {prefix_dim}")
+    if overfetch < k:
+        raise ValueError(f"overfetch {overfetch} must be >= k {k}")
+    pfx = lambda c: F.slice(F.col(c), 1, prefix_dim)  # noqa: E731
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            pfx(vec_col).alias("q_pfx"),
+            norm_exact(F.col(vec_col)).alias("q_norm"),
+            norm_exact(pfx(vec_col)).alias("q_pnorm"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        pfx(vec_col).alias("c_pfx"),
+        norm_exact(F.col(vec_col)).alias("c_norm"),
+        norm_exact(pfx(vec_col)).alias("c_pnorm"),
+    )
+    coarse = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "c_vec",
+            "q_norm",
+            "c_norm",
+            F.round(
+                dot_exact("q_pfx", "c_pfx") / (F.col("q_pnorm") * F.col("c_pnorm")),
+                3,
+            ).alias("coarse_score"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_score").desc(), F.col("neighbor_id")
+    )
+    cands = coarse.withColumn("__r", F.row_number().over(w1)).where(
+        F.col("__r") <= overfetch
+    )
+    rescored = cands.select(
+        "query_id",
+        "neighbor_id",
+        "coarse_score",
+        F.round(
+            dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 3
+        ).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "score", "coarse_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

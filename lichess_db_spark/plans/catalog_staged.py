@@ -36,6 +36,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "export_webdataset_docs",
     "vocab_growth_curve",
     "countmin_vec_mv_orders",
+    "knn_matryoshka_rerank",
 )
 
 
@@ -1405,4 +1406,70 @@ def countmin_vec_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item",
         "cm_estimate",
         "exact_count",
+    )
+
+
+@register(
+    "knn_matryoshka_rerank",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.embedding AS qe, c.embedding AS ce
+        FROM embeddings c, q WHERE c.vec_id != q.vec_id
+    ),
+    dots AS (
+        SELECT query_id, neighbor_id,
+               CAST(SUM(CASE WHEN g.i <= 16 THEN CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT) ELSE 0 END) AS BIGINT) AS pdot,
+               CAST(SUM(CASE WHEN g.i <= 16 THEN CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(qe[g.i] AS DOUBLE) * 1e12) AS BIGINT) ELSE 0 END) AS BIGINT) AS pqq,
+               CAST(SUM(CASE WHEN g.i <= 16 THEN CAST(ROUND(CAST(ce[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT) ELSE 0 END) AS BIGINT) AS pcc,
+               CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS fdot,
+               CAST(SUM(CAST(ROUND(CAST(qe[g.i] AS DOUBLE) * CAST(qe[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS fqq,
+               CAST(SUM(CAST(ROUND(CAST(ce[g.i] AS DOUBLE) * CAST(ce[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS fcc
+        FROM pairs, generate_series(1, 64) AS g(i)
+        GROUP BY query_id, neighbor_id
+    ),
+    coarse AS (
+        SELECT query_id, neighbor_id,
+               ROUND((pdot / 1e12) / (sqrt(pqq / 1e12) * sqrt(pcc / 1e12)), 3)
+                   AS coarse_score,
+               ROUND((fdot / 1e12) / (sqrt(fqq / 1e12) * sqrt(fcc / 1e12)), 3)
+                   AS score
+        FROM dots
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY coarse_score DESC,
+                                                  neighbor_id) AS cr
+            FROM coarse
+        ) WHERE cr <= 50
+    )
+    SELECT query_id, neighbor_id, score, coarse_score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, score, coarse_score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM cand
+    ) WHERE rank <= 5
+    """,
+    "Two-stage Matryoshka ANN (Kusupati et al. 2022 adaptive "
+    "retrieval): coarse cosine over the FIRST-16-dim prefix keeps 50 "
+    "candidates per query (reading 1/4 of the vector bytes), exact "
+    "full-dim cosine reranks to top-5 — the serving recipe that "
+    "makes one stored embedding work at several cost tiers, and the "
+    "retrieval-side consumer of catalog:embedding_matryoshka_"
+    "truncate. Both cuts use the repo's deterministic knn kit "
+    "(exact scaled-int cosines, 3-decimal rounding, id tiebreaks), "
+    "so even the candidate set is engine-portable — a FULL oracle "
+    "where IVF/PQ are rows-only. Scale shape: broadcast queries x "
+    "map-side prefix scan + per-query TopK window; the rerank "
+    "touches Q x 50 rows. Recall floor vs brute force test-pinned.",
+)
+def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import matryoshka_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, prefix_dim=16, overfetch=50
     )

@@ -1614,3 +1614,45 @@ def test_dhash_gradient_variant(spark):
 
     with pytest.raises(ValueError, match="method"):
         ahash_images(df, use_real=False, method="phash64")
+
+
+def test_matryoshka_topk_recall_and_validation(emb):
+    """The 16-dim coarse pass + full-dim rerank must recover most of
+    the exact top-5 (recall floor vs brute force — the MRL property
+    that prefixes preserve coarse geometry), every reranked score must
+    equal the brute-force exact cosine, and parameter validation fails
+    loud."""
+    from lichess_db_spark.operators.similarity import (
+        brute_force_topk,
+        matryoshka_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    mrl = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in matryoshka_topk(emb, queries, k=5, prefix_dim=16).collect()
+    }
+    hits = set(exact) & set(mrl)
+    recall = len(hits) / len(exact)
+    # the FIXTURE embeddings are isotropic (not MRL-trained), so the
+    # 16-dim prefix carries only 1/4 of the geometry — the honest
+    # floor is "the coarse stage beats drawing the same candidate
+    # budget at random", not a trained model's 0.9+: random overfetch
+    # of 50 from this corpus would recall ~overfetch/corpus.
+    n_corpus = emb.count() - 1
+    random_baseline = min(1.0, 50 / n_corpus)
+    assert recall >= max(0.4, 2 * random_baseline), (
+        f"matryoshka recall collapsed: {recall:.2f} "
+        f"(random baseline {random_baseline:.2f})"
+    )
+    for pair in hits:  # reranked scores are the exact cosine
+        assert mrl[pair] == exact[pair]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overfetch"):
+        matryoshka_topk(emb, queries, k=10, overfetch=5)
