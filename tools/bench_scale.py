@@ -295,6 +295,29 @@ def main() -> None:
             "dsir_importance": lambda d, f: dsir_importance(
                 d, target_pred=F.col("lang") == "en"
             ),
+            # DSIR RESAMPLING (r9): the weight passes + one
+            # TakeOrderedAndProject; k scales with f so the cut depth
+            # stays proportional
+            "dsir_resample": lambda d, f: priority_sample(
+                dsir_importance(d, target_pred=F.col("lang") == "en"),
+                "doc_id",
+                "score_scaled",
+                k=1000 * f,
+            ),
+            # Heaps-law vocab curve (r9): one exploded scan feeding the
+            # first-occurrence min-agg (vocab-sized: the token salt
+            # grows vocab ~linearly with replicas) + volume counts
+            "vocab_growth": lambda d, f: (
+                lambda tok: (
+                    tok.groupBy("t")
+                    .agg(F.min("doc_id").alias("first_doc"))
+                    .crossJoin(
+                        F.broadcast(tok.agg(F.max("doc_id").alias("mx")))
+                    )
+                    .where(F.col("first_doc") * 2 <= F.col("mx"))
+                    .agg(F.count("*").alias("vocab_at_half"))
+                )
+            )(d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))),
             # pHash image dedup (r9): map-only aHash signature pass +
             # one (band, key) exchange + candidate-only Hamming verify;
             # salted replicas share no bytes, so candidate volume per
