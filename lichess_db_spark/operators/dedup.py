@@ -2102,7 +2102,14 @@ def incremental_phash_near_dup(
             )
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming")
+            .persist()
         )
+        # materialize, then release the core's candidate cache: the
+        # persisted pair relation is otherwise hidden inside verified's
+        # lineage and leaks one cache entry per call/micro-batch
+        # (r9 self-review). Candidate-sized job — cheap.
+        verified.count()
+        pairs.unpersist()
         if return_archives:
             return verified, new_post_cached, sig_rows
         return verified
