@@ -175,6 +175,7 @@ HEADLINE = [
     "vocab_growth_curve",
     "countmin_vec_mv_orders",
     "knn_matryoshka_rerank",
+    "passage_dup_curve",
 ]
 
 

@@ -37,6 +37,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "vocab_growth_curve",
     "countmin_vec_mv_orders",
     "knn_matryoshka_rerank",
+    "passage_dup_curve",
 )
 
 
@@ -1472,4 +1473,86 @@ def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return matryoshka_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, prefix_dim=16, overfetch=50
+    )
+
+
+@register(
+    "passage_dup_curve",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+        SELECT doc_id,
+               md5(array_to_string(ts[g.i:g.i+7], ' ')) AS gk
+        FROM tok, range(1, 100001) AS g(i)
+        WHERE g.i + 7 <= len(ts)
+    ),
+    firsts AS (SELECT gk, MIN(doc_id) AS first_doc FROM grams GROUP BY gk),
+    n AS (SELECT MAX(doc_id) AS mx FROM grams),
+    marks AS (SELECT unnest([10, 25, 50, 100]) AS pct),
+    vol AS (
+        SELECT m.pct, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams g2 CROSS JOIN n CROSS JOIN marks m
+        WHERE g2.doc_id * 100 <= n.mx * m.pct
+        GROUP BY m.pct
+    ),
+    uniq AS (
+        SELECT m.pct, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM firsts f CROSS JOIN n CROSS JOIN marks m
+        WHERE f.first_doc * 100 <= n.mx * m.pct
+        GROUP BY m.pct
+    )
+    SELECT v.pct, v.n_grams, u.n_distinct,
+           v.n_grams - u.n_distinct AS n_duplicated
+    FROM vol v JOIN uniq u USING (pct)
+    """,
+    "Passage-duplication growth curve: total vs distinct 8-gram "
+    "passages at 10/25/50/100% corpus prefixes — the measurement "
+    "behind deduplicate-before-training (Lee et al. 2021): the "
+    "DUPLICATED share grows super-linearly with corpus size, so the "
+    "dedup payoff at 100 TB cannot be extrapolated from a small "
+    "sample without this curve. Exact counts only (no small-int "
+    "ratio rounding); the vocab_growth_curve single-pass shape over "
+    "md5 gram digests: one exploded scan feeds both the "
+    "first-occurrence min-agg (distinct side) and the volume counts; "
+    "exact integer cross-multiply prefix tests. Full oracle.",
+)
+def passage_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    # guard: sequence(1, size-7) DESCENDS to [1, 0] when a doc has
+    # fewer than 8 tokens (Spark sequences run backwards for
+    # stop < start) — short docs must contribute zero grams, not a
+    # slice(ts, 0, 8) analysis error
+    gram_arr = F.when(
+        F.size(ts) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 7),
+            lambda i: F.md5(F.array_join(F.slice(ts, i, 8), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(gram_arr).alias("gk"))
+    mx = grams.agg(F.max("doc_id").alias("mx"))
+    marks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 100)])).alias("pct")
+    )
+    firsts = grams.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
+    vol = (
+        grams.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(marks))
+        .where(F.col("doc_id") * 100 <= F.col("mx") * F.col("pct"))
+        .groupBy("pct")
+        .agg(F.count("*").cast("bigint").alias("n_grams"))
+    )
+    uniq = (
+        firsts.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(marks))
+        .where(F.col("first_doc") * 100 <= F.col("mx") * F.col("pct"))
+        .groupBy("pct")
+        .agg(F.count("*").cast("bigint").alias("n_distinct"))
+    )
+    return vol.join(uniq, "pct").select(
+        "pct",
+        "n_grams",
+        "n_distinct",
+        (F.col("n_grams") - F.col("n_distinct")).alias("n_duplicated"),
     )

@@ -577,3 +577,36 @@ def test_webdataset_loader_roundtrip(spark, tmp_path):
     # shard attribution: key // 16 determines the shard file
     for r in back:
         assert r.shard_file == f"shard-{int(r.key) // 16:06d}.tar"
+
+
+def test_passage_dup_curve_short_docs_no_grams(spark):
+    """Docs under 8 tokens contribute ZERO grams (Spark's sequence
+    descends to [1, 0] for stop < start — the guard keeps short docs
+    from raising or emitting phantom grams), and counts stay exact."""
+    from lichess_db_spark.plans.registry import QUERIES
+    import tempfile, os, shutil
+
+    d = tempfile.mkdtemp(prefix="short_docs_")
+    try:
+        rows = [
+            (1, "a b c"),                       # 3 tokens: no grams
+            (2, " ".join("w%d" % i for i in range(8))),   # exactly 8: one gram
+            (3, " ".join("w%d" % i for i in range(8))),   # duplicate passage
+            (4, " ".join("x%d" % i for i in range(12))),  # 5 grams
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "documents.parquet"))
+        # reuse the builder against the synthetic dir; only the
+        # documents table is read
+        out = {
+            r.pct: (r.n_grams, r.n_distinct, r.n_duplicated)
+            for r in QUERIES["passage_dup_curve"].build(spark, d).collect()
+        }
+        assert out[100] == (1 + 1 + 5, 1 + 5, 1)  # docs 2+3 share one gram
+        # the 25% prefix holds only the 3-token doc -> zero grams ->
+        # the mark is OMITTED (both engines: no rows reach the join)
+        assert 25 not in out
+        assert out[50] == (1, 1, 0)  # doc 2's single gram, no dup yet
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
