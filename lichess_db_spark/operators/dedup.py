@@ -240,6 +240,62 @@ def minhash_signatures(
 DEFAULT_MAX_BUCKET_SIZE = 256
 
 
+def _precap_hot_keys(
+    banded: DataFrame,
+    key_cols: tuple[str, ...],
+    max_bucket_size: int | None,
+    observation,
+) -> DataFrame:
+    """Count-first hot-key pre-cap shared by the batch pairing tiers
+    (MinHash bands and Hamming bit-slices): a map-combinable
+    ``groupBy(keys).count()`` finds over-cap keys, then a broadcast
+    LEFT ANTI join drops their rows BEFORE any per-bucket
+    ``collect_list`` — so a corpus with D near-identical members never
+    materializes a D-element aggregation buffer on one reducer (the r9
+    scale suite measured the post-materialization cap at alpha 1.28 /
+    108 s on the 64x adversarially-duplicated corpus: the cap filtered
+    AFTER the hot bucket was built). The over-cap key relation is
+    bounded by total_rows / cap keys (<0.4% of banded rows at the
+    default cap) and is broadcast, so hot rows are dropped map-side
+    and never cross the exchange.
+
+    Requires the banded relation to hold at most one row per (id, key)
+    — both callers construct keys by posexplode over per-doc bands, so
+    the row count per key equals the bucket's member count (and
+    matches the portable oracles' ``COUNT(*) <= cap`` semantics
+    exactly).
+
+    ``observation``: metrics ride a DEDICATED eager aggregate job over
+    the key counts (same rationale as the incremental posting core —
+    a CollectMetrics node in the anti-join's build subtree is pruned
+    when AQE propagates the usually-empty hot relation, and the hot
+    side being empty is the COMMON case). Passing an observation
+    therefore triggers one small Spark job at build time.
+
+    The count pass re-reads ``banded``'s lineage once (partial
+    aggregation makes its shuffle tiny — one row per key per map
+    partition); at 100 TB callers should persist the signature
+    relation, which both catalog pHash entries already do."""
+    if max_bucket_size is None and observation is None:
+        return banded
+    key_counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    if observation is not None:
+        over = (
+            F.col("__n") > max_bucket_size
+            if max_bucket_size is not None
+            else F.lit(False)
+        )
+        key_counts.observe(
+            observation,
+            F.count(F.when(over, 1)).alias("capped_buckets"),
+            F.max("__n").alias("max_bucket_size_seen"),
+        ).count()
+    if max_bucket_size is None:
+        return banded
+    hot = key_counts.where(F.col("__n") > max_bucket_size).select(*key_cols)
+    return banded.join(F.broadcast(hot), list(key_cols), "left_anti")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -257,21 +313,29 @@ def minhash_lsh_candidates(
     hash.
 
     ``max_bucket_size`` (default 256 — pass ``None`` to disable) drops
-    buckets bigger than the cap before pairing: a web-scale hot bucket
+    buckets bigger than the cap BEFORE pairing: a web-scale hot bucket
     (boilerplate, empty-ish docs) is a low-information d² pair bomb —
-    one 1M-doc bucket alone would emit 5e11 pairs. Members of a capped
-    bucket can still pair through their other ``bands-1`` buckets;
-    **run exact_dedup_groups first** — a corpus of literal exact
-    duplicates floods every band bucket and the cap then silently
-    drops those pairs (by design; exact dups are the cheaper tier's
-    job).
+    one 1M-doc bucket alone would emit 5e11 pairs. The cap is applied
+    by a count-first pre-pass (see :func:`_precap_hot_keys`): over-cap
+    keys are found by a map-combinable count and their rows are
+    broadcast-anti-joined out before the per-bucket collect, so the
+    hot bucket's members never co-locate on a reducer (r10 fix — the
+    previous shape collected the D-element bucket and THEN dropped it,
+    which the r9 scale suite measured as a 108 s / alpha-1.28 cell on
+    the 64x-duplicated corpus). Members of a capped bucket can still
+    pair through their other ``bands-1`` buckets; **run
+    exact_dedup_groups first** — a corpus of literal exact duplicates
+    floods every band bucket and the cap then silently drops those
+    pairs (by design; exact dups are the cheaper tier's job).
 
     ``observation`` (a ``pyspark.sql.Observation``): the cap is a
     silent-recall hazard, so pass an Observation to make it
-    observable — after the first action, ``observation.get`` reports
-    ``capped_buckets`` (buckets dropped by the cap) and
-    ``max_bucket_size_seen``; the metrics ride the candidate job
-    itself (no extra pass over the data).
+    observable — ``observation.get`` reports ``capped_buckets``
+    (buckets dropped by the cap) and ``max_bucket_size_seen``. The
+    metrics run as one dedicated key-count job at build time (an
+    observed node in the anti-join's build subtree is pruned when AQE
+    propagates the usually-empty hot relation — the same trap the
+    incremental core documents).
     """
     # sigs carry no nulls (minhash_signatures drops shingle-less docs);
     # filtering on the signature here would push the predicate below
@@ -289,28 +353,17 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
+    banded = _precap_hot_keys(
+        banded, ("band_idx", "band_hash"), max_bucket_size, observation
+    )
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
     )
-    if observation is not None:
-        over_cap = (
-            F.size("ids") > max_bucket_size
-            if max_bucket_size is not None
-            else F.lit(False)
-        )
-        buckets = buckets.observe(
-            observation,
-            F.count(F.when(over_cap, 1)).alias("capped_buckets"),
-            F.max(F.size("ids")).alias("max_bucket_size_seen"),
-        )
-    size_ok = F.size("ids") > 1
-    if max_bucket_size is not None:
-        # verified sf0.1 buckets max out at 4, so the default cap of
-        # 256 never binds on the test corpora — it exists for the
-        # adversarial hot bucket.
-        size_ok = size_ok & (F.size("ids") <= max_bucket_size)
+    # verified sf0.1 buckets max out at 4, so the default cap of 256
+    # never binds on the test corpora — it exists for the adversarial
+    # hot bucket, whose members the pre-pass already dropped.
     pairs = (
-        buckets.where(size_ok)
+        buckets.where(F.size("ids") > 1)
         .select(
             F.explode(
                 F.flatten(
@@ -1580,11 +1633,17 @@ def bloom_hit_udf(spark, bitmap_bytes: bytes, m: int, k: int):
     if len(_BLOOM_PROBE_CACHE) >= _BLOOM_PROBE_CACHE_MAX:
         _, old_bc = _BLOOM_PROBE_CACHE.pop(next(iter(_BLOOM_PROBE_CACHE)))
         try:
-            # release the evicted bitmap's executor + driver copies; a
-            # long session rotating bitmaps must not leak broadcasts
-            # (ADVICE r8)
+            # release the evicted bitmap's EXECUTOR copies only
+            # (ADVICE r8: long sessions rotating bitmaps must not leak
+            # broadcast memory). unpersist — NOT destroy — because a
+            # previously returned UDF, or an unexecuted lazy plan built
+            # from it, still closes over the evicted broadcast; destroy
+            # would make that plan fail at runtime once a 5th bitmap
+            # evicts it (ADVICE r9). After unpersist the driver copy
+            # survives and Spark re-ships it on demand, so outstanding
+            # plans stay executable; the driver-side bytes are freed
+            # when the closure itself is garbage-collected.
             old_bc.unpersist()
-            old_bc.destroy()
         except Exception:
             pass  # context already stopped — nothing to release
     _BLOOM_PROBE_CACHE[key] = (hit, bc)
@@ -1868,14 +1927,23 @@ def bitstring_near_dup_pairs(
     (measured: the r9 scale suite's 64x salted replicas, which ARE
     perceptual near-dups of each other, drove the uncapped join to
     alpha 1.18 / 326 s at 64x — candidate volume by construction, not
-    a plan defect, but worst-case work must be bounded). Members of a
+    a plan defect, but worst-case work must be bounded). The cap is
+    enforced by the count-first pre-pass (:func:`_precap_hot_keys`,
+    r10): over-cap keys are identified by a map-combinable count and
+    broadcast-anti-joined out BEFORE the per-bucket collect, so the
+    viral image's D signatures are dropped map-side instead of
+    shuffling to one reducer and materializing a D-element array that
+    the old post-filter then discarded (the r9 capped 64x cell still
+    cost 108 s / alpha 1.28 for exactly that reason). Members of a
     capped bucket can still pair through their other bands; the cap
     is a silent-recall hazard exactly like MinHash's, so pass an
     ``observation`` (pyspark.sql.Observation) to get
-    ``capped_buckets`` / ``max_bucket_size_seen`` after the first
-    action. The default 256 is verified non-binding on all three
-    fixture tiers (max bucket 4 / 4 / 19 at sf0.001/0.01/0.1), so
-    the catalog oracles stay uncapped and exact.
+    ``capped_buckets`` / ``max_bucket_size_seen`` (one dedicated
+    key-count job at build time — see _precap_hot_keys for why the
+    metrics cannot ride the candidate job). The default 256 is
+    verified non-binding on all three fixture tiers (max bucket
+    4 / 4 / 19 at sf0.001/0.01/0.1), so the catalog oracles stay
+    uncapped and exact.
 
     Returns (id_lo, id_hi, hamming) with id_lo < id_hi, one row per
     qualifying pair. Raises when the pigeonhole guarantee would not
@@ -1898,25 +1966,12 @@ def bitstring_near_dup_pairs(
             )
         ).alias("__b", "__key"),
     )
+    banded = _precap_hot_keys(banded, ("__b", "__key"), max_bucket_size, observation)
     buckets = banded.groupBy("__b", "__key").agg(
         F.sort_array(F.collect_list(F.struct("__id", "__sig"))).alias("ms")
     )
-    if observation is not None:
-        over_cap = (
-            F.size("ms") > max_bucket_size
-            if max_bucket_size is not None
-            else F.lit(False)
-        )
-        buckets = buckets.observe(
-            observation,
-            F.count(F.when(over_cap, 1)).alias("capped_buckets"),
-            F.max(F.size("ms")).alias("max_bucket_size_seen"),
-        )
-    size_ok = F.size("ms") > 1
-    if max_bucket_size is not None:
-        size_ok = size_ok & (F.size("ms") <= max_bucket_size)
     cand = (
-        buckets.where(size_ok)
+        buckets.where(F.size("ms") > 1)
         .select(
             F.explode(
                 F.flatten(
@@ -2017,7 +2072,9 @@ def incremental_phash_near_dup(
 
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <=
     ``max_hamming``. ``write_archives=False`` skips both archive
-    writes and (with ``return_archives=True``) returns
+    writes and REQUIRES ``return_archives=True`` (the False/False
+    combination raises — it would neither archive the postings nor
+    hand them to the caller, ADVICE r9); it then returns
     ``(pairs, new_post, sig_rows)`` with ``new_post`` still cached —
     for sinks that archive a KEPT-ONLY subset themselves (the
     embeddings-sink policy); the caller owns the new_post unpersist
@@ -2031,6 +2088,17 @@ def incremental_phash_near_dup(
         raise ValueError(
             "return_archives=True requires write_archives=False — the "
             "kept-only caller owns the archive writes"
+        )
+    if not write_archives and not return_archives:
+        # ADVICE r9: this combination used to validate but silently
+        # leaked — the posting core handed back a persisted new_post
+        # that was dropped without unpersist, and no archives were
+        # written (lost postings + a per-call cache leak).
+        raise ValueError(
+            "write_archives=False requires return_archives=True — "
+            "otherwise the batch's postings are neither archived nor "
+            "handed to the caller (and the persisted posting relation "
+            "would leak)"
         )
     from ..io import path_exists
 

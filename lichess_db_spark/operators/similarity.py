@@ -869,10 +869,13 @@ def matryoshka_topk(
     Determinism: both stages use the exact scaled-int cosine with
     3-decimal rounding + id tiebreaks for their cuts (the repo's knn
     kit), so the selected sets are engine-portable. Scale shape:
-    coarse = broadcast queries x corpus map-side scan over prefix
-    bytes + per-query TopK window; rerank touches Q x overfetch rows
-    only. Recall floor vs brute force is test-pinned; prefix quality
-    is the model's MRL property, not the operator's."""
+    coarse = broadcast query PREFIXES x corpus map-side scan that
+    projects only (ids, prefix slice, prefix norm) — full vectors
+    never enter the cross join or the per-query TopK window shuffle
+    (ADVICE r9) — then the Q x overfetch candidate ids broadcast back
+    against the corpus for the exact full-dimension rerank. Recall
+    floor vs brute force is test-pinned; prefix quality is the
+    model's MRL property, not the operator's."""
     from ..functions.vectors import dot_exact, norm_exact
 
     if not 0 < prefix_dim:
@@ -880,32 +883,30 @@ def matryoshka_topk(
     if overfetch < k:
         raise ValueError(f"overfetch {overfetch} must be >= k {k}")
     pfx = lambda c: F.slice(F.col(c), 1, prefix_dim)  # noqa: E731
-    q = F.broadcast(
+    # Coarse pass carries ONLY ids + prefix data through the corpus x
+    # queries cross join and the per-query TopK window — the full
+    # vectors rejoin below for the Q x overfetch rerank rows (ADVICE
+    # r9: the previous shape hauled q_vec/c_vec through both, so the
+    # "1/4 of the vector bytes" claim held for compute but not for
+    # shuffle volume).
+    q_coarse = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
             pfx(vec_col).alias("q_pfx"),
-            norm_exact(F.col(vec_col)).alias("q_norm"),
             norm_exact(pfx(vec_col)).alias("q_pnorm"),
         )
     )
-    c = corpus.select(
+    c_coarse = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
         pfx(vec_col).alias("c_pfx"),
-        norm_exact(F.col(vec_col)).alias("c_norm"),
         norm_exact(pfx(vec_col)).alias("c_pnorm"),
     )
     coarse = (
-        c.crossJoin(q)
+        c_coarse.crossJoin(q_coarse)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            "q_vec",
-            "c_vec",
-            "q_norm",
-            "c_norm",
             F.round(
                 dot_exact("q_pfx", "c_pfx") / (F.col("q_pnorm") * F.col("c_pnorm")),
                 3,
@@ -915,16 +916,37 @@ def matryoshka_topk(
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("coarse_score").desc(), F.col("neighbor_id")
     )
-    cands = coarse.withColumn("__r", F.row_number().over(w1)).where(
-        F.col("__r") <= overfetch
+    cands = (
+        coarse.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= overfetch)
+        .select("query_id", "neighbor_id", "coarse_score")
     )
-    rescored = cands.select(
-        "query_id",
-        "neighbor_id",
-        "coarse_score",
-        F.round(
-            dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 3
-        ).alias("score"),
+    # rerank: broadcast the Q x overfetch candidate ids into a map-side
+    # join against the corpus (full vectors read for candidates only),
+    # then the broadcast query vectors complete the scoring pair
+    q_full = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_exact(F.col(vec_col)).alias("q_norm"),
+        )
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("c_norm"),
+    )
+    rescored = (
+        c_full.join(F.broadcast(cands), "neighbor_id")
+        .join(q_full, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_score",
+            F.round(
+                dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 3
+            ).alias("score"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

@@ -29,8 +29,42 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    suite (tests/test_catalog_oracle.py).
 # 3. Everything else, least-recently-driver-verified first (ascending
 #    last-green round, registration order as tiebreaker).
-_ROUND = 9
+_ROUND = 10
 _TOUCHED_THIS_ROUND = (
+    # r10 window budget: 12 touched + 2 sentinels leaves 36 rotation-tail
+    # slots — the 25 staleness-5 r5-vintage entries (VERDICT r9 item 2)
+    # fit with ~11 slots to spare for the oldest r6 tail.
+    #
+    # VERDICT r9 item 1: the nine r9-staged entries (STAGED_NEXT now
+    # cleared) lead the window in their staging order. mm_phash_dedup /
+    # dedup_cc_clusters additionally re-enter on their own merits: the
+    # shared pairing helper bitstring_near_dup_pairs was re-shaped this
+    # round (count-first pre-cap — over-cap keys broadcast-anti-joined
+    # out BEFORE collect_list, so the hot bucket never materializes;
+    # the r9 'weak' finding) and both consume it.
+    "mm_phash_dedup",
+    "dedup_cc_clusters",
+    "dsir_resample_docs",
+    "embedding_matryoshka_truncate",
+    "export_webdataset_docs",
+    "vocab_growth_curve",
+    "countmin_vec_mv_orders",
+    "knn_matryoshka_rerank",
+    "passage_dup_curve",
+    # helper re-entries (rotation contract): minhash_lsh_candidates now
+    # shares the same count-first pre-cap (_precap_hot_keys) — its two
+    # batch dependents re-enter. The cap SEMANTICS are unchanged (row
+    # count per key == bucket size by the one-row-per-(id,band)
+    # invariant; the portable oracle already caps on COUNT(*)), only
+    # the plan shape moved.
+    "dedup_minhash_pairs",
+    "dedup_minhash_pairs_portable",
+    # VERDICT r9 item 3: the classifier path gets a hash-checkable
+    # driver row — deterministic margin + decision (no sigmoid), so the
+    # window stops spending slots on rows-only logreg twins.
+    "logreg_margin_gate",
+)
+_TOUCHED_R9 = (
     # r9 window budget: 21 touched + 2 sentinels leaves 27 rotation-tail
     # slots (the 5 r4-vintage spill entries lead it, then the 22 oldest
     # r5-vintage).  VERDICT r8 item 2 asked for >=25 r5 re-greens, but

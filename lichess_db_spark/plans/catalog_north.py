@@ -4500,3 +4500,78 @@ def logreg_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_predict(base, w, vec_col="features").select(
         "doc_id", "y", "margin", "pred"
     )
+
+
+@register(
+    "logreg_margin_gate",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+    gsum AS (
+        SELECT g.i - 1 AS d,
+               CAST(SUM(CAST(ROUND(
+                   CAST(embedding[g.i] AS DOUBLE) * (0.5 - y) * 1e9
+               ) AS BIGINT)) AS BIGINT) AS gs
+        FROM base, range(1, 65) AS g(i)
+        GROUP BY g.i - 1
+    ),
+    gbias AS (
+        SELECT CAST(SUM(CAST(ROUND((0.5 - y) * 1e9) AS BIGINT)) AS BIGINT) AS gs
+        FROM base
+    ),
+    w AS (
+        SELECT d, 0.0 - 0.5 * ((CAST(gs AS DOUBLE) / 1e9) / nn.n) AS wv
+        FROM gsum, nn
+    ),
+    b AS (
+        SELECT 0.0 - 0.5 * ((CAST(gs AS DOUBLE) / 1e9) / nn.n) AS bv
+        FROM gbias, nn
+    ),
+    margins AS (
+        SELECT v.vec_id, v.y,
+               CAST(SUM(CAST(ROUND(
+                   CAST(v.embedding[g.i] AS DOUBLE) * w.wv * 1e12
+               ) AS BIGINT)) AS BIGINT) AS s
+        FROM base v, range(1, 65) AS g(i)
+        JOIN w ON w.d = g.i - 1
+        GROUP BY v.vec_id, v.y
+    )
+    SELECT m.vec_id, m.y,
+           CAST(m.s AS DOUBLE) / 1e12 + b.bv AS margin,
+           CAST(CASE WHEN CAST(m.s AS DOUBLE) / 1e12 + b.bv > 0
+                THEN 1 ELSE 0 END AS INT) AS pred
+    FROM margins m CROSS JOIN b
+    """,
+    "The classifier path HASH-CHECKED end to end (VERDICT r9 item 3: "
+    "the logreg twins are rows-only because their 3-iteration weights "
+    "pass through sigmoid; this entry makes the same train-then-gate "
+    "pipeline value-verified). The trick: ONE gradient step from w=0 "
+    "has sigmoid(0) = 1/2 EXACTLY, so the learned weights are a "
+    "closed form with no exp() anywhere — per-row gradient x_j*(0.5-y)"
+    " rounded half-away to the 1e9 grid (the trainer's exact int64 "
+    "kernel, operators/classifier.py), order-free bigint sums, two "
+    "IEEE divisions and a *0.5 (exponent shift, exact) per weight — "
+    "every op reproduced verbatim in DuckDB. Inference margin is the "
+    "dot_exact scaled-int kit (1e12 grid) + one IEEE add of the bias; "
+    "emitted as margin + decision, never a probability (sigmoid is "
+    "the one non-portable op, and thresholds/rankings are margin-"
+    "order-equivalent). Scale shape: training = ONE Arrow map pass + "
+    "one (dim)-keyed kilobyte exchange; scoring = map-only broadcast-"
+    "literal dot. The 3-iteration production twins "
+    "(logreg_quality_filter, logreg_text_quality_gate) keep their "
+    "bit-equality reference tests; this entry puts the shared kernel "
+    "arithmetic under the driver's value hash.",
+)
+def logreg_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import logreg_predict, logreg_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("y")
+    )
+    w, _trace = logreg_train(df, n_iter=1, lr=0.5)
+    return logreg_predict(df, w).select("vec_id", "y", "margin", "pred")

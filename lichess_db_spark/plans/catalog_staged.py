@@ -26,23 +26,36 @@ from .registry import register
 
 # names ranked at the catalog tail this round; plans/catalog.py clears
 # this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
-# r9 boundary: the eleven r8-staged entries moved into the r9 window;
-# entries registered AFTER the r9 window freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = (
-    "mm_phash_dedup",
-    "dedup_cc_clusters",
-    "dsir_resample_docs",
-    "embedding_matryoshka_truncate",
-    "export_webdataset_docs",
-    "vocab_growth_curve",
-    "countmin_vec_mv_orders",
-    "knn_matryoshka_rerank",
-    "passage_dup_curve",
-)
+# r10 boundary: the nine r9-staged entries moved into the r10 window;
+# entries registered AFTER the r10 window freezes are staged here.
+STAGED_NEXT: tuple[str, ...] = ()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# One cached relation per named slot: builders that persist a shared
+# intermediate (the pHash signature relation) register it here, and the
+# NEXT build of the same slot unpersists the previous occupant — so a
+# 210-entry sweep (or repeated builds in one session) holds at most one
+# cached relation per slot instead of leaking one per call (ADVICE r9).
+# Contract: a slot's previous DataFrame stays CORRECT after eviction
+# (it silently recomputes), it just loses the cache — callers that
+# interleave two builds of the same entry pay recompute, never wrongness.
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def _slot_persist(name: str, df: DataFrame) -> DataFrame:
+    prev = _PERSIST_SLOTS.pop(name, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # owning session already stopped — nothing to release
+    out = df.persist()
+    _PERSIST_SLOTS[name] = out
+    return out
 
 
 # Shared oracle CTE blocks: the semdedup pair relation and the gopher
@@ -1010,12 +1023,14 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _phash_corpus(spark, sf_dir)
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("data"))
-    # persist: the signature relation is consumed three times (both
-    # sides of the band self-join + the final doc join); without it
-    # each reference re-runs the Arrow hash kernel over the corpus.
-    # At scale the signatures are the materialization point, exactly
-    # like the MinHash posting archive.
-    sigs = ahash_images(blobs, use_real=False).persist()
+    # slot-persist: the signature relation is consumed three times
+    # (both sides of the band self-join + the final doc join); without
+    # caching each reference re-runs the Arrow hash kernel over the
+    # corpus. At scale the signatures are the materialization point,
+    # exactly like the MinHash posting archive. The named slot bounds
+    # the session to ONE cached relation for this entry — rebuilding
+    # unpersists the previous build's cache (ADVICE r9 leak fix).
+    sigs = _slot_persist("mm_phash_dedup.sigs", ahash_images(blobs, use_real=False))
     pairs = bitstring_near_dup_pairs(
         sigs, sig_col="phash", id_col="doc_id", n_bits=64, max_hamming=3, bands=4
     )
@@ -1092,14 +1107,19 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.media import ahash_images
     from ..operators.dedup import bitstring_near_dup_pairs, connected_components
 
-    # persist for the same three-consumer reason as mm_phash_dedup
-    # (plus the CC loop's convergence counts re-reading the pair side)
-    sigs = ahash_images(
-        _phash_corpus(spark, sf_dir).select(
-            "doc_id", F.encode("text", "UTF-8").alias("data")
+    # slot-persist for the same three-consumer reason as mm_phash_dedup
+    # (plus the CC loop's convergence counts re-reading the pair side);
+    # the named slot caps the session at one cached relation per entry
+    # (ADVICE r9 leak fix)
+    sigs = _slot_persist(
+        "dedup_cc_clusters.sigs",
+        ahash_images(
+            _phash_corpus(spark, sf_dir).select(
+                "doc_id", F.encode("text", "UTF-8").alias("data")
+            ),
+            use_real=False,
         ),
-        use_real=False,
-    ).persist()
+    )
     pairs = bitstring_near_dup_pairs(
         sigs, sig_col="phash", id_col="doc_id", n_bits=64, max_hamming=3, bands=4
     )
@@ -1319,37 +1339,63 @@ def export_webdataset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to total token volume — the measurement that sizes a tokenizer "
     "vocab and predicts how vocabulary scales to the full 100 TB "
     "crawl BEFORE training on it (V ~ N^beta; fit beta from the "
-    "curve). Single-pass shape: one exploded scan feeds BOTH sides — "
-    "each token's FIRST-occurrence doc (a token-keyed min-agg, "
-    "vocab-sized) bucketed against the prefix marks, and the "
-    "per-prefix token volume from the same relation; no per-prefix "
-    "rescans, no count_distinct per mark (which would be 4 full "
-    "shuffles). The prefix test is exact integer cross-multiply "
+    "curve). Single-pass shape (VERDICT r9 item 6 — the r9 draft "
+    "scanned the exploded relation twice): the corpus max doc_id "
+    "comes off the UNEXPLODED documents scan (broadcast 1-row), then "
+    "ONE exploded scan feeds ONE token-keyed aggregate that carries "
+    "BOTH the first-occurrence doc (min) and the four per-prefix "
+    "occurrence counts (conditional sums) per token; the curve is a "
+    "vocab-sized second aggregate. No per-prefix rescans, no "
+    "count_distinct per mark (which would be 4 full shuffles). The "
+    "prefix test is exact integer cross-multiply "
     "(first_doc * 100 <= max_doc * pct). Full oracle.",
 )
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    marks = (10, 25, 50, 100)
+    mx = d.agg(F.max("doc_id").alias("mx"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    mx = tok.agg(F.max("doc_id").alias("mx"))
-    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
-    marks = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 100)])).alias("pct")
-    )
-    vocab = (
-        firsts.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(marks))
-        .where(F.col("first_doc") * 100 <= F.col("mx") * F.col("pct"))
-        .groupBy("pct")
-        .agg(F.count("*").cast("bigint").alias("vocab_size"))
-    )
-    volume = (
+    per_tok = (
         tok.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(marks))
-        .where(F.col("doc_id") * 100 <= F.col("mx") * F.col("pct"))
-        .groupBy("pct")
-        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+        .groupBy("t")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.max("mx").alias("mx"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("doc_id") * 100 <= F.col("mx") * F.lit(p), 1
+                    ).otherwise(0)
+                ).alias(f"c{p}")
+                for p in marks
+            ],
+        )
     )
-    return vocab.join(volume, "pct").select("pct", "vocab_size", "n_tokens")
+    marks_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in marks])).alias("pct")
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(marks_df))
+        .groupBy("pct")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("first_doc") * 100 <= F.col("mx") * F.col("pct"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vocab_size"),
+            F.sum(
+                F.when(F.col("pct") == 10, F.col("c10"))
+                .when(F.col("pct") == 25, F.col("c25"))
+                .when(F.col("pct") == 50, F.col("c50"))
+                .otherwise(F.col("c100"))
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select("pct", "vocab_size", "n_tokens")
+    )
 
 
 @register(

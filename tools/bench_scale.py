@@ -258,6 +258,77 @@ def main() -> None:
 
         build, table = _keep_all_docs, "documents"
 
+        def _viralize(d):
+            """Every 5th doc becomes ONE constant blob — a single
+            signature owning 20% of the corpus (the viral-image hot
+            key the bucket cap exists for)."""
+            return d.select(
+                "doc_id",
+                F.encode(
+                    F.when(
+                        F.col("doc_id") % 5 == 0,
+                        F.lit("the same viral meme image bytes " * 20),
+                    ).otherwise(F.col("text")),
+                    "UTF-8",
+                ).alias("data"),
+            )
+
+        def _postcap_pairs(sigs, n_bits=64, bands=4, max_hamming=3, cap=256):
+            """The r9 pairing shape, inlined for the A/B cell only:
+            groupBy -> collect_list materializes EVERY bucket (the hot
+            one included), THEN the size filter drops over-cap buckets
+            — measuring exactly what the r10 pre-cap removes."""
+            seg = n_bits // bands
+            banded = sigs.select(
+                F.col("doc_id").alias("__id"),
+                F.col("phash").alias("__sig"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.substring("phash", b * seg + 1, seg)
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("__b", "__key"),
+            )
+            buckets = banded.groupBy("__b", "__key").agg(
+                F.sort_array(F.collect_list(F.struct("__id", "__sig"))).alias("ms")
+            )
+            cand = (
+                buckets.where((F.size("ms") > 1) & (F.size("ms") <= cap))
+                .select(
+                    F.explode(
+                        F.flatten(
+                            F.transform(
+                                F.sequence(F.lit(0), F.size("ms") - 2),
+                                lambda i: F.transform(
+                                    F.slice(F.col("ms"), i + 2, F.size("ms")),
+                                    lambda m: F.struct(
+                                        F.element_at(F.col("ms"), i + 1).alias("a"),
+                                        m.alias("b"),
+                                    ),
+                                ),
+                            )
+                        )
+                    ).alias("p")
+                )
+                .select(
+                    F.col("p.a.__id").alias("id_lo"),
+                    F.col("p.b.__id").alias("id_hi"),
+                    F.col("p.a.__sig").alias("__s1"),
+                    F.col("p.b.__sig").alias("__s2"),
+                )
+                .distinct()
+            )
+            return (
+                cand.withColumn(
+                    "hamming",
+                    dd.bitstring_hamming(F.col("__s1"), F.col("__s2"), n_bits),
+                )
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_lo", "id_hi", "hamming")
+            )
+
         def _w(d):
             return d.withColumn(
                 "w", F.size(F.split("text", " ")).cast("bigint")
@@ -321,14 +392,37 @@ def main() -> None:
             # pHash image dedup (r9): map-only aHash signature pass +
             # one (band, key) exchange + candidate-only Hamming verify;
             # salted replicas share no bytes, so candidate volume per
-            # replica is constant by construction
+            # replica is constant by construction. r10: signatures are
+            # PERSISTED per the operator contract (both catalog
+            # entries do; the count-first pre-cap reads the banded
+            # relation twice, and without the cache that doubles the
+            # Arrow kernel — the harness clearCaches per sample, so
+            # the persist cost itself is inside the timing).
             "mm_phash_dedup": lambda d, f: dd.bitstring_near_dup_pairs(
                 ahash_images(
                     d.select("doc_id", F.encode("text", "UTF-8").alias("data")),
                     use_real=False,
-                ),
+                ).persist(),
                 max_hamming=3,
                 bands=4,
+            ),
+            # A/B pair for the r10 pre-cap fix on a VIRAL corpus (run
+            # with --salt-mode bytes so the baseline pairing work stays
+            # small and the hot-key handling dominates): every 5th doc
+            # is replaced by one constant text, so ONE signature owns
+            # 20% of the corpus — f*1000 copies, far over the 256 cap.
+            # precap = the shipped shape (over-cap keys dropped
+            # map-side before collect_list); postcap = the r9 shape
+            # reimplemented inline for measurement (collect the hot
+            # bucket, THEN filter it out) — the straggler/OOM pattern
+            # the r9 VERDICT flagged weak.
+            "mm_phash_viral_precap": lambda d, f: dd.bitstring_near_dup_pairs(
+                ahash_images(_viralize(d), use_real=False).persist(),
+                max_hamming=3,
+                bands=4,
+            ),
+            "mm_phash_viral_postcap": lambda d, f: _postcap_pairs(
+                ahash_images(_viralize(d), use_real=False).persist()
             ),
         }
     elif args.family == "oltp":
