@@ -28,7 +28,9 @@ from .registry import register
 # this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
 # r10 boundary: the nine r9-staged entries moved into the r10 window;
 # entries registered AFTER the r10 window freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = ()
+STAGED_NEXT: tuple[str, ...] = (
+    "audio_fp_near_dup",
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -920,8 +922,10 @@ def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exists for: Hamming-0 pairs, 3-member clusters, and dup_of/keep
 # decisions are all exercised under the hash gate instead of being
 # vacuously NULL.
-_PHASH_CTES = """
-    corpus AS (
+# the duplicated media corpus CTE — ONE text shared by the pHash
+# entries (via _PHASH_CTES) and the audio-fingerprint entry, so the
+# corpora can never drift (same discipline as _SEMDEDUP_CTES)
+_PHASH_CORPUS_CTE = """corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id, text FROM documents
@@ -929,7 +933,10 @@ _PHASH_CTES = """
         UNION ALL
         SELECT doc_id + 2000000 AS doc_id, text FROM documents
         WHERE doc_id % 50 = 0
-    ),
+    )"""
+
+_PHASH_CTES = f"""
+    {_PHASH_CORPUS_CTE},
     ch AS (
         SELECT doc_id, g.i - 1 AS pos,
                unicode(substr(text, CAST(g.i AS INT), 1)) AS v,
@@ -1577,28 +1584,206 @@ def passage_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = d.select("doc_id", F.explode(gram_arr).alias("gk"))
-    mx = grams.agg(F.max("doc_id").alias("mx"))
-    marks = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 100)])).alias("pct")
-    )
-    firsts = grams.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
-    vol = (
+    # corpus max off the UNEXPLODED scan (same >=8-token population as
+    # the oracle's MAX over grams: a doc contributes grams iff it has
+    # >=8 tokens); the heavy gram explode then runs ONCE, feeding a
+    # single gram-keyed aggregate that carries the first-occurrence
+    # doc AND the per-prefix volume counts (the vocab_growth_curve r10
+    # single-pass fold)
+    marks = (10, 25, 50, 100)
+    mx = d.where(F.size(ts) >= 8).agg(F.max("doc_id").alias("mx"))
+    per_gram = (
         grams.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(marks))
-        .where(F.col("doc_id") * 100 <= F.col("mx") * F.col("pct"))
-        .groupBy("pct")
-        .agg(F.count("*").cast("bigint").alias("n_grams"))
+        .groupBy("gk")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.max("mx").alias("mx"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("doc_id") * 100 <= F.col("mx") * F.lit(p), 1
+                    ).otherwise(0)
+                ).alias(f"c{p}")
+                for p in marks
+            ],
+        )
     )
-    uniq = (
-        firsts.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(marks))
-        .where(F.col("first_doc") * 100 <= F.col("mx") * F.col("pct"))
-        .groupBy("pct")
-        .agg(F.count("*").cast("bigint").alias("n_distinct"))
+    marks_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in marks])).alias("pct")
     )
-    return vol.join(uniq, "pct").select(
-        "pct",
-        "n_grams",
-        "n_distinct",
-        (F.col("n_grams") - F.col("n_distinct")).alias("n_duplicated"),
+    return (
+        per_gram.crossJoin(F.broadcast(marks_df))
+        .groupBy("pct")
+        .agg(
+            F.sum(
+                F.when(F.col("pct") == 10, F.col("c10"))
+                .when(F.col("pct") == 25, F.col("c25"))
+                .when(F.col("pct") == 50, F.col("c50"))
+                .otherwise(F.col("c100"))
+            )
+            .cast("bigint")
+            .alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("first_doc") * 100 <= F.col("mx") * F.col("pct"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_distinct"),
+        )
+        .select(
+            "pct",
+            "n_grams",
+            "n_distinct",
+            (F.col("n_grams") - F.col("n_distinct")).alias("n_duplicated"),
+        )
+    )
+
+
+# Audio-fingerprint near-dup (staged for r11 — registered after the
+# r10 window froze): the corpus is the SAME duplicated-media relation
+# as the pHash entries (_PHASH_CORPUS_CTE), the pairing is the SAME
+# Hamming band-LSH kit over a composite (track, window) id — the
+# fourth modality costs zero new pairing code (VERDICT r9 item 7).
+_AFP_WINDOW = 1024
+_AFP_HOP = 512
+_AFP_CTES = f"""{_PHASH_CORPUS_CTE},
+    ch AS (
+        SELECT doc_id, g.i - 1 AS pos,
+               unicode(substr(text, CAST(g.i AS INT), 1)) AS v,
+               len(text) AS n
+        FROM corpus, range(1, 100001) AS g(i)
+        WHERE g.i <= len(text)
+    ),
+    wn AS (
+        SELECT doc_id, len(text) AS n,
+               GREATEST((len(text) - {_AFP_WINDOW}) // {_AFP_HOP} + 1, 1) AS nw
+        FROM corpus WHERE len(text) > 0
+    ),
+    wch AS (
+        SELECT c.doc_id, w.w AS widx, c.pos - w.w * {_AFP_HOP} AS rp, c.v,
+               LEAST({_AFP_WINDOW}, wn.n - w.w * {_AFP_HOP}) AS wlen
+        FROM ch c
+        JOIN wn ON wn.doc_id = c.doc_id
+        JOIN range(0, 1000) AS w(w) ON w.w < wn.nw
+        WHERE c.pos >= w.w * {_AFP_HOP}
+          AND c.pos < w.w * {_AFP_HOP} + {_AFP_WINDOW}
+    ),
+    wagg AS (
+        SELECT doc_id, widx, CAST((rp * 65) // wlen AS INT) AS b,
+               CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM wch GROUP BY doc_id, widx, (rp * 65) // wlen
+    ),
+    wids AS (SELECT DISTINCT doc_id, widx FROM wagg),
+    afp AS (
+        SELECT w.doc_id, w.widx,
+               string_agg(CASE WHEN COALESCE(x.s, 0) * COALESCE(y.c, 0)
+                                    < COALESCE(y.s, 0) * COALESCE(x.c, 0)
+                               THEN '1' ELSE '0' END, '' ORDER BY g.i) AS afp
+        FROM wids w
+        CROSS JOIN range(0, 64) AS g(i)
+        LEFT JOIN wagg x ON x.doc_id = w.doc_id AND x.widx = w.widx
+                        AND x.b = g.i
+        LEFT JOIN wagg y ON y.doc_id = w.doc_id AND y.widx = w.widx
+                        AND y.b = g.i + 1
+        GROUP BY w.doc_id, w.widx
+    ),
+    wsig AS (
+        SELECT doc_id * 100000 + widx AS wid, doc_id, widx, afp FROM afp
+    ),
+    abands AS (
+        SELECT wid, doc_id, afp, g.j AS b,
+               substr(afp, CAST(g.j * 16 + 1 AS INT), 16) AS key
+        FROM wsig, range(0, 4) AS g(j)
+    ),
+    acand AS (
+        SELECT DISTINCT a.wid AS wid_lo, b.wid AS wid_hi
+        FROM abands a
+        JOIN abands b ON a.b = b.b AND a.key = b.key AND a.wid < b.wid
+        WHERE a.doc_id != b.doc_id
+    ),
+    aham AS (
+        SELECT c.wid_lo, c.wid_hi,
+               CAST(SUM(CASE WHEN substr(pa.afp, CAST(g.i AS INT), 1)
+                              != substr(pb.afp, CAST(g.i AS INT), 1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM acand c
+        JOIN wsig pa ON pa.wid = c.wid_lo
+        JOIN wsig pb ON pb.wid = c.wid_hi,
+        range(1, 65) AS g(i)
+        GROUP BY c.wid_lo, c.wid_hi
+    )"""
+
+
+@register(
+    "audio_fp_near_dup",
+    f"""
+    WITH {_AFP_CTES}
+    SELECT wid_lo // 100000 AS track_lo,
+           wid_hi // 100000 AS track_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_window_matches,
+           CAST(MIN(hamming) AS BIGINT) AS min_hamming
+    FROM aham
+    WHERE hamming <= 3
+    GROUP BY wid_lo // 100000, wid_hi // 100000
+    """,
+    "Audio near-dup via windowed byte-energy gradient fingerprints — "
+    "the FOURTH modality on the shared Hamming kit (text: minhash/"
+    "exactsubstr; embeddings: lsh/semdedup; images: pHash; audio: "
+    "THIS), VERDICT r9 item 7. multimodal.media.audio_fingerprints "
+    "emits a chromaprint-SHAPED series of 64-bit sub-fingerprints "
+    "over overlapping 1024-byte windows (hop 512): per window the "
+    "dHash adjacent-energy gradient rule (65 equal-span blocks, "
+    "exact integer cross-multiply), so trims/offsets still match on "
+    "shared windows — a whole-file hash would not. Pairing: the SAME "
+    "dedup.bitstring_near_dup_pairs band LSH over composite "
+    "(track*100000+window) ids, then track-level aggregation "
+    "(n_window_matches, min_hamming) excluding same-track pairs. "
+    "Corpus: the shared duplicated-media relation (_PHASH_CORPUS_CTE "
+    "— byte-identical re-uploads, so every shared window pairs at "
+    "hamming 0). Decode is the byte-identity stub (no audio codec in "
+    "the container; use_real=True raises like the PIL gate) — the "
+    "windowing, exact-integer bit rule and pairing plumbing are real "
+    "and fully value-verified. Scale shape: map-only Arrow kernel, "
+    "ONE (band, key) exchange with the count-first pre-cap, verify "
+    "touches candidates only; output rows bounded by matching "
+    "windows, never all-pairs.",
+)
+def audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import audio_fingerprints
+    from ..operators.dedup import bitstring_near_dup_pairs
+
+    d = _phash_corpus(spark, sf_dir)
+    fps = audio_fingerprints(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("data")),
+        window_bytes=_AFP_WINDOW,
+        hop_bytes=_AFP_HOP,
+    )
+    # slot-persist: the window-signature relation feeds the pre-cap
+    # count pass, both band-join sides and the Hamming verify; the
+    # named slot bounds the session to one cached relation (the
+    # mm_phash_dedup contract)
+    wsig = _slot_persist(
+        "audio_fp_near_dup.wsig",
+        fps.select(
+            (F.col("doc_id") * 100000 + F.col("window_idx")).alias("wid"),
+            F.col("doc_id").alias("track"),
+            "afp",
+        ),
+    )
+    pairs = bitstring_near_dup_pairs(
+        wsig, sig_col="afp", id_col="wid", n_bits=64, max_hamming=3, bands=4
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("id_lo") / 100000).alias("track_lo"),
+            F.floor(F.col("id_hi") / 100000).alias("track_hi"),
+            "hamming",
+        )
+        .where(F.col("track_lo") != F.col("track_hi"))
+        .groupBy("track_lo", "track_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_window_matches"),
+            F.min("hamming").cast("bigint").alias("min_hamming"),
+        )
     )

@@ -1642,6 +1642,57 @@ def test_incremental_phash_rejects_archiveless_call(spark, tmp_path):
         )
 
 
+def test_audio_fingerprints_windows_and_twin(spark):
+    """audio_fingerprints: windowing contract (overlapping hop
+    windows; short blobs get one whole-blob window), python-twin
+    exactness of every window's gradient bits, trim robustness (a
+    hop-aligned leading trim shifts window INDEXES but window
+    CONTENTS still collide — the property a whole-file hash lacks),
+    and validation."""
+    import numpy as np
+
+    from lichess_db_spark.multimodal.media import audio_fingerprints
+
+    rng = bytes((i * 37 + (i // 11) * 101) % 256 for i in range(2300))
+    short = bytes(range(100))
+    trimmed = rng[512:]  # leading trim of exactly one hop
+    df = spark.createDataFrame(
+        [(1, rng), (2, short), (3, trimmed)], "doc_id long, data binary"
+    )
+    rows = audio_fingerprints(df, window_bytes=1024, hop_bytes=512).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.window_idx] = r.afp
+    # window counts: (2300-1024)//512+1 = 3; short -> 1; trimmed: (1788-1024)//512+1 = 2
+    assert set(by_doc[1]) == {0, 1, 2}
+    assert set(by_doc[2]) == {0}
+    assert set(by_doc[3]) == {0, 1}
+
+    def twin(blob):
+        a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        n = a.size
+        blocks = (np.arange(n) * 65) // n
+        s = np.bincount(blocks, weights=a, minlength=65).astype(np.int64)
+        c = np.bincount(blocks, minlength=65).astype(np.int64)
+        return "".join(
+            "1" if s[i] * c[i + 1] < s[i + 1] * c[i] else "0" for i in range(64)
+        )
+
+    assert by_doc[1][0] == twin(rng[0:1024])
+    assert by_doc[1][2] == twin(rng[1024:2048])
+    assert by_doc[2][0] == twin(short)
+    # trim robustness: trimmed's window w equals rng's window w+1
+    assert by_doc[3][0] == by_doc[1][1]
+    assert by_doc[3][1] == by_doc[1][2]
+
+    with pytest.raises(ValueError, match="positive"):
+        audio_fingerprints(df, window_bytes=0)
+    with pytest.raises(ValueError, match="skip"):
+        audio_fingerprints(df, window_bytes=512, hop_bytes=1024)
+    with pytest.raises(ImportError, match="codec"):
+        audio_fingerprints(df, use_real=True)
+
+
 def test_staged_persist_slot_bounded(spark):
     """ADVICE r9: mm_phash_dedup's persisted signature relation is a
     named slot — rebuilding the entry unpersists the previous build's

@@ -424,7 +424,85 @@ def main() -> None:
             "mm_phash_viral_postcap": lambda d, f: _postcap_pairs(
                 ahash_images(_viralize(d), use_real=False).persist()
             ),
+            # passage-duplication growth curve (r10): the catalog
+            # entry's exact single-pass shape — one 8-gram exploded
+            # scan into ONE gram-keyed aggregate carrying the
+            # first-occurrence doc + per-prefix volume counts, then a
+            # vocab-sized second aggregate. The most expensive entry
+            # in the r9 suite (3.08 s) gets its fitted exponent.
+            "passage_dup_curve": lambda d, f: _passage_curve(d),
+            # connected components over chain graphs whose DIAMETER
+            # grows with scale (~2*sqrt(f): 4/7/18-long chains at
+            # 1/8/64) — the r9 localCheckpoint-every-5 lineage cut
+            # measured, not just the OOM anecdote: the top factor
+            # crosses the cut 3 times; per-round cost stays flat and
+            # the driver survives where the uncut plan tree grew
+            # 2^rounds. Super-linear alpha is BY DESIGN here (work ~
+            # nodes x diameter); the cell watches the per-round shape.
+            "cc_chain_diameter": lambda d, f: dd.connected_components(
+                _chain_edges(d.sparkSession, 5000 * f, int(2 * f**0.5) + 2),
+                a_col="a",
+                b_col="b",
+                max_iter=30,
+                strict=True,
+            ),
         }
+
+        def _chain_edges(spark_, n_nodes, chain_len):
+            return spark_.range(n_nodes).select(
+                F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+            ).where(F.col("id") % chain_len != chain_len - 1)
+
+        def _passage_curve(d):
+            ts = F.split("text", " ")
+            gram_arr = F.when(
+                F.size(ts) >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - 7),
+                    lambda i: F.md5(F.array_join(F.slice(ts, i, 8), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            grams = d.select("doc_id", F.explode(gram_arr).alias("gk"))
+            marks = (10, 25, 50, 100)
+            mx = d.where(F.size(ts) >= 8).agg(F.max("doc_id").alias("mx"))
+            per_gram = (
+                grams.crossJoin(F.broadcast(mx))
+                .groupBy("gk")
+                .agg(
+                    F.min("doc_id").alias("first_doc"),
+                    F.max("mx").alias("mx"),
+                    *[
+                        F.sum(
+                            F.when(
+                                F.col("doc_id") * 100 <= F.col("mx") * F.lit(p), 1
+                            ).otherwise(0)
+                        ).alias(f"c{p}")
+                        for p in marks
+                    ],
+                )
+            )
+            marks_df = d.sparkSession.range(1).select(
+                F.explode(F.array(*[F.lit(p) for p in marks])).alias("pct")
+            )
+            return (
+                per_gram.crossJoin(F.broadcast(marks_df))
+                .groupBy("pct")
+                .agg(
+                    F.sum(
+                        F.when(F.col("pct") == 10, F.col("c10"))
+                        .when(F.col("pct") == 25, F.col("c25"))
+                        .when(F.col("pct") == 50, F.col("c50"))
+                        .otherwise(F.col("c100"))
+                    ).alias("n_grams"),
+                    F.sum(
+                        F.when(
+                            F.col("first_doc") * 100
+                            <= F.col("mx") * F.col("pct"),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_distinct"),
+                )
+            )
     elif args.family == "oltp":
         build, table = scaled_tpch, None
         from lichess_db_spark.plans import QUERIES as CATQ
@@ -442,6 +520,10 @@ def main() -> None:
             )
         }
     else:
+        from pyspark.sql import functions as F
+
+        from lichess_db_spark.operators.similarity import matryoshka_topk
+
         build, table = scaled_embeddings, "embeddings"
         ops = {
             # fixed k: sum_c n_c^2 pair work grows quadratically with
@@ -459,6 +541,19 @@ def main() -> None:
             # designed linear path for embedding near-dup
             "embedding_lsh_pairs": lambda d, f: dd.embedding_lsh_dedup_pairs(
                 d, n_planes=None
+            ),
+            # two-stage Matryoshka ANN (r10): fixed 10-query set
+            # against the scaled corpus — coarse pass is a broadcast-
+            # queries x corpus map-side scan carrying only ids +
+            # 16-dim prefixes (the r10 projection fix), so the cell
+            # should run linear in corpus volume with a flat
+            # per-query constant
+            "matryoshka_rerank": lambda d, f: matryoshka_topk(
+                d,
+                d.where(F.col("vec_id") < 10),
+                k=5,
+                prefix_dim=16,
+                overfetch=50,
             ),
         }
 
