@@ -30,6 +30,7 @@ from .registry import register
 # entries registered AFTER the r10 window freezes are staged here.
 STAGED_NEXT: tuple[str, ...] = (
     "audio_fp_near_dup",
+    "video_fp_near_dup",
 )
 
 
@@ -1631,6 +1632,12 @@ def passage_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_distinct"),
         )
+        # the oracle's vol JOIN uniq omits marks whose prefix holds no
+        # grams (both aggregates empty); the folded shape must filter
+        # its zero rows to keep that contract (test-pinned on a
+        # short-docs corpus — never binding on the fixtures, where
+        # every prefix has grams)
+        .where(F.col("n_grams") > 0)
         .select(
             "pct",
             "n_grams",
@@ -1784,6 +1791,169 @@ def audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("track_lo", "track_hi")
         .agg(
             F.count("*").cast("bigint").alias("n_window_matches"),
+            F.min("hamming").cast("bigint").alias("min_hamming"),
+        )
+    )
+
+
+# Video-fingerprint near-dup (staged for r11, beside the audio entry):
+# evenly-spaced frame sampling (the EXISTING frame_sample operator owns
+# the offset arithmetic) -> per-frame aHash -> the SAME Hamming pairing
+# kit over composite (track, frame) ids — the FIFTH modality, again
+# zero new pairing code. Frames here are byte spans of the stub blob
+# (no video codec in the container); a real decoder would seek to
+# frame_sample's byte_offset and emit one image per frame, which then
+# flows through the IDENTICAL ahash -> pairing path.
+_VFP_MAX_FRAMES = 4
+_VFP_STRIDE = 256
+_VFP_CTES = f"""{_PHASH_CORPUS_CTE},
+    ch AS (
+        SELECT doc_id, g.i - 1 AS pos,
+               unicode(substr(text, CAST(g.i AS INT), 1)) AS v
+        FROM corpus, range(1, 100001) AS g(i)
+        WHERE g.i <= len(text)
+    ),
+    vn AS (
+        SELECT doc_id, len(text) AS n,
+               LEAST({_VFP_MAX_FRAMES}, 1 + len(text) // {_VFP_STRIDE}) AS nf
+        FROM corpus WHERE len(text) > 0
+    ),
+    vsp AS (SELECT doc_id, n, nf, n // nf AS span FROM vn),
+    fch AS (
+        SELECT c.doc_id, f.f AS fidx, c.pos - f.f * vsp.span AS rp, c.v,
+               vsp.span
+        FROM ch c
+        JOIN vsp ON vsp.doc_id = c.doc_id
+        JOIN range(0, {_VFP_MAX_FRAMES}) AS f(f) ON f.f < vsp.nf
+        WHERE c.pos >= f.f * vsp.span AND c.pos < f.f * vsp.span + vsp.span
+    ),
+    fagg AS (
+        SELECT doc_id, fidx, CAST((rp * 64) // span AS INT) AS b,
+               CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM fch GROUP BY doc_id, fidx, (rp * 64) // span
+    ),
+    ftot AS (
+        SELECT doc_id, fidx, CAST(SUM(v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM fch GROUP BY doc_id, fidx
+    ),
+    fbits AS (
+        SELECT t.doc_id, t.fidx,
+               string_agg(CASE WHEN COALESCE(a.s, 0) * t.n
+                                    > t.s * COALESCE(a.c, 0)
+                               THEN '1' ELSE '0' END, '' ORDER BY g.i) AS vfp
+        FROM ftot t
+        CROSS JOIN range(0, 64) AS g(i)
+        LEFT JOIN fagg a ON a.doc_id = t.doc_id AND a.fidx = t.fidx
+                        AND a.b = g.i
+        GROUP BY t.doc_id, t.fidx
+    ),
+    fsig AS (
+        SELECT doc_id * 100 + fidx AS fid, doc_id, fidx, vfp FROM fbits
+    ),
+    vbands AS (
+        SELECT fid, doc_id, vfp, g.j AS b,
+               substr(vfp, CAST(g.j * 16 + 1 AS INT), 16) AS key
+        FROM fsig, range(0, 4) AS g(j)
+    ),
+    vcand AS (
+        SELECT DISTINCT a.fid AS fid_lo, b.fid AS fid_hi
+        FROM vbands a
+        JOIN vbands b ON a.b = b.b AND a.key = b.key AND a.fid < b.fid
+        WHERE a.doc_id != b.doc_id
+    ),
+    vham AS (
+        SELECT c.fid_lo, c.fid_hi,
+               CAST(SUM(CASE WHEN substr(pa.vfp, CAST(g.i AS INT), 1)
+                              != substr(pb.vfp, CAST(g.i AS INT), 1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM vcand c
+        JOIN fsig pa ON pa.fid = c.fid_lo
+        JOIN fsig pb ON pb.fid = c.fid_hi,
+        range(1, 65) AS g(i)
+        GROUP BY c.fid_lo, c.fid_hi
+    )"""
+
+
+@register(
+    "video_fp_near_dup",
+    f"""
+    WITH {_VFP_CTES}
+    SELECT fid_lo // 100 AS track_lo,
+           fid_hi // 100 AS track_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_frame_matches,
+           CAST(MIN(hamming) AS BIGINT) AS min_hamming
+    FROM vham
+    WHERE hamming <= 3
+    GROUP BY fid_lo // 100, fid_hi // 100
+    """,
+    "Video near-dup via per-frame perceptual hashes — the FIFTH "
+    "modality on the shared Hamming kit, completing the symmetry "
+    "(text / embeddings / images / audio / video). Composes three "
+    "EXISTING operators end to end: multimodal.media.frame_sample "
+    "(evenly-spaced frame offsets — min(4, 1+bytes/256) frames, the "
+    "arithmetic a real container decoder would seek with), per-frame "
+    "aHash (the exact-integer block-mean rule over each frame's byte "
+    "span; a real decoder would hand decoded frame images to the "
+    "SAME kernel), and dedup.bitstring_near_dup_pairs over composite "
+    "(track*100+frame) ids with the count-first pre-cap, then "
+    "track-level aggregation (n_frame_matches, min_hamming). Two "
+    "re-uploads match on every frame at hamming 0; a trimmed or "
+    "re-encoded track would still match on surviving frames — the "
+    "property a whole-file hash lacks. Corpus: the shared "
+    "duplicated-media relation. Scale shape: map-only frame fan-out "
+    "(rows, not bytes) + map-only Arrow hash + ONE (band, key) "
+    "exchange; verify touches candidates only. Full oracle.",
+)
+def video_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import ahash_images, frame_sample
+    from ..operators.dedup import bitstring_near_dup_pairs
+
+    d = _phash_corpus(spark, sf_dir)
+    blobs = d.select("doc_id", "text", F.encode("text", "UTF-8").alias("data"))
+    frames = frame_sample(
+        blobs, max_frames=_VFP_MAX_FRAMES, stride_bytes=_VFP_STRIDE
+    )
+    nf = F.least(
+        F.lit(_VFP_MAX_FRAMES).cast("bigint"),
+        F.lit(1) + (F.col("n_bytes") / F.lit(_VFP_STRIDE)).cast("bigint"),
+    )
+    span = F.floor(F.col("n_bytes") / nf)
+    frame_blobs = (
+        frames.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            (F.col("doc_id") * 100 + F.col("frame_idx")).alias("fid"),
+            F.encode(
+                F.substring(
+                    "text",
+                    (F.col("byte_offset") + 1).cast("int"),
+                    span.cast("int"),
+                ),
+                "UTF-8",
+            ).alias("data"),
+        )
+    )
+    # slot-persist: the frame-signature relation feeds the pre-cap
+    # count pass, both band-join sides and the Hamming verify
+    fsig = _slot_persist(
+        "video_fp_near_dup.fsig",
+        ahash_images(frame_blobs, id_col="fid", use_real=False).select(
+            F.col("doc_id").alias("fid"), F.col("phash").alias("vfp")
+        ),
+    )
+    pairs = bitstring_near_dup_pairs(
+        fsig, sig_col="vfp", id_col="fid", n_bits=64, max_hamming=3, bands=4
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("id_lo") / 100).alias("track_lo"),
+            F.floor(F.col("id_hi") / 100).alias("track_hi"),
+            "hamming",
+        )
+        .where(F.col("track_lo") != F.col("track_hi"))
+        .groupBy("track_lo", "track_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frame_matches"),
             F.min("hamming").cast("bigint").alias("min_hamming"),
         )
     )

@@ -1642,6 +1642,38 @@ def test_incremental_phash_rejects_archiveless_call(spark, tmp_path):
         )
 
 
+def test_bloom_probe_cache_eviction_keeps_old_plans_alive(spark):
+    """ADVICE r9 (medium): evicting a bitmap from the probe cache must
+    only unpersist its broadcast — a previously returned UDF (or a
+    lazy plan built from it) still closes over that broadcast, and a
+    destroy() would make executing it fail at runtime once a 5th
+    distinct bitmap rotates it out. Pin: build a plan from bitmap #1,
+    evict it by creating MAX+1 more bitmaps, then execute the old
+    plan."""
+    from lichess_db_spark.operators.dedup import (
+        _BLOOM_PROBE_CACHE,
+        _BLOOM_PROBE_CACHE_MAX,
+        bloom_hit_udf,
+    )
+
+    m, k = 64, 2
+    def bitmap(tag):
+        bits = bytearray(b"0" * m)
+        bits[tag % m] = ord("1")
+        return bytes(bits)
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(6)], "digest string")
+    hit0 = bloom_hit_udf(spark, bitmap(1), m, k)
+    old_plan = df.select(F.coalesce(hit0(F.col("digest")), F.lit(False)).alias("h"))
+    key0 = next(iter(_BLOOM_PROBE_CACHE))
+    for i in range(2, _BLOOM_PROBE_CACHE_MAX + 3):
+        bloom_hit_udf(spark, bitmap(i), m, k)
+    assert key0 not in _BLOOM_PROBE_CACHE  # bitmap #1 was evicted
+    # the old plan must still execute (unpersist re-ships on demand;
+    # destroy would raise here)
+    assert old_plan.count() == 6
+
+
 def test_audio_fingerprints_windows_and_twin(spark):
     """audio_fingerprints: windowing contract (overlapping hop
     windows; short blobs get one whole-blob window), python-twin
@@ -1691,6 +1723,53 @@ def test_audio_fingerprints_windows_and_twin(spark):
         audio_fingerprints(df, window_bytes=512, hop_bytes=1024)
     with pytest.raises(ImportError, match="codec"):
         audio_fingerprints(df, use_real=True)
+
+
+def test_video_fp_near_dup_matches_reuploads(spark, tmp_path):
+    """The video entry end to end on a tiny synthetic corpus: byte-
+    identical re-uploads (the _phash_corpus %25/%50 rules) must match
+    on EVERY sampled frame at hamming 0; unrelated tracks must not
+    pair. Also pins the frame contract: min(4, 1+bytes/256) frames."""
+    import os
+
+    from lichess_db_spark.multimodal.media import frame_sample
+    from lichess_db_spark.plans.registry import QUERIES
+
+    long_a = " ".join(f"tok{i*7%97}x{i}" for i in range(200))  # >1024 bytes
+    long_b = " ".join(f"zz{i*13%89}q{i}" for i in range(200))
+    rows = [(25, long_a), (50, long_b), (7, "short clip")]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    # frame contract on the raw blobs
+    nf = {
+        r.doc_id: r.cnt
+        for r in frame_sample(
+            spark.createDataFrame(rows, "doc_id long, text string").select(
+                "doc_id", F.encode("text", "UTF-8").alias("data")
+            ),
+            max_frames=4,
+            stride_bytes=256,
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert nf[25] == 4 and nf[7] == 1  # long: capped at 4; short: 1
+
+    got = {
+        (r.track_lo, r.track_hi): (r.n_frame_matches, r.min_hamming)
+        for r in QUERIES["video_fp_near_dup"].build(spark, d).collect()
+    }
+    # doc 25 -> re-upload 1000025 (identical): all 4 frames match at 0
+    assert got[(25, 1000025)][1] == 0 and got[(25, 1000025)][0] >= 4
+    # doc 50 -> re-uploads 1000050 AND 2000050: a 3-member clique
+    for pair in ((50, 1000050), (50, 2000050), (1000050, 2000050)):
+        assert got[pair][1] == 0
+    # unrelated originals never pair with each other
+    assert (25, 50) not in got and (7, 25) not in got
 
 
 def test_staged_persist_slot_bounded(spark):
