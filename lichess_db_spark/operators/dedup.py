@@ -245,6 +245,7 @@ def _precap_hot_keys(
     key_cols: tuple[str, ...],
     max_bucket_size: int | None,
     observation,
+    mode: str = "broadcast",
 ) -> DataFrame:
     """Count-first hot-key pre-cap shared by the batch pairing tiers
     (MinHash bands and Hamming bit-slices): a map-combinable
@@ -272,14 +273,45 @@ def _precap_hot_keys(
     side being empty is the COMMON case). Passing an observation
     therefore triggers one small Spark job at build time.
 
-    The count pass re-reads ``banded``'s lineage once (partial
-    aggregation makes its shuffle tiny — one row per key per map
-    partition); at 100 TB callers should persist the signature
-    relation, which both catalog pHash entries already do."""
+    ``mode`` picks the plan shape by what the SECOND read of
+    ``banded`` costs (r10 bisect: the broadcast shape put +48% on
+    dedup_minhash_pairs because its signature kernel is expensive and
+    unpersisted):
+
+    - ``"broadcast"``: the count pass re-reads ``banded``'s lineage
+      (partial aggregation keeps its shuffle tiny) and the over-cap
+      keys broadcast into a map-side anti-join, so hot rows are
+      dropped BEFORE any exchange — strictly best when the signature
+      relation is persisted or cheap to recompute (the pHash catalog
+      entries persist theirs via slots; the contract is documented
+      there).
+    - ``"repartition"``: ``banded`` is hash-repartitioned on the keys
+      ONCE; the key-count aggregate, the broadcast anti-join and the
+      per-bucket collect all sit on that single exchange, so the
+      signature kernel runs once with no persist needed. The hot
+      key's rows do cross the wire to one reducer, but they are
+      dropped before the collect aggregate — never an unspillable
+      D-element aggregation buffer.
+    - ``"window"``: single scan, single exchange, no join at all — a
+      per-key COUNT window over the exchanged relation, then a
+      ``<= cap`` filter ahead of the collect. The hot key's rows
+      buffer in WindowExec's spillable per-group array (disk-bounded
+      straggler, not an OOM). Measured cheapest of the single-scan
+      shapes (isolated sf0.1 bisect on dedup_minhash_pairs: r9
+      post-collect filter 1.86 s / window 2.30 s / repartition 2.40 s
+      / broadcast-with-recompute 2.75 s) — the MinHash tier's
+      default.
+
+    Every mode keeps identical semantics (keys with row count > cap
+    are excluded before pairing)."""
+    if mode not in ("broadcast", "repartition", "window"):
+        raise ValueError(f"unknown precap mode {mode!r}")
     if max_bucket_size is None and observation is None:
         return banded
-    key_counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
     if observation is not None:
+        key_counts = banded.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
         over = (
             F.col("__n") > max_bucket_size
             if max_bucket_size is not None
@@ -292,6 +324,29 @@ def _precap_hot_keys(
         ).count()
     if max_bucket_size is None:
         return banded
+    if mode == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols)
+        return (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    if mode == "repartition":
+        part = banded.repartition(*key_cols)
+        hot = (
+            part.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket_size)
+            .select(*key_cols)
+        )
+        # broadcast the (tiny) hot set: the anti-join then reads the
+        # shared exchange map-side with NO SMJ sorts, and the collect
+        # aggregate's distribution is already satisfied — one exchange
+        # total, signature kernel runs once
+        return part.join(F.broadcast(hot), list(key_cols), "left_anti")
+    key_counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
     hot = key_counts.where(F.col("__n") > max_bucket_size).select(*key_cols)
     return banded.join(F.broadcast(hot), list(key_cols), "left_anti")
 
@@ -303,6 +358,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     observation=None,
+    precap_mode: str = "window",
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash).
 
@@ -354,7 +410,20 @@ def minhash_lsh_candidates(
         ).alias("band_idx", "band_hash"),
     )
     banded = _precap_hot_keys(
-        banded, ("band_idx", "band_hash"), max_bucket_size, observation
+        banded,
+        ("band_idx", "band_hash"),
+        max_bucket_size,
+        observation,
+        # window mode: the signature kernel is the expensive part of
+        # this plan and sigs are typically unpersisted here, so the
+        # single-scan shapes win. Isolated sf0.1 median-of-5 bisect
+        # (r10): r9 post-collect filter 1.86 s (unsafe buffer),
+        # window 2.30 s, repartition+broadcast-anti 2.40 s,
+        # broadcast count-pass 2.75 s (sig kernel recomputed) —
+        # window buys the bounded-memory guarantee for ~0.4 s here;
+        # callers that persist their signature relation should pass
+        # precap_mode="broadcast" for the map-side drop instead.
+        mode=precap_mode,
     )
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
@@ -397,6 +466,7 @@ def minhash_dedup_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     portable: bool = False,
     observation=None,
+    precap_mode: str = "window",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates verified by
     exact shingle-set Jaccard (join back to shingle sets; the
@@ -422,6 +492,7 @@ def minhash_dedup_pairs(
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, rows_per_band,
         max_bucket_size=max_bucket_size, observation=observation,
+        precap_mode=precap_mode,
     )
     sets_df = shingled.select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
     a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -1905,6 +1976,7 @@ def bitstring_near_dup_pairs(
     bands: int = 4,
     max_bucket_size: int | None = 256,
     observation=None,
+    precap_mode: str = "broadcast",
 ) -> DataFrame:
     """Hamming-space near-dup pairs over bit-string signatures (the
     pairing tier for perceptual image hashes — aHash/dHash/pHash all
@@ -1966,7 +2038,16 @@ def bitstring_near_dup_pairs(
             )
         ).alias("__b", "__key"),
     )
-    banded = _precap_hot_keys(banded, ("__b", "__key"), max_bucket_size, observation)
+    # broadcast mode by default: callers persist the signature
+    # relation (the catalog entries use named slots), so the count
+    # pass reads cache and the hot key's rows are dropped MAP-SIDE,
+    # never crossing the exchange; pass precap_mode="window" when the
+    # signature lineage is expensive and unpersisted (see
+    # _precap_hot_keys for the measured trade).
+    banded = _precap_hot_keys(
+        banded, ("__b", "__key"), max_bucket_size, observation,
+        mode=precap_mode,
+    )
     buckets = banded.groupBy("__b", "__key").agg(
         F.sort_array(F.collect_list(F.struct("__id", "__sig"))).alias("ms")
     )

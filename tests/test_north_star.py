@@ -1562,12 +1562,22 @@ def test_precap_filters_before_collect_in_plan(spark):
         "doc_id long, text string",
     )
     msigs = minhash_signatures(mdocs)
+    # MinHash default = window mode (single scan, single exchange, no
+    # join): the per-key COUNT window + <=cap filter sit BELOW the
+    # collect_set aggregate, and the expensive signature lineage is
+    # not duplicated into a second count branch
     mplan = plan_of(minhash_lsh_candidates(msigs, max_bucket_size=8))
-    assert "LeftAnti" in mplan and "collect_set" in mplan
-    assert mplan.index("collect_set") < mplan.index("LeftAnti")
-    assert "LeftAnti" not in plan_of(
-        minhash_lsh_candidates(msigs, max_bucket_size=None)
+    assert "Window" in mplan and "collect_set" in mplan
+    assert mplan.index("collect_set") < mplan.index("Window")
+    assert "LeftAnti" not in mplan
+    uncapped_m = plan_of(minhash_lsh_candidates(msigs, max_bucket_size=None))
+    assert "Window" not in uncapped_m and "LeftAnti" not in uncapped_m
+    # broadcast mode on request (persisted-signature callers)
+    bplan = plan_of(
+        minhash_lsh_candidates(msigs, max_bucket_size=8, precap_mode="broadcast")
     )
+    assert "LeftAnti" in bplan
+    assert bplan.index("collect_set") < bplan.index("LeftAnti")
 
 
 def test_incremental_phash_equals_one_shot(spark, tmp_path):
