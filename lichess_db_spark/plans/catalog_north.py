@@ -217,6 +217,125 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(drop, "doc_id", "left_anti")
 
 
+_SPLIT_LEAKFREE_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node",
+    """, assign AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+),
+alldocs AS (
+    SELECT d.doc_id, COALESCE(a.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN assign a ON a.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT *,
+           ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '-split'),
+                           1, 8))::BIGINT % 100 AS b
+    FROM alldocs
+)""",
+)
+
+
+@register(
+    "dedup_split_leakfree",
+    _SPLIT_LEAKFREE_ORACLE,
+    "LEAKAGE-FREE train/val/test assignment: the split is a pure "
+    "function of the near-dup CLUSTER id, not the doc id — so two "
+    "near-duplicate documents can never land on opposite sides of "
+    "the train/eval boundary (doc-level hashing leaks: a paraphrase "
+    "of a test doc in train is memorization fuel the doc-level "
+    "splitter can't see; dataset_split_counts is that doc-level "
+    "twin). Composes three verified kits unchanged: the exact-Jaccard "
+    "pair graph, connected_components (min-label, the r9 lineage-cut "
+    "fix), and dataset_split's md5 percent-buckets applied to "
+    "cluster_id (singletons: cluster_id = doc_id, so their behavior "
+    "matches the doc-level splitter exactly). Assignment is stable "
+    "as the corpus grows AND under recluster-merges that keep the "
+    "min-id representative. Scale shape: the CC supersteps dominate; "
+    "the split tag itself is map-only. Full oracle (recursive-CTE "
+    "closure + the same md5 bucket arithmetic).",
+)
+def dedup_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.2)
+    cc = dd.connected_components(pairs)
+    clustered = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("doc_id", "node"),
+              F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    return dataset_split(clustered, id_col="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+_KEEP_LONGEST_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node",
+    """, assign AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+),
+alldocs AS (
+    SELECT d.doc_id, d.n_chars, COALESCE(a.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN assign a ON a.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, n_chars,
+       rn = 1 AS keep
+FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM alldocs
+)""",
+)
+
+
+@register(
+    "dedup_keep_best",
+    _KEEP_LONGEST_ORACLE,
+    "Quality-aware cluster representative: per near-dup cluster keep "
+    "the member with the MOST CONTENT (max n_chars, ties broken by "
+    "min doc_id) instead of the min-id member — what production "
+    "dedup actually ships: near-dup groups usually contain one full "
+    "document plus truncated/boilerplate-stripped copies, and keep-"
+    "min-id throws the full one away whenever a fragment has the "
+    "smaller id (dedup_keep_representatives is that min-id twin). "
+    "Same cluster relation (exact-Jaccard pairs -> "
+    "connected_components), then ONE cluster-keyed row_number window "
+    "over (n_chars DESC, doc_id) — the ranking column is free to be "
+    "any deterministic quality score; n_chars makes the oracle "
+    "exact-integer. Scale shape: CC supersteps + one |V|-row window "
+    "shuffle. Full oracle.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.2)
+    cc = dd.connected_components(pairs)
+    alldocs = (
+        docs.select("doc_id", "n_chars")
+        .join(cc.withColumnRenamed("doc_id", "node"),
+              F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return alldocs.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep")
+    )
+
+
 @register(
     "dedup_minhash_pairs",
     None,  # xxhash64-based signatures: not reproducible in the oracle

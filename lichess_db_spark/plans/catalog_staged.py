@@ -31,6 +31,8 @@ from .registry import register
 STAGED_NEXT: tuple[str, ...] = (
     "audio_fp_near_dup",
     "video_fp_near_dup",
+    "dedup_split_leakfree",
+    "dedup_keep_best",
 )
 
 

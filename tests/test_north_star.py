@@ -1684,6 +1684,32 @@ def test_bloom_probe_cache_eviction_keeps_old_plans_alive(spark):
     assert old_plan.count() == 6
 
 
+def test_dedup_split_leakfree_and_keep_best_properties(spark):
+    """The two cluster-composed curation entries: (1) no near-dup
+    cluster ever straddles the train/eval boundary — the leakage
+    property doc-level splitting cannot give; (2) keep_best keeps
+    exactly one member per cluster and it is a longest one."""
+    from lichess_db_spark.plans.registry import QUERIES
+
+    from .conftest import SF_MED
+
+    split = QUERIES["dedup_split_leakfree"].build(spark, SF_MED)
+    per_cluster = split.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("ns"), F.count("*").alias("n")
+    )
+    assert per_cluster.where(F.col("ns") > 1).count() == 0  # no straddle
+    assert per_cluster.where(F.col("n") > 1).count() > 0  # non-vacuous
+
+    best = QUERIES["dedup_keep_best"].build(spark, SF_MED)
+    agg = best.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.max("n_chars").alias("mx"),
+        F.max(F.when(F.col("keep"), F.col("n_chars"))).alias("kept_chars"),
+    )
+    assert agg.where(F.col("n_keep") != 1).count() == 0  # exactly one keeper
+    assert agg.where(F.col("kept_chars") != F.col("mx")).count() == 0  # longest
+
+
 def test_audio_fingerprints_windows_and_twin(spark):
     """audio_fingerprints: windowing contract (overlapping hop
     windows; short blobs get one whole-blob window), python-twin
