@@ -947,3 +947,72 @@ def read_webdataset(
     return tars.select("path", "content").mapInPandas(
         parse, "key string, ext string, data binary, shard_file string"
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    sqrt_depth: int = 1,
+    budget_num: int = 4,
+    budget_den: int = 5,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture allocation (the mT5/XLM-R recipe
+    UniMax superseded, still the baseline every mix report quotes):
+    language l gets budget share proportional to ``n_l^alpha`` — small
+    languages are up-weighted relative to their share, the head is
+    damped. ``alpha = 0.5 ** sqrt_depth`` (depth 1 -> alpha 0.5,
+    depth 2 -> 0.25): powers are computed as CHAINS OF IEEE SQRT over
+    the 1e12-scaled integer token count, because sqrt is the one
+    power both Spark and an ANSI oracle round identically (pow(x, .3)
+    is not correctly-rounded-guaranteed cross-engine); the weight is
+    floored back to BIGINT, so everything after — the weight total,
+    the quota split ``B * w // W`` — is exact integer arithmetic.
+    Reported ``alloc_epochs`` is the single IEEE division.
+
+    Scale shape: ONE corpus scan for the per-lang token counts;
+    everything else runs on G rows (one 1-row broadcast total). The
+    companion :func:`unimax_allocation` is the epoch-capped
+    water-filling allocator; this one never caps, so a dominant head
+    language still takes the largest share (the failure mode UniMax
+    fixes — run both and diff, that IS the mix-design review)."""
+    if sqrt_depth < 1 or sqrt_depth > 3:
+        raise ValueError(f"sqrt_depth must be 1..3, got {sqrt_depth}")
+    if budget_num <= 0 or budget_den <= 0 or budget_num > budget_den:
+        raise ValueError(
+            f"budget fraction must be in (0, 1]: {budget_num}/{budget_den}"
+        )
+    toks = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(F.size(F.split(text_col, " "))).cast("bigint").alias("n_tokens")
+    )
+    w = (F.col("n_tokens") * F.lit(10**12)).cast("double")
+    for _ in range(sqrt_depth):
+        w = F.sqrt(w)
+    weighted = toks.withColumn("weight_scaled", F.floor(w).cast("bigint"))
+    tot = weighted.agg(
+        F.sum("weight_scaled").cast("bigint").alias("W"),
+        F.sum("n_tokens").cast("bigint").alias("T"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            "weight_scaled",
+            # integral `div` throughout: (x / y).cast("bigint") would
+            # round-trip through double and can drop an ulp at the
+            # floor boundary — the oracle's `//` is exact
+            F.expr(f"(T * {budget_num}) div {budget_den}").alias("__B"),
+            "W",
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "weight_scaled",
+            F.expr("(__B * weight_scaled) div W").alias("alloc_tokens"),
+        )
+        .withColumn(
+            "alloc_epochs",
+            F.col("alloc_tokens") / F.col("n_tokens").cast("double"),
+        )
+    )

@@ -959,3 +959,137 @@ def matryoshka_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass a RAG retriever runs AFTER similarity
+    search: greedily pick ``k`` results maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)``,
+    so near-duplicate hits can't crowd the context window. The greedy
+    loop is inherently sequential in ``k`` (each pick changes the
+    next pick's diversity penalty) but ``k`` is context-window-sized
+    by definition, so the loop UNROLLS into the plan: ``k`` chained
+    TakeOrderedAndProject(1) steps over the ``pool``-row candidate
+    relation — no collect, no driver round-trips beyond plan
+    construction.
+
+    Determinism (the repo's knn kit): every pairwise quantity is the
+    exact scaled-int cosine rounded to 3 decimals with id tiebreaks;
+    the MMR combination is then two IEEE multiplies + a subtract over
+    identical doubles, so the selected set and every reported score
+    are engine-portable. Scale shape: the cosine pool cut is the
+    brute/IVF/LSH stage (broadcast queries x corpus map-side scan);
+    everything after runs on pool^2 rows per query. Returns
+    (query_id, rank, neighbor_id, relevance, mmr_score)."""
+    if k < 1 or pool < k:
+        raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    # materialize the pool cut ONCE (eager localCheckpoint, Q x pool
+    # rows — driver-bounded like the kmeans/logreg state): the greedy
+    # chain references the pool relation from every pick AND every
+    # remaining-set anti-join, so an uncut lineage re-runs the corpus
+    # scan per reference and the plan tree grows with 2^k (the
+    # connected_components exponential-lineage lesson, r9)
+    cand = (
+        brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id", F.col("score").alias("relevance"))
+        .localCheckpoint(eager=True)
+    )
+    # pairwise sims WITHIN the pool, per query: pool^2 rows/query
+    emb = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm_exact(F.col(vec_col)).alias("__n"),
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("a"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("b"))
+    sims = (
+        ca.join(cb, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(emb.select(F.col("__id").alias("a"),
+                         F.col("__v").alias("va"),
+                         F.col("__n").alias("na")), "a")
+        .join(emb.select(F.col("__id").alias("b"),
+                         F.col("__v").alias("vb"),
+                         F.col("__n").alias("nb")), "b")
+        .select(
+            "query_id", "a", "b",
+            F.round(
+                dot_exact("va", "vb") / (F.col("na") * F.col("nb")), 3
+            ).alias("s"),
+        )
+    )
+    picks = []
+    remaining = cand
+    for i in range(k):
+        if not picks:
+            scored = remaining.select(
+                "query_id",
+                "neighbor_id",
+                "relevance",
+                (F.lit(lam) * F.col("relevance")).alias("mmr_score"),
+            )
+        else:
+            pen = None
+            cur = remaining
+            for j, p in enumerate(picks):
+                pj = p.select(
+                    "query_id", F.col("neighbor_id").alias(f"__p{j}")
+                )
+                sj = sims.select(
+                    "query_id",
+                    F.col("a").alias("neighbor_id"),
+                    F.col("b").alias(f"__p{j}"),
+                    F.col("s").alias(f"__s{j}"),
+                )
+                cur = cur.join(F.broadcast(pj), "query_id").join(
+                    sj, ["query_id", "neighbor_id", f"__p{j}"]
+                )
+                pen = (
+                    F.col(f"__s{j}")
+                    if pen is None
+                    else F.greatest(pen, F.col(f"__s{j}"))
+                )
+            scored = cur.select(
+                "query_id",
+                "neighbor_id",
+                "relevance",
+                (
+                    F.lit(lam) * F.col("relevance") - F.lit(1.0 - lam) * pen
+                ).alias("mmr_score"),
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("query_id", "neighbor_id", "relevance", "mmr_score")
+        )
+        picks.append(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    out = None
+    for i, p in enumerate(picks):
+        row = p.select(
+            "query_id",
+            F.lit(i + 1).cast("int").alias("rank"),
+            "neighbor_id",
+            "relevance",
+            "mmr_score",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -33,6 +33,8 @@ STAGED_NEXT: tuple[str, ...] = (
     "video_fp_near_dup",
     "dedup_split_leakfree",
     "dedup_keep_best",
+    "temperature_mix_allocation",
+    "knn_mmr_rerank",
 )
 
 
@@ -1958,4 +1960,191 @@ def video_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_frame_matches"),
             F.min("hamming").cast("bigint").alias("min_hamming"),
         )
+    )
+
+
+@register(
+    "temperature_mix_allocation",
+    """
+    WITH toks AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    weighted AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE) * 1e12)) AS BIGINT)
+                   AS weight_scaled
+        FROM toks
+    ),
+    tot AS (
+        SELECT CAST(SUM(weight_scaled) AS BIGINT) AS W,
+               CAST(SUM(n_tokens) AS BIGINT) AS T
+        FROM weighted
+    )
+    SELECT lang, n_tokens, weight_scaled,
+           CAST(((T * 4) // 5) * weight_scaled // W AS BIGINT) AS alloc_tokens,
+           CAST((((T * 4) // 5) * weight_scaled // W) AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS alloc_epochs
+    FROM weighted, tot
+    """,
+    "Temperature-scaled mixture allocation (alpha = 0.5; the mT5/"
+    "XLM-R multilingual-sampling baseline) — the uncapped companion "
+    "of unimax_lang_allocation over the SAME 80% token budget: share "
+    "proportional to n_l^alpha, so tail languages are up-weighted "
+    "and the head damped, but nothing stops a dominant language "
+    "over-repeating (the failure UniMax's epoch cap fixes — running "
+    "both and diffing IS the mix-design review). Portability: the "
+    "power is computed as IEEE SQRT over the 1e12-scaled integer "
+    "token count and floored straight back to BIGINT — sqrt is the "
+    "one power both engines round identically (pow(x, 0.3) has no "
+    "cross-engine guarantee) — and the quota split B*w//W is exact "
+    "integral arithmetic end to end (Spark `div`, never a double "
+    "round-trip); alloc_epochs is the single reported IEEE division. "
+    "Scale shape: ONE corpus scan for per-lang counts, then G-row "
+    "arithmetic with a 1-row broadcast total.",
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import temperature_allocation
+
+    return temperature_allocation(
+        _t(spark, sf_dir, "documents"),
+        sqrt_depth=1,
+        budget_num=4,
+        budget_den=5,
+    )
+
+
+# exact repr of the operator's (1 - lam) double for lam = 0.7: Python
+# computes 1.0 - 0.7 = 0.30000000000000004 (not 0.3) and the oracle
+# must subtract the SAME double or the last ulp of every penalized
+# mmr_score drifts
+_MMR_PEN = repr(1.0 - 0.7)
+
+_MMR_COS = """CAST(SUM(CAST(ROUND(CAST({a}[g.i] AS DOUBLE)
+                   * CAST({b}[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)"""
+
+_MMR_CTES = f"""
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(SUM(CAST(ROUND(CAST(embedding[g.i] AS DOUBLE)
+                   * CAST(embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT))
+                   AS BIGINT) / 1e12) AS nn
+        FROM embeddings, range(1, 65) AS g(i)
+        GROUP BY vec_id, embedding
+    ),
+    qs AS (SELECT vec_id AS query_id, embedding AS qv, nn AS qn
+           FROM nrm WHERE vec_id < 3),
+    rel AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(({_MMR_COS.format(a='e.embedding', b='q.qv')} / 1e12)
+                     / (q.qn * e.nn), 3) AS relevance
+        FROM nrm e CROSS JOIN qs q, range(1, 65) AS g(i)
+        WHERE e.vec_id != q.query_id
+        GROUP BY q.query_id, e.vec_id, q.qn, e.nn
+    ),
+    pool AS (
+        SELECT query_id, neighbor_id, relevance FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY relevance DESC, neighbor_id) AS rr
+            FROM rel
+        ) WHERE rr <= 20
+    ),
+    sims AS (
+        SELECT pa.query_id, pa.neighbor_id AS a, pb.neighbor_id AS b,
+               ROUND(({_MMR_COS.format(a='ea.embedding', b='eb.embedding')}
+                      / 1e12) / (ea.nn * eb.nn), 3) AS s
+        FROM pool pa
+        JOIN pool pb ON pb.query_id = pa.query_id
+                    AND pb.neighbor_id != pa.neighbor_id
+        JOIN nrm ea ON ea.vec_id = pa.neighbor_id
+        JOIN nrm eb ON eb.vec_id = pb.neighbor_id,
+        range(1, 65) AS g(i)
+        GROUP BY pa.query_id, pa.neighbor_id, pb.neighbor_id, ea.nn, eb.nn
+    ),
+    p1 AS (
+        SELECT query_id, neighbor_id, relevance,
+               0.7 * relevance AS mmr_score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY 0.7 * relevance DESC, neighbor_id) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    ),
+    sc2 AS (
+        SELECT c.query_id, c.neighbor_id, c.relevance,
+               0.7 * c.relevance - {_MMR_PEN} * s1.s AS mmr_score
+        FROM pool c
+        JOIN p1 ON p1.query_id = c.query_id
+               AND c.neighbor_id != p1.neighbor_id
+        JOIN sims s1 ON s1.query_id = c.query_id
+                    AND s1.a = c.neighbor_id AND s1.b = p1.neighbor_id
+    ),
+    p2 AS (
+        SELECT query_id, neighbor_id, relevance, mmr_score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY mmr_score DESC, neighbor_id) AS rn
+            FROM sc2
+        ) WHERE rn = 1
+    ),
+    sc3 AS (
+        SELECT c.query_id, c.neighbor_id, c.relevance,
+               0.7 * c.relevance
+                   - {_MMR_PEN} * GREATEST(s1.s, s2.s) AS mmr_score
+        FROM pool c
+        JOIN p1 ON p1.query_id = c.query_id
+               AND c.neighbor_id != p1.neighbor_id
+        JOIN p2 ON p2.query_id = c.query_id
+               AND c.neighbor_id != p2.neighbor_id
+        JOIN sims s1 ON s1.query_id = c.query_id
+                    AND s1.a = c.neighbor_id AND s1.b = p1.neighbor_id
+        JOIN sims s2 ON s2.query_id = c.query_id
+                    AND s2.a = c.neighbor_id AND s2.b = p2.neighbor_id
+    ),
+    p3 AS (
+        SELECT query_id, neighbor_id, relevance, mmr_score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY mmr_score DESC, neighbor_id) AS rn
+            FROM sc3
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "knn_mmr_rerank",
+    f"""
+    WITH {_MMR_CTES}
+    SELECT query_id, CAST(1 AS INT) AS rank, neighbor_id, relevance,
+           mmr_score FROM p1
+    UNION ALL
+    SELECT query_id, CAST(2 AS INT) AS rank, neighbor_id, relevance,
+           mmr_score FROM p2
+    UNION ALL
+    SELECT query_id, CAST(3 AS INT) AS rank, neighbor_id, relevance,
+           mmr_score FROM p3
+    """,
+    "Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein "
+    "1998) — the diversity pass after similarity search that keeps "
+    "near-duplicate hits from crowding a RAG context window: greedily "
+    "pick k=3 of a 20-candidate pool maximizing 0.7*rel - 0.3*max "
+    "sim-to-already-picked. The greedy loop is sequential in k BY "
+    "DEFINITION (each pick changes the next penalty), so it unrolls: "
+    "Spark = k chained TopK(1) windows over the materialized Q x 20 "
+    "pool (eager localCheckpoint — the pool relation is referenced "
+    "from every pick and anti-join, an uncut lineage re-scans the "
+    "corpus per reference); oracle = the same three picks as explicit "
+    "CTE stages. Every pairwise quantity is the exact scaled-int "
+    "cosine rounded to 3 (the knn kit), the combination two IEEE "
+    "multiplies and a subtract — note the (1-lam) literal is Python's "
+    "0.30000000000000004, baked verbatim into the oracle so the last "
+    "ulp agrees. Scale shape: pool cut = one broadcast-queries corpus "
+    "scan; everything after runs on pool^2 rows per query. Completes "
+    "the retrieval stack: brute/LSH/IVF/PQ/Matryoshka -> hybrid RRF "
+    "-> MMR diversification.",
+)
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=3, pool=20, lam=0.7
     )

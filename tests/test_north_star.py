@@ -1684,6 +1684,44 @@ def test_bloom_probe_cache_eviction_keeps_old_plans_alive(spark):
     assert old_plan.count() == 6
 
 
+def test_mmr_diversifies_away_duplicates(spark):
+    """The property MMR exists for: when the top of the relevance
+    ranking contains near-duplicates, plain top-k returns both copies
+    while MMR's diversity penalty pushes the duplicate out in favor of
+    a distinct document. Synthetic corpus: query q, two identical
+    highly-relevant docs, one distinct moderately-relevant doc."""
+    from lichess_db_spark.operators.similarity import brute_force_topk, mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # query
+        (1, [0.8, 0.6, 0.0, 0.0]),     # relevant
+        (2, [0.8, 0.6, 0.0, 0.0]),     # exact duplicate of 1
+        (3, [0.7, 0.0, 0.714, 0.0]),   # distinct, nearly as relevant
+        (4, [0.0, 1.0, 0.0, 0.0]),     # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    plain = [
+        r.neighbor_id
+        for r in brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    ]
+    assert plain == [1, 2]  # top-2 by relevance: both copies
+    # lam 0.5: pick2 scores doc2 at 0.5*0.8 - 0.5*1.0 = -0.1 (its
+    # duplicate penalty is total) vs doc3 at 0.5*0.7 - 0.5*0.56 = 0.07
+    mmr = [
+        r.neighbor_id
+        for r in mmr_topk(emb, q, k=2, pool=4, lam=0.5).orderBy("rank").collect()
+    ]
+    assert mmr == [1, 3]  # the duplicate is penalized out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_topk(emb, q, k=5, pool=3)
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_topk(emb, q, k=1, pool=2, lam=0.0)
+
+
 def test_dedup_split_leakfree_and_keep_best_properties(spark):
     """The two cluster-composed curation entries: (1) no near-dup
     cluster ever straddles the train/eval boundary — the leakage
