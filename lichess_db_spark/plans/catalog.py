@@ -63,6 +63,12 @@ _TOUCHED_THIS_ROUND = (
     # driver row — deterministic margin + decision (no sigmoid), so the
     # window stops spending slots on rows-only logreg twins.
     "logreg_margin_gate",
+    # in-round change (rotation contract): bigram_lm_score's oracle and
+    # builder were refactored to share ONE text (_BIGRAM_LM_CTES /
+    # _bigram_doc_scores) with the new staged ccnet_ppl_buckets gate —
+    # identical semantics, but a changed builder earns a driver row
+    # (displaces the last r6-tail slot).
+    "bigram_lm_score",
 )
 _TOUCHED_R9 = (
     # r9 window budget: 21 touched + 2 sentinels leaves 27 rotation-tail

@@ -4411,10 +4411,10 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_lm_score",
-    """
-    WITH ts AS (
+# Shared bigram-LM per-doc score CTE block — ONE text consumed by
+# bigram_lm_score and the CCNet perplexity-bucket gate, so the model
+# and the gate can never drift (the _SEMDEDUP_CTES discipline).
+_BIGRAM_LM_CTES = """ts AS (
         SELECT doc_id, string_split(text, ' ') AS t
         FROM documents WHERE text IS NOT NULL
     ),
@@ -4424,13 +4424,22 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE g.i <= len(t) - 1
     ),
     c2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM prs GROUP BY a, b),
-    c1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM prs GROUP BY a)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(ROUND(1e12 * cab / ca) AS BIGINT)) AS BIGINT)
-               AS score_scaled
-    FROM prs JOIN c2 USING (a, b) JOIN c1 USING (a)
-    GROUP BY doc_id
+    c1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM prs GROUP BY a),
+    docscore AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(ROUND(1e12 * cab / ca) AS BIGINT)) AS BIGINT)
+                   AS score_scaled
+        FROM prs JOIN c2 USING (a, b) JOIN c1 USING (a)
+        GROUP BY doc_id
+    )"""
+
+
+@register(
+    "bigram_lm_score",
+    f"""
+    WITH {_BIGRAM_LM_CTES}
+    SELECT doc_id, n_bigrams, score_scaled FROM docscore
     """,
     "Bigram language-model likelihood scoring — the KenLM-shaped "
     "quality signal (docs whose word transitions are typical of the "
@@ -4451,6 +4460,13 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark side is unbounded and the fixtures are far below the cap.",
 )
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bigram_doc_scores(spark, sf_dir)
+
+
+def _bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc bigram-LM score relation (doc_id, n_bigrams,
+    score_scaled) — the Spark twin of the _BIGRAM_LM_CTES docscore
+    block, consumed by bigram_lm_score and ccnet_ppl_buckets."""
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     ts = d.select("doc_id", F.split("text", " ").alias("t")).where(
         F.size("t") >= 2
@@ -4479,6 +4495,68 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.round(F.lit(1e12) * F.col("cab") / F.col("ca")).cast("bigint")
         ).alias("score_scaled"),
+    )
+
+
+@register(
+    "ccnet_ppl_buckets",
+    f"""
+    WITH {_BIGRAM_LM_CTES},
+    ranked AS (
+        SELECT doc_id, n_bigrams, score_scaled,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(score_scaled AS DOUBLE) / n_bigrams DESC,
+                            doc_id) AS rn,
+               COUNT(*) OVER () AS N
+        FROM docscore
+    )
+    SELECT doc_id, n_bigrams, score_scaled,
+           CASE ((rn - 1) * 3) // N WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+           ((rn - 1) * 3) // N <= 1 AS keep
+    FROM ranked
+    """,
+    "The CCNet perplexity gate (Wenzek et al. 2020): bucket every "
+    "document into head/middle/tail thirds of the corpus LM-score "
+    "distribution and keep head+middle — THE quality filter behind "
+    "CCNet/LLaMA's crawl curation, composed end to end from two "
+    "verified kits: the shared bigram-LM docscore relation "
+    "(_BIGRAM_LM_CTES — likelihood HIGH = perplexity LOW = head, no "
+    "log() so the rank key is the exact IEEE division of two "
+    "bigints) and the DISTRIBUTED global_rank operator (range "
+    "exchange + prefix-sum offsets, the r9 localCheckpoint fix) "
+    "instead of a single-partition NTILE window — at 100 TB an "
+    "ORDER-BY-everything window is the straggler the rank operator "
+    "exists to avoid. Tiles follow NTILE semantics exactly via "
+    "integer cross-multiply ((rn-1)*3) // N — no percentile "
+    "estimation, no float thresholds. Scale: production CCNet "
+    "broadcasts sampled thresholds instead of exact ranks; the exact "
+    "rank keeps the oracle bit-checkable and costs one extra "
+    "kilobyte-state exchange.",
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_rank
+
+    scores = _bigram_doc_scores(spark, sf_dir).withColumn(
+        "__avg", F.col("score_scaled").cast("double") / F.col("n_bigrams")
+    )
+    ranked = global_rank(
+        scores, F.col("__avg").desc(), F.col("doc_id"), rank_col="rn"
+    )
+    n = ranked.agg(F.count("*").cast("bigint").alias("N"))
+    tile = F.expr("((rn - 1) * 3) div N")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "score_scaled",
+            F.when(tile == 0, "head")
+            .when(tile == 1, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+            (tile <= 1).alias("keep"),
+        )
     )
 
 

@@ -35,6 +35,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "dedup_keep_best",
     "temperature_mix_allocation",
     "knn_mmr_rerank",
+    "ccnet_ppl_buckets",
 )
 
 

@@ -1580,6 +1580,36 @@ def test_precap_filters_before_collect_in_plan(spark):
     assert bplan.index("collect_set") < bplan.index("LeftAnti")
 
 
+def test_precap_modes_identical_pairs(spark):
+    """The three pre-cap plan shapes (broadcast / repartition / window)
+    differ only in WHERE the over-cap keys are dropped — the pair sets
+    they produce must be identical, on a corpus that exercises the cap
+    (one hot signature over the cap, cold near-pairs under it)."""
+    from lichess_db_spark.operators.dedup import bitstring_near_dup_pairs
+
+    rows = [(i, "01" * 32) for i in range(30)] + [
+        (100, "1" * 64),
+        (101, "1" * 63 + "0"),
+        (102, "0" * 64),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, phash string")
+    got = {}
+    for mode in ("broadcast", "repartition", "window"):
+        got[mode] = {
+            (r.id_lo, r.id_hi, r.hamming)
+            for r in bitstring_near_dup_pairs(
+                sigs, max_bucket_size=16, precap_mode=mode
+            ).collect()
+        }
+    assert got["broadcast"] == got["repartition"] == got["window"]
+    assert got["broadcast"] == {(100, 101, 1)}  # hot flood capped away
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precap mode"):
+        bitstring_near_dup_pairs(sigs, precap_mode="magic")
+
+
 def test_incremental_phash_equals_one_shot(spark, tmp_path):
     """Union of per-batch incremental pHash pairs over an arbitrary
     arrival split must equal the one-shot bitstring_near_dup_pairs of
