@@ -248,17 +248,18 @@ def _precap_hot_keys(
     mode: str = "broadcast",
 ) -> DataFrame:
     """Count-first hot-key pre-cap shared by the batch pairing tiers
-    (MinHash bands and Hamming bit-slices): a map-combinable
-    ``groupBy(keys).count()`` finds over-cap keys, then a broadcast
-    LEFT ANTI join drops their rows BEFORE any per-bucket
-    ``collect_list`` — so a corpus with D near-identical members never
-    materializes a D-element aggregation buffer on one reducer (the r9
-    scale suite measured the post-materialization cap at alpha 1.28 /
-    108 s on the 64x adversarially-duplicated corpus: the cap filtered
-    AFTER the hot bucket was built). The over-cap key relation is
-    bounded by total_rows / cap keys (<0.4% of banded rows at the
-    default cap) and is broadcast, so hot rows are dropped map-side
-    and never cross the exchange.
+    (MinHash bands and Hamming bit-slices): over-cap keys are found by
+    a per-key COUNT and their rows are dropped BEFORE any per-bucket
+    ``collect_list``/``collect_set`` — so a corpus with D
+    near-identical members never materializes a D-element aggregation
+    buffer on one reducer (collect buffers are single unspillable
+    values; the r9 shape filtered AFTER the hot bucket was built,
+    which the scale suite measured at alpha 1.28 / 108 s on the 64x
+    adversarially-duplicated corpus). WHERE the drop happens depends
+    on ``mode`` below: map-side before the exchange (broadcast), on
+    the reducer before the collect (repartition), or via a spillable
+    window filter (window) — every mode bounds reducer memory, they
+    differ in what the count pass costs.
 
     Requires the banded relation to hold at most one row per (id, key)
     — both callers construct keys by posexplode over per-doc bands, so

@@ -1902,6 +1902,52 @@ def test_staged_persist_slot_bounded(spark):
     del cs._PERSIST_SLOTS["mm_phash_dedup.sigs"]
 
 
+def test_incremental_index_serves_audio_windows(spark, tmp_path):
+    """Modality symmetry of the incremental near-dup family: the
+    SAME incremental pHash core (posting archive + signature side
+    table + Hamming verify) serves the audio WINDOW fingerprints
+    unchanged — composite (track, window) ids are just ids. Union of
+    per-batch pairs over an arrival split == the one-shot batch
+    pairing of all windows."""
+    from lichess_db_spark.multimodal.media import audio_fingerprints
+    from lichess_db_spark.operators.dedup import (
+        bitstring_near_dup_pairs,
+        incremental_phash_near_dup,
+    )
+
+    base = bytes((i * 31 + (i // 7) * 13) % 256 for i in range(1600))
+    tweaked = bytearray(base)
+    tweaked[100] = (tweaked[100] + 120) % 256
+    rows = [(1, base), (2, bytes(base)), (3, bytes(tweaked))]
+    fps = audio_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, data binary"),
+        window_bytes=1024,
+        hop_bytes=512,
+    )
+    wsig = fps.select(
+        (F.col("doc_id") * 100000 + F.col("window_idx")).alias("doc_id"),
+        F.col("afp").alias("phash"),
+    ).persist()
+    want = {
+        (r.id_lo, r.id_hi, r.hamming)
+        for r in bitstring_near_dup_pairs(wsig, max_bucket_size=None).collect()
+    }
+    assert want  # identical tracks produce hamming-0 window pairs
+    got = set()
+    for b in range(2):
+        batch = wsig.where(F.col("doc_id") % 2 == b)
+        pairs = incremental_phash_near_dup(
+            batch,
+            str(tmp_path / "post"),
+            str(tmp_path / "sigs"),
+            max_postings_per_key=None,
+            batch_id=b,
+        )
+        got |= {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+    assert got == want
+    wsig.unpersist()
+
+
 def test_dhash_gradient_variant(spark):
     """dHash: brightness-shift robustness (adding a constant to every
     byte flips many aHash bits but NO dHash bits — the gradient is
