@@ -1028,6 +1028,13 @@ def mmr_topk(
                 dot_exact("va", "vb") / (F.col("na") * F.col("nb")), 3
             ).alias("s"),
         )
+        # second lineage cut (Q x pool^2 rows, bounded): sims is
+        # referenced from every pick's penalty join — uncut, each
+        # reference re-runs the corpus vector-fetch joins; with both
+        # cand and sims materialized the whole greedy chain operates
+        # on two in-memory pool-sized relations and the corpus is
+        # scanned exactly twice total (pool cut + sims build)
+        .localCheckpoint(eager=True)
     )
     picks = []
     remaining = cand
