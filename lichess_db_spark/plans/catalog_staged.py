@@ -36,6 +36,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "temperature_mix_allocation",
     "knn_mmr_rerank",
     "ccnet_ppl_buckets",
+    "tracin_init_influence",
 )
 
 
@@ -2148,4 +2149,84 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return mmr_topk(
         emb, emb.where(F.col("vec_id") < 3), k=3, pool=20, lam=0.7
+    )
+
+
+@register(
+    "tracin_init_influence",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    test AS (SELECT * FROM base WHERE vec_id < 5),
+    train AS (SELECT * FROM base WHERE vec_id >= 5),
+    dots AS (
+        SELECT tr.vec_id, tr.y,
+               CASE WHEN tr.y = te.y THEN 1 ELSE -1 END AS sgn,
+               CAST(SUM(CAST(ROUND(CAST(tr.embedding[g.i] AS DOUBLE)
+                   * CAST(te.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT))
+                   AS BIGINT) AS s
+        FROM train tr CROSS JOIN test te, range(1, 65) AS g(i)
+        GROUP BY tr.vec_id, tr.y, te.vec_id, te.y
+    )
+    SELECT vec_id, y,
+           CAST(SUM(sgn * (s + 1000000000000)) AS BIGINT)
+               AS influence_scaled,
+           CAST(SUM(sgn * (s + 1000000000000)) AS BIGINT) / 4e12
+               AS influence
+    FROM dots GROUP BY vec_id, y
+    """,
+    "Data attribution via TracIn at the first checkpoint (Pruthi et "
+    "al. 2020, evaluated at initialization w=0): influence of train "
+    "doc i on the test set = sum_t grad_i . grad_t, and at w=0 the "
+    "logistic gradient is (0.5 - y) * [x; 1] EXACTLY (sigmoid(0) = "
+    "1/2 — the logreg_margin_gate trick reused), so every term is "
+    "(+-1/4) * (x_i . x_t + 1) with no exp anywhere. Positive "
+    "influence = same-label geometric alignment (training on i pushes "
+    "the test loss down), negative = conflict — the cheapest member "
+    "of the attribution family that ranks training data by value to "
+    "a target set, beside DSIR (distribution matching) and the "
+    "quality gates. Portability: the pair dot accumulates as the "
+    "1e12-grid bigint (never divided per pair), the +-1 sign and the "
+    "+1e12 bias-gradient term stay integer, the 5-term sum per train "
+    "doc is an ORDER-FREE bigint sum, and the single reported "
+    "division by 4e12 is one IEEE op — bit-portable end to end. "
+    "Scale shape: 5 test vectors broadcast into a map-side scan of "
+    "the train corpus, one (vec_id)-keyed combine; at 100 TB this is "
+    "a pure map pass, the same plan as classifier inference.",
+)
+def tracin_init_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("y")
+    )
+    test = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("t_id"),
+            F.col("embedding").alias("t_vec"),
+            F.col("y").alias("t_y"),
+        )
+    )
+    train = emb.where(F.col("vec_id") >= 5)
+    s = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "t_vec",
+            lambda x, y_: F.round(
+                x.cast("double") * y_.cast("double") * F.lit(1e12)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sgn = F.when(F.col("y") == F.col("t_y"), F.lit(1)).otherwise(F.lit(-1))
+    terms = train.crossJoin(test).select(
+        "vec_id",
+        "y",
+        (sgn.cast("bigint") * (s + F.lit(10**12))).alias("term"),
+    )
+    return terms.groupBy("vec_id", "y").agg(
+        F.sum("term").cast("bigint").alias("influence_scaled"),
+        (F.sum("term").cast("bigint") / F.lit(4e12)).alias("influence"),
     )

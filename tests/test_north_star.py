@@ -1714,6 +1714,37 @@ def test_bloom_probe_cache_eviction_keeps_old_plans_alive(spark):
     assert old_plan.count() == 6
 
 
+def test_tracin_init_influence_signs(spark, tmp_path):
+    """TracIn-at-init semantics on a synthetic corpus: a training doc
+    identical to a test doc helps (positive influence) when labels
+    agree and hurts (negative) when they conflict; an orthogonal doc's
+    influence is only the bias-gradient term."""
+    import os
+
+    from lichess_db_spark.plans.registry import QUERIES
+
+    rows = [
+        (0, [1.0, 0.0] + [0.0] * 62, 0),    # test doc, y=1 (label==0)
+        (10, [1.0, 0.0] + [0.0] * 62, 0),   # train: identical, same label
+        (11, [1.0, 0.0] + [0.0] * 62, 5),   # train: identical, other label
+        (12, [0.0, 1.0] + [0.0] * 62, 0),   # train: orthogonal, same label
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = {
+        r.vec_id: (r.influence_scaled, r.influence)
+        for r in QUERIES["tracin_init_influence"].build(spark, d).collect()
+    }
+    # identical + same label: (dot=1e12) + bias 1e12 = 2e12, sign +
+    assert got[10][0] == 2 * 10**12 and got[10][1] == 0.5
+    # identical + conflicting label: the exact negation
+    assert got[11][0] == -2 * 10**12 and got[11][1] == -0.5
+    # orthogonal + same label: bias term only
+    assert got[12][0] == 10**12 and got[12][1] == 0.25
+
+
 def test_mmr_diversifies_away_duplicates(spark):
     """The property MMR exists for: when the top of the relevance
     ranking contains near-duplicates, plain top-k returns both copies
