@@ -522,7 +522,7 @@ def main() -> None:
     else:
         from pyspark.sql import functions as F
 
-        from lichess_db_spark.operators.similarity import matryoshka_topk
+        from lichess_db_spark.operators.similarity import matryoshka_topk, mmr_topk
 
         build, table = scaled_embeddings, "embeddings"
         ops = {
@@ -554,6 +554,13 @@ def main() -> None:
                 k=5,
                 prefix_dim=16,
                 overfetch=50,
+            ),
+            # MMR diversification (r10): pool cut + pairwise sims are
+            # eagerly checkpointed, so the greedy chain is O(pool^2)
+            # driver-bounded work and the corpus is scanned exactly
+            # twice — the cell should be flat-plus-linear-scan
+            "mmr_rerank": lambda d, f: mmr_topk(
+                d, d.where(F.col("vec_id") < 10), k=3, pool=20, lam=0.7
             ),
         }
 
