@@ -523,3 +523,56 @@ def test_exact_substring_matches_python_twin(spark, corpora):
     for d, (n, n_spans, removed, text) in want.items():
         assert stats[d] == (n, n_spans, removed), (d, corpora)
         assert clean[d] == (n - removed, text), (d, corpora)
+
+
+@given(
+    st.integers(min_value=1, max_value=5000),
+    st.sampled_from([(1024, 512), (256, 128), (100, 100)]),
+)
+def test_audio_window_count_formula(n_bytes, wh):
+    """The windowing contract both the Arrow kernel and the DuckDB
+    oracle implement: nw = max((n - window) // hop + 1, 1), every
+    window starts at a hop multiple, the last window never starts past
+    n, and consecutive windows overlap by window - hop bytes."""
+    window, hop = wh
+    nw = max((n_bytes - window) // hop + 1, 1)
+    assert nw >= 1
+    starts = [w * hop for w in range(nw)]
+    assert all(s < n_bytes for s in starts)
+    if nw > 1:
+        # the next window after the last would start beyond coverage
+        assert starts[-1] + window <= n_bytes + hop - 1 + window
+        assert (nw) * hop > n_bytes - window  # no window was skipped
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_temperature_allocation_arithmetic_invariants(counts):
+    """Python twin of temperature_mix_allocation's exact-integer
+    arithmetic: quotas never exceed the budget in total, are monotone
+    in the group's token count, and equal groups get equal quotas (no
+    positional dependence)."""
+    import math
+
+    W = 0
+    ws = []
+    for n in counts:
+        w = math.floor(math.sqrt(n * 10**12))
+        ws.append(w)
+        W += w
+    T = sum(counts)
+    B = (T * 4) // 5
+    quotas = [(B * w) // W for w in ws]
+    assert sum(quotas) <= B  # floor split never oversubscribes
+    order = sorted(range(len(counts)), key=lambda i: counts[i])
+    for i, j in zip(order, order[1:]):
+        assert quotas[i] <= quotas[j]  # monotone in n_tokens
+    for i in range(len(counts)):
+        for j in range(len(counts)):
+            if counts[i] == counts[j]:
+                assert quotas[i] == quotas[j]
