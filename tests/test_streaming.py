@@ -1508,3 +1508,36 @@ def test_sessionize_stateful_matches_builtin_session_window(spark, staged_events
     assert got == want
     # multi-event sessions exist (the gap rule is non-vacuous)
     assert any(n > 1 for _, _, n in want)
+
+
+def test_stateful_running_count_state_reentry(spark, staged_events):
+    """Regression for the GroupState.get-is-a-property bug (r10): a
+    user whose events span MULTIPLE micro-batches re-enters the
+    operator with EXISTING state — maxFilesPerTrigger=1 forces one
+    batch per staged file so re-entry actually happens (the plain
+    availableNow read lumped all files into one batch, which is why
+    four rounds of the single-batch test never caught the crash).
+    Totals must still equal the batch window twin."""
+    from lichess_db_spark.streaming.ingest import running_features_stateful
+
+    d, ev = staged_events
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        running_features_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_reentry")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stateful_reentry")
+    # at least one user spans two files -> its max cum_events exceeds
+    # its largest single-batch contribution; and totals match batch
+    got_tot = got.groupBy("user_id").agg(F.max("cum_events").alias("n"))
+    want_tot = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert got_tot.join(want_tot, ["user_id", "n"]).count() == want_tot.count()
