@@ -985,7 +985,15 @@ def temperature_allocation(
     toks = df.groupBy(F.col(lang_col).alias("lang")).agg(
         F.sum(F.size(F.split(text_col, " "))).cast("bigint").alias("n_tokens")
     )
-    w = (F.col("n_tokens") * F.lit(10**12)).cast("double")
+    # cast to double BEFORE scaling: a bigint n_tokens * 10**12 overflows
+    # int64 past ~9.2e6 tokens per language (ANSI exception in Spark 4,
+    # silent wraparound with ANSI off) — exactly the 100 TB regime this
+    # allocator targets — while the oracle computes
+    # CAST(n_tokens AS DOUBLE) * 1e12. IEEE double multiply is correctly
+    # rounded in both engines, so the scaled weight (and every sqrt of
+    # it) stays bit-identical cross-engine at ANY corpus size, and is
+    # integer-exact below 2^53 anyway (ADVICE r10).
+    w = F.col("n_tokens").cast("double") * F.lit(1e12)
     for _ in range(sqrt_depth):
         w = F.sqrt(w)
     weighted = toks.withColumn("weight_scaled", F.floor(w).cast("bigint"))

@@ -969,6 +969,7 @@ def mmr_topk(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) — the diversity pass a RAG retriever runs AFTER similarity
@@ -989,11 +990,25 @@ def mmr_topk(
     are engine-portable. Scale shape: the cosine pool cut is the
     brute/IVF/LSH stage (broadcast queries x corpus map-side scan);
     everything after runs on pool^2 rows per query. Returns
-    (query_id, rank, neighbor_id, relevance, mmr_score)."""
+    (query_id, rank, neighbor_id, relevance, mmr_score).
+
+    Unroll limit: pick ``i``'s plan embeds pick ``i-1`` TWICE (the
+    remaining-set anti-join and the penalty join), so the uncut
+    lineage grows ~2^k — the connected_components exponential-tree
+    lesson (r9) at a different operator. ``checkpoint_every`` eagerly
+    localCheckpoints the latest pick and the remaining relation every
+    N picks (both are Q-row/Q*pool-row bounded relations, so the cut
+    is cheap), bounding the largest plan subtree to ~2^N and total
+    plan size to O(k/N * 2^N) — at context-window k (~50) the default
+    cadence keeps plan construction flat instead of exponential. The
+    cut never fires for k <= checkpoint_every, so small-k plans (the
+    catalog's k=3 entry) are byte-identical to the uncut shape."""
     if k < 1 or pool < k:
         raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
     if not 0.0 < lam <= 1.0:
         raise ValueError(f"lam must be in (0, 1], got {lam}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     # materialize the pool cut ONCE (eager localCheckpoint, Q x pool
     # rows — driver-bounded like the kmeans/logreg state): the greedy
     # chain references the pool relation from every pick AND every
@@ -1089,6 +1104,13 @@ def mmr_topk(
             ["query_id", "neighbor_id"],
             "left_anti",
         )
+        # lineage cadence (see docstring): cut the two relations every
+        # future step builds on; skip after the final pick (nothing
+        # downstream). Replacing picks[-1] matters — later penalty
+        # joins reference the stored pick, not the local variable.
+        if (i + 1) % checkpoint_every == 0 and i + 1 < k:
+            picks[-1] = pick.localCheckpoint(eager=True)
+            remaining = remaining.localCheckpoint(eager=True)
     out = None
     for i, p in enumerate(picks):
         row = p.select(

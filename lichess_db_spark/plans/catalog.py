@@ -29,8 +29,38 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    suite (tests/test_catalog_oracle.py).
 # 3. Everything else, least-recently-driver-verified first (ascending
 #    last-green round, registration order as tiebreaker).
-_ROUND = 10
+_ROUND = 11
 _TOUCHED_THIS_ROUND = (
+    # r11 window budget: 12 touched + 2 sentinels leaves 36 rotation-tail
+    # slots for the oldest r6-vintage entries (~34 are last-green r6 —
+    # VERDICT r10 item 2; the few that spill reach staleness 5 at r12,
+    # the bound prior rounds accepted).
+    #
+    # VERDICT r10 item 1: the red row, fixed — embedding_matryoshka_
+    # truncate now returns SCALAR rows (posexplode of the renormalized
+    # prefix), closing the only driver failure in ten rounds. Leads the
+    # window.
+    "embedding_matryoshka_truncate",
+    # VERDICT r10 item 2: the eight r10-staged entries (STAGED_NEXT now
+    # cleared) follow in their staging order.
+    "audio_fp_near_dup",
+    "video_fp_near_dup",
+    "dedup_split_leakfree",
+    "dedup_keep_best",
+    "temperature_mix_allocation",
+    "knn_mmr_rerank",
+    "ccnet_ppl_buckets",
+    "tracin_init_influence",
+    # ADVICE r10 (medium): temperature_allocation's pre-cast bigint
+    # scaling overflowed past ~9.2e6 tokens/lang — now casts to double
+    # BEFORE scaling, matching the oracle; the dependent re-enters.
+    # (temperature_mix_allocation is already above; unimax shares the
+    # module but not the changed helper — verified no re-entry needed.)
+    # ADVICE r10 (low): vocab_growth_curve's mx now computed over the
+    # same non-NULL-text population as the oracle — re-enters.
+    "vocab_growth_curve",
+)
+_TOUCHED_R10 = (
     # r10 window budget: 12 touched + 2 sentinels leaves 36 rotation-tail
     # slots — the 25 staleness-5 r5-vintage entries (VERDICT r9 item 2)
     # fit with ~11 slots to spare for the oldest r6 tail.

@@ -26,18 +26,9 @@ from .registry import register
 
 # names ranked at the catalog tail this round; plans/catalog.py clears
 # this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
-# r10 boundary: the nine r9-staged entries moved into the r10 window;
-# entries registered AFTER the r10 window freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = (
-    "audio_fp_near_dup",
-    "video_fp_near_dup",
-    "dedup_split_leakfree",
-    "dedup_keep_best",
-    "temperature_mix_allocation",
-    "knn_mmr_rerank",
-    "ccnet_ppl_buckets",
-    "tracin_init_influence",
-)
+# r11 boundary: the eight r10-staged entries moved into the r11 window;
+# entries registered AFTER the r11 window freezes are staged here.
+STAGED_NEXT: tuple[str, ...] = ()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1239,9 +1230,9 @@ _MRL_DIM = 16
                ) AS BIGINT) / 1e12) AS nrm
         FROM pre
     )
-    SELECT vec_id, nrm,
-           list_transform(p, x -> CAST(x AS DOUBLE) / nrm) AS embedding_{_MRL_DIM}
-    FROM nrm
+    SELECT vec_id, nrm, CAST(g.i AS INT) AS pos,
+           CAST(p[g.i] AS DOUBLE) / nrm AS value
+    FROM nrm, range(1, {_MRL_DIM + 1}) AS g(i)
     WHERE nrm > 0
     """,
     "Matryoshka embedding truncation (Kusupati et al. 2022, MRL): "
@@ -1251,10 +1242,16 @@ _MRL_DIM = 16
     "Map-only, zero exchanges; the prefix norm is the exact "
     "scaled-int accumulation (norm_exact's argument) so both engines "
     "compute the SAME IEEE sqrt and per-element division — "
-    "bit-identical output arrays. Zero-norm prefixes are dropped "
-    "(nothing to renormalize; the fixture has none, the guard is "
-    "for real corpora). Composes with the ANN entries: a prefix "
-    "index probes 4x less data per vector at the same row count.",
+    "bit-identical values. Zero-norm prefixes are dropped (nothing "
+    "to renormalize; the fixture has none, the guard is for real "
+    "corpora). Output is posexploded to one (vec_id, nrm, pos, "
+    "value) SCALAR row per dimension — the r10 driver red row was "
+    "this entry returning a raw ArrayType column, which the driver's "
+    "pandas canonicalization cannot hash ('unhashable type: list'); "
+    "every catalog entry's final schema must be scalar-only "
+    "(tests/test_catalog_schema_lint.py enforces the class). "
+    "Composes with the ANN entries: a prefix index probes 4x less "
+    "data per vector at the same row count.",
 )
 def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import norm_exact
@@ -1265,12 +1262,12 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         emb.select("vec_id", p.alias("p"), nrm.alias("nrm"))
         .where(F.col("nrm") > 0)
+        .select("vec_id", "nrm", F.posexplode("p").alias("pos0", "x"))
         .select(
             "vec_id",
             "nrm",
-            F.transform(F.col("p"), lambda x: x.cast("double") / F.col("nrm")).alias(
-                f"embedding_{_MRL_DIM}"
-            ),
+            (F.col("pos0") + F.lit(1)).alias("pos"),
+            (F.col("x").cast("double") / F.col("nrm")).alias("value"),
         )
     )
 
@@ -1367,7 +1364,14 @@ def export_webdataset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     marks = (10, 25, 50, 100)
-    mx = d.agg(F.max("doc_id").alias("mx"))
+    # mx must come from the SAME population as the oracle's exploded
+    # relation: explode(split(NULL)) drops NULL-text docs in both
+    # engines, so a NULL-text doc holding the corpus-max doc_id would
+    # silently shift every prefix threshold if mx were taken over the
+    # raw table (ADVICE r10; the parallel passage_dup_curve fold
+    # already guarded its mx population for the same reason). Cheap:
+    # still one row off the unexploded scan, filter pushed to parquet.
+    mx = d.where(F.col("text").isNotNull()).agg(F.max("doc_id").alias("mx"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     per_tok = (
         tok.crossJoin(F.broadcast(mx))

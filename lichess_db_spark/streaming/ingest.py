@@ -1502,20 +1502,51 @@ def sessionize_stateful(events: DataFrame, gap: str = "10 minutes",
             starts, lasts, counts = [], [], []
 
         if not state.hasTimedOut:
-            for pdf in pdfs:
-                if not len(pdf):
-                    continue
-                ts_us = (
-                    pdf["ts"].sort_values().astype("datetime64[us]").astype("int64")
+            # Buffer ALL Arrow chunks and sort the batch globally —
+            # applyInPandasWithState feeds one key's events as multiple
+            # chunks with no cross-chunk order guarantee, and a per-chunk
+            # sort lets a later chunk deliver events earlier than ones
+            # already folded (ADVICE r10).
+            import bisect
+
+            chunks = [
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+                for pdf in pdfs
+                if len(pdf)
+            ]
+            ts_all = sorted(int(t) for c in chunks for t in c)
+            # Pending sessions are disjoint intervals sorted by start,
+            # neighbors separated by >= gap. session_window semantics:
+            # event t joins session [start, last] iff its distance to
+            # the NEAREST session event is < gap, and all internal
+            # consecutive gaps are < gap — so the join test is exactly
+            # start - gap < t < last + gap. A single event can be
+            # within gap of at most its two flanking sessions (three
+            # would need two neighbors closer than gap to each other);
+            # when it is, it BRIDGES them into one. An event earlier
+            # than a session's start EXTENDS THE START DOWNWARD — the
+            # within-watermark late-arrival case session_window handles
+            # and the r10 last-session-only fold silently absorbed.
+            for t in ts_all:
+                i = bisect.bisect_right(starts, t)
+                left = i - 1 if i >= 1 and t < lasts[i - 1] + gap_us else None
+                right = (
+                    i if i < len(starts) and t > starts[i] - gap_us else None
                 )
-                for t in ts_us:
-                    if lasts and t < lasts[-1] + gap_us:
-                        lasts[-1] = max(lasts[-1], int(t))
-                        counts[-1] += 1
-                    else:
-                        starts.append(int(t))
-                        lasts.append(int(t))
-                        counts.append(1)
+                if left is not None and right is not None:
+                    lasts[left] = lasts[right]
+                    counts[left] += counts[right] + 1
+                    del starts[right], lasts[right], counts[right]
+                elif left is not None:
+                    lasts[left] = max(lasts[left], t)
+                    counts[left] += 1
+                elif right is not None:
+                    starts[right] = t
+                    counts[right] += 1
+                else:
+                    starts.insert(i, t)
+                    lasts.insert(i, t)
+                    counts.insert(i, 1)
 
         # watermark is milliseconds; session times are MICROSECONDS so
         # the emitted boundaries match the built-in session_window

