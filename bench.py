@@ -176,6 +176,22 @@ HEADLINE = [
     "countmin_vec_mv_orders",
     "knn_matryoshka_rerank",
     "passage_dup_curve",
+    # r10 staged entries (r11 window): audio/video fingerprints,
+    # cluster-composed split/keep, temperature mix, MMR, CCNet gate,
+    # TracIn attribution
+    "audio_fp_near_dup",
+    "video_fp_near_dup",
+    "dedup_split_leakfree",
+    "dedup_keep_best",
+    "temperature_mix_allocation",
+    "knn_mmr_rerank",
+    "ccnet_ppl_buckets",
+    "tracin_init_influence",
+    # r11 staged (r12 window): CDC chunk dedup, Gopher repetition
+    # gate, char-Gini diversity
+    "cdc_chunk_dedup",
+    "repetition_topgram_docs",
+    "char_gini_docs",
 ]
 
 

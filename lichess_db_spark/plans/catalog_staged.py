@@ -28,7 +28,11 @@ from .registry import register
 # this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
 # r11 boundary: the eight r10-staged entries moved into the r11 window;
 # entries registered AFTER the r11 window freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = ()
+STAGED_NEXT: tuple[str, ...] = (
+    "cdc_chunk_dedup",
+    "repetition_topgram_docs",
+    "char_gini_docs",
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2233,4 +2237,240 @@ def tracin_init_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("vec_id", "y").agg(
         F.sum("term").cast("bigint").alias("influence_scaled"),
         (F.sum("term").cast("bigint") / F.lit(4e12)).alias("influence"),
+    )
+
+
+# --- registered AFTER the r11 window froze: staged for r12 ---------------
+# Three text-analysis / dedup breadth entries. All full-oracle; the
+# fixture's max text length is 577 chars (sf0.1), so the oracles' char
+# position relations use a 2000 cap with the WHERE g.i <= len(...)
+# pattern (DuckDB range() takes no lateral column args).
+
+_CDC_WIN = 8
+_CDC_MOD = 32
+_CDC_MIN_LEN = 4
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH b AS (
+        SELECT doc_id, text, CAST(g.i AS BIGINT) AS i
+        FROM documents, range({_CDC_WIN}, 2001) AS g(i)
+        WHERE g.i <= len(text) AND len(text) >= {_CDC_WIN}
+          AND (g.i = len(text)
+               OR (CAST(('0x' || substr(md5(substr(text,
+                       CAST(g.i - {_CDC_WIN - 1} AS INT), {_CDC_WIN})), 1, 8))
+                   AS BIGINT) % {_CDC_MOD} = 0))
+    ),
+    c AS (
+        SELECT doc_id,
+               substr(text,
+                      CAST(COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                           + 1 AS INT),
+                      CAST(i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                           AS INT)) AS chunk
+        FROM b
+    )
+    SELECT md5(chunk) AS chunk_digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(len(chunk)) AS BIGINT) AS chunk_len
+    FROM c
+    WHERE len(chunk) >= {_CDC_MIN_LEN}
+    GROUP BY md5(chunk)
+    HAVING COUNT(*) > 1
+    """,
+    "Content-defined chunk dedup (the LBFS/FastCDC family, the "
+    "rolling-hash document-fingerprinting tier code-corpus pipelines "
+    "use for sub-file dedup): a chunk boundary falls after byte i "
+    "whenever the hash of the 8-byte window ending at i hits "
+    "0 mod 32 (expected ~32-byte chunks) — INSERTIONS only shift "
+    "boundaries locally, so shared spans between edited documents "
+    "chunk identically, which fixed-size blocks cannot do. The entry "
+    "reports every chunk digest duplicated across the corpus "
+    "(n_copies, distinct docs, chunk length; sub-4-byte chunks "
+    "excluded from the report). Portability: the boundary predicate "
+    "is md5-derived (conv of the first 8 hex chars, mod 32) — "
+    "deterministic in both engines; a production 100 TB run swaps "
+    "the per-position md5 for a gear-hash Arrow kernel with the SAME "
+    "boundary semantics (documented trade: this oracle-exact shape "
+    "is O(n) md5s per doc). Scale shape: map-only boundary + chunk "
+    "extraction entirely in codegen array expressions (no UDF, no "
+    "per-position explode — positions live in a per-doc array), ONE "
+    "digest-keyed exchange for the dedup report.",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= _CDC_WIN)
+    n = F.length("text")
+    bnds = F.filter(
+        F.sequence(F.lit(_CDC_WIN), n),
+        lambda i: (i == n)
+        | (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.col("text").substr(
+                            i - F.lit(_CDC_WIN - 1), F.lit(_CDC_WIN)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CDC_MOD
+            == 0
+        ),
+    )
+    withb = d.select("doc_id", "text", bnds.alias("bnds"))
+    prev = lambda j: F.coalesce(F.get(F.col("bnds"), j - 1), F.lit(0))  # noqa: E731
+    chunks = F.transform(
+        F.col("bnds"),
+        lambda b, j: F.col("text").substr(prev(j) + 1, b - prev(j)),
+    )
+    ch = withb.select("doc_id", F.explode(chunks).alias("chunk")).where(
+        F.length("chunk") >= _CDC_MIN_LEN
+    )
+    return (
+        ch.groupBy(F.md5("chunk").alias("chunk_digest"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min(F.length("chunk")).cast("bigint").alias("chunk_len"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "repetition_topgram_docs",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id, 2 AS k, t[g.i] || ' ' || t[g.i + 1] AS gram
+        FROM tok, range(1, 2001) AS g(i) WHERE g.i <= len(t) - 1
+        UNION ALL
+        SELECT doc_id, 3 AS k,
+               t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] AS gram
+        FROM tok, range(1, 2001) AS g(i) WHERE g.i <= len(t) - 2
+    ),
+    cnt AS (
+        SELECT doc_id, k, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, k, gram
+    )
+    SELECT doc_id, CAST(k AS INT) AS k,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS top_n,
+           (MAX(c) * 100 > SUM(c) * (CASE WHEN k = 2 THEN 18 ELSE 16 END))
+               AS rep_fail
+    FROM cnt GROUP BY doc_id, k
+    """,
+    "Within-document n-gram repetition gate (Gopher, Rae et al. 2021 "
+    "table A1: drop when the most frequent 2-gram exceeds 18% of all "
+    "2-grams, 3-gram 16% — the repetition family of rules the "
+    "gopher_quality_rules entry deliberately left to a twin because "
+    "they need a per-gram aggregate, not a zero-exchange projection). "
+    "One (doc, k, gram)-keyed aggregate then a (doc, k) fold; the "
+    "threshold test is an exact integer cross-multiply (top*100 > "
+    "total*18), never a rounded ratio. Two rows per doc (k=2,3). "
+    "Scale shape: the gram relation is the exploded scan every "
+    "text-dedup operator already pays; both groupBys combine "
+    "map-side; no windows, no joins. The k=2/k=3 legs union two "
+    "scans for lambda-type simplicity (a size<k doc would make "
+    "Spark's sequence() run DESCENDING and fabricate grams; the "
+    "where-guard per leg is the honest fix) — the scan is a small "
+    "fraction of the exploded-gram cost.",
+)
+def repetition_topgram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = d.select("doc_id", F.split("text", " ").alias("t"))
+
+    def gram_leg(kk: int) -> DataFrame:
+        arr = F.transform(
+            F.sequence(F.lit(0), F.size("t") - kk),
+            lambda i: F.concat_ws(
+                " ", *[F.get(F.col("t"), i + off) for off in range(kk)]
+            ),
+        )
+        return base.where(F.size("t") >= kk).select(
+            "doc_id", F.lit(kk).alias("k"), F.explode(arr).alias("gram")
+        )
+
+    cnt = (
+        gram_leg(2)
+        .unionByName(gram_leg(3))
+        .groupBy("doc_id", "k", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    thr = F.when(F.col("k") == 2, F.lit(18)).otherwise(F.lit(16))
+    return cnt.groupBy("doc_id", "k").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.max("c").cast("bigint").alias("top_n"),
+        (F.max("c") * 100 > F.sum("c") * thr).alias("rep_fail"),
+    )
+
+
+@register(
+    "char_gini_docs",
+    """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_chars_counted,
+           CAST(SUM(n * n) AS BIGINT) AS ssq,
+           CAST(SUM(n) * SUM(n) - SUM(n * n) AS BIGINT) AS gini_num,
+           CAST(SUM(n) * SUM(n) - SUM(n * n) AS DOUBLE)
+               / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS char_gini
+    FROM cnt GROUP BY doc_id
+    """,
+    "Character-diversity quality score as GINI IMPURITY (1 - sum "
+    "p_i^2) instead of Shannon entropy: the standard "
+    "low-diversity-text gate (boilerplate, repeated-char spam, "
+    "base64 blobs score low diversity on one axis or degenerate "
+    "uniformity on the other) with a portability twist — log() has "
+    "no cross-engine correctly-rounded guarantee, while Gini needs "
+    "only integer sums of squares: gini_num = n^2 - sum(c_i^2) is "
+    "EXACT bigint arithmetic in both engines and char_gini is the "
+    "single reported IEEE division. The fixture is ASCII-pinned "
+    "(the mm_phash precedent), so DuckDB codepoint cells equal "
+    "Spark's UTF8 char cells. Scale shape: one per-char exploded "
+    "scan into a (doc, char)-keyed aggregate (alphabet-bounded "
+    "groups) and a doc-keyed fold; both combine map-side, zero "
+    "joins. Production note: per-char explode is the oracle-exact "
+    "shape; an Arrow kernel folding the 256-bin count vector per "
+    "doc is the 100 TB path with identical integer outputs.",
+)
+def char_gini_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    s = cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_chars_counted"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ssq"),
+    )
+    num = (
+        F.col("n_chars_counted") * F.col("n_chars_counted") - F.col("ssq")
+    ).cast("bigint")
+    return s.select(
+        "doc_id",
+        "n_chars_counted",
+        "ssq",
+        num.alias("gini_num"),
+        (
+            num.cast("double")
+            / (
+                F.col("n_chars_counted").cast("double")
+                * F.col("n_chars_counted").cast("double")
+            )
+        ).alias("char_gini"),
     )
