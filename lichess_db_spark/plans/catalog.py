@@ -27,8 +27,12 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # 2. Core sentinels — pinned inside the window so a core regression is
 #    caught by the grading driver itself, not only the local mirror
 #    suite (tests/test_catalog_oracle.py).
-# 3. Everything else, least-recently-driver-verified first (ascending
-#    last-green round, registration order as tiebreaker).
+# 3. Everything else ORACLE-PAIRED, least-recently-driver-verified
+#    first (ascending last-green round, registration order as
+#    tiebreaker).
+# 5. Rows-only-by-design entries never rotate in by staleness (a slot
+#    spent there buys only a row count; their exact twins carry hash
+#    coverage) — they re-enter only via groups 0/1 (VERDICT r10 item 5).
 _ROUND = 11
 _TOUCHED_THIS_ROUND = (
     # r11 window budget: 12 touched + 2 sentinels leaves 36 rotation-tail
@@ -392,6 +396,15 @@ def _ordered() -> list[QueryDef]:
             return (1, 0)
         if q.name in _CORE_SENTINELS:
             return (2, 0)
+        if q.oracle is None:
+            # rows-only-by-design entries (sketches, engine-hash-
+            # specific paths, iterated algorithms): a window slot spent
+            # here buys only a row count — their exact/portable twins
+            # carry the hash coverage. Standing rule (VERDICT r10 item
+            # 5): they take window duty ONLY when forced — touched by a
+            # helper change (group 0) or never driver-recorded (group
+            # 1) — never by staleness rotation.
+            return (5, last_green[q.name])
         return (3, last_green[q.name])
 
     # sorted() is stable: registration order is preserved within each group.
