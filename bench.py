@@ -192,6 +192,7 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "repetition_topgram_docs",
     "char_gini_docs",
+    "source_unigram_tv",
 ]
 
 

@@ -32,6 +32,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "cdc_chunk_dedup",
     "repetition_topgram_docs",
     "char_gini_docs",
+    "source_unigram_tv",
 )
 
 
@@ -2473,4 +2474,131 @@ def char_gini_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("n_chars_counted").cast("double")
             )
         ).alias("char_gini"),
+    )
+
+
+@register(
+    "source_unigram_tv",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (SELECT source, t, COUNT(*) AS n FROM tok GROUP BY source, t),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS N FROM c GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS cna, b.n AS cnb
+        FROM c a JOIN c b ON a.t = b.t AND a.source < b.source
+    ),
+    sagg AS (
+        SELECT src_a, src_b,
+               CAST(SUM(ABS(cna * tb.N - cnb * ta.N)) AS BIGINT) AS s_abs,
+               CAST(SUM(cna) AS BIGINT) AS sa,
+               CAST(SUM(cnb) AS BIGINT) AS sb
+        FROM shared
+        JOIN tot ta ON ta.source = src_a
+        JOIN tot tb ON tb.source = src_b
+        GROUP BY src_a, src_b
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.N AS na, b.N AS nb
+        FROM tot a JOIN tot b ON a.source < b.source
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(COALESCE(s.s_abs, 0)
+                + (p.na - COALESCE(s.sa, 0)) * p.nb
+                + (p.nb - COALESCE(s.sb, 0)) * p.na AS BIGINT) AS tv_num,
+           CAST(2 * p.na * p.nb AS BIGINT) AS tv_den,
+           CAST(COALESCE(s.s_abs, 0)
+                + (p.na - COALESCE(s.sa, 0)) * p.nb
+                + (p.nb - COALESCE(s.sb, 0)) * p.na AS DOUBLE)
+               / CAST(2 * p.na * p.nb AS DOUBLE) AS tv_distance
+    FROM pairs p
+    LEFT JOIN sagg s ON s.src_a = p.src_a AND s.src_b = p.src_b
+    """,
+    "Pairwise TOTAL-VARIATION distance between per-source unigram "
+    "distributions — the domain-similarity matrix a mixture designer "
+    "reads before setting source weights (the same role as DSIR's "
+    "importance ratios, but a symmetric metric over sources instead "
+    "of per-doc weights). TV = 1/2 * sum_t |p_t - q_t| is chosen "
+    "over KL exactly like char_gini chose Gini over entropy: no "
+    "log(), so the numerator is EXACT integer cross-multiplication "
+    "at the common denominator (|n_a*N_b - n_b*N_a| summed as "
+    "bigint) and tv_distance is the single reported IEEE division; "
+    "TV in [0,1], 1 = disjoint vocabularies (test-pinned). The "
+    "union-over-tokens sum decomposes as SHARED tokens (inner "
+    "self-join) plus two complements computed from the totals — "
+    "num = S_abs + (Na - Sa)*Nb + (Nb - Sb)*Na — so no zero-filled "
+    "V x S grid is ever built and pairs with NO shared vocabulary "
+    "still report (seeded from the S^2 totals pair relation, "
+    "TV = 1). Scale shape: one exploded scan into a (source, token) "
+    "aggregate, one token-keyed self-join of the vocab-sized count "
+    "relation, S-row broadcast totals; everything downstream of the "
+    "first aggregate is vocabulary-sized, never corpus-sized. "
+    "100 TB note: the exact bigint products need n*N < 2^63; at "
+    "token counts past ~3e9 per source, pre-normalize counts to a "
+    "1e6-grid fixed point (same rounding both engines) before the "
+    "cross-multiply.",
+)
+def source_unigram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    # every derived relation here shares c's lineage (totals and both
+    # pair legs); globally UNIQUE column names from birth + explicit
+    # join conditions keep Spark 4's self-join resolution unambiguous
+    tot = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("tN"))
+    ca = c.select(
+        F.col("source").alias("src_a"),
+        F.col("t").alias("ta"),
+        F.col("n").alias("cna"),
+    )
+    cb = c.select(
+        F.col("source").alias("src_b"),
+        F.col("t").alias("tb"),
+        F.col("n").alias("cnb"),
+    )
+    tota = tot.select(F.col("source").alias("pa"), F.col("tN").alias("na"))
+    totb = tot.select(F.col("source").alias("pb"), F.col("tN").alias("nb"))
+    sagg = (
+        ca.join(cb, (F.col("ta") == F.col("tb")) & (F.col("src_a") < F.col("src_b")))
+        .join(F.broadcast(tota), F.col("pa") == F.col("src_a"))
+        .join(F.broadcast(totb), F.col("pb") == F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("cna") * F.col("nb") - F.col("cnb") * F.col("na")))
+            .cast("bigint")
+            .alias("s_abs"),
+            F.sum("cna").cast("bigint").alias("sa"),
+            F.sum("cnb").cast("bigint").alias("sb"),
+        )
+    )
+    pairs = (
+        tota.crossJoin(totb)
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb", "na", "nb")
+    )
+    j = pairs.join(
+        sagg,
+        (F.col("src_a") == F.col("pa")) & (F.col("src_b") == F.col("pb")),
+        "left",
+    )
+    num = (
+        F.coalesce(F.col("s_abs"), F.lit(0))
+        + (F.col("na") - F.coalesce(F.col("sa"), F.lit(0))) * F.col("nb")
+        + (F.col("nb") - F.coalesce(F.col("sb"), F.lit(0))) * F.col("na")
+    )
+    return j.select(
+        F.col("pa").alias("src_a"),
+        F.col("pb").alias("src_b"),
+        num.cast("bigint").alias("tv_num"),
+        (F.lit(2) * F.col("na") * F.col("nb")).cast("bigint").alias("tv_den"),
+        (
+            num.cast("double")
+            / (F.lit(2) * F.col("na") * F.col("nb")).cast("double")
+        ).alias("tv_distance"),
     )

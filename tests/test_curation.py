@@ -754,3 +754,38 @@ def test_repetition_and_gini_entries_semantics(spark):
         assert abs(gini[3].char_gini - 7 / 8) < 1e-12
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_source_unigram_tv_semantics(spark):
+    """TV bounds pinned on engineered sources: disjoint vocabularies
+    give exactly 1 (via the complement terms — no shared-token rows
+    exist at all), identical distributions give exactly 0, and a
+    known half-overlap gives the hand-computed exact fraction."""
+    import os
+    import shutil
+    import tempfile
+
+    from lichess_db_spark.plans.registry import QUERIES
+
+    d = tempfile.mkdtemp(prefix="tv_")
+    try:
+        spark.createDataFrame(
+            [
+                (0, "x x y y", "A", "en", 7),
+                (1, "p p q q", "B", "en", 7),   # disjoint from A -> TV 1
+                (2, "x x y y", "C", "en", 7),   # identical to A -> TV 0
+                (3, "x x p p", "D", "en", 7),   # half overlap with A
+            ],
+            "doc_id long, text string, source string, lang string, n_chars int",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r.src_a, r.src_b): r
+            for r in QUERIES["source_unigram_tv"].build(spark, d).collect()
+        }
+        assert len(got) == 6  # all 4C2 pairs present, incl. the disjoint one
+        assert got[("A", "B")].tv_distance == 1.0
+        assert got[("A", "C")].tv_distance == 0.0 and got[("A", "C")].tv_num == 0
+        # A = {x:2,y:2}/4, D = {x:2,p:2}/4 -> TV = 1/2*( |.5-.5| + .5 + .5 ) = 0.5
+        assert got[("A", "D")].tv_distance == 0.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
