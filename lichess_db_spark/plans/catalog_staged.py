@@ -2543,10 +2543,16 @@ def char_gini_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_unigram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    c = (
+    # slot-persist the vocab-sized count relation: SIX downstream
+    # references (two pair legs, totals, and the totals-pair seeds)
+    # would otherwise each re-run the corpus-wide explode — the plan
+    # read 6 FileScans before the persist, 1 after. Named slot bounds
+    # a sweep to one cached relation (the mm_phash_dedup contract).
+    c = _slot_persist(
+        "source_unigram_tv.c",
         d.select("source", F.explode(F.split("text", " ")).alias("t"))
         .groupBy("source", "t")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n")),
     )
     # every derived relation here shares c's lineage (totals and both
     # pair legs); globally UNIQUE column names from birth + explicit
