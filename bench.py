@@ -193,6 +193,7 @@ HEADLINE = [
     "repetition_topgram_docs",
     "char_gini_docs",
     "source_unigram_tv",
+    "embedding_top_pc",
 ]
 
 

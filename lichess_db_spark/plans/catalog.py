@@ -35,10 +35,13 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    coverage) — they re-enter only via groups 0/1 (VERDICT r10 item 5).
 _ROUND = 11
 _TOUCHED_THIS_ROUND = (
-    # r11 window budget: 12 touched + 2 sentinels leaves 36 rotation-tail
-    # slots for the oldest r6-vintage entries (~34 are last-green r6 —
-    # VERDICT r10 item 2; the few that spill reach staleness 5 at r12,
-    # the bound prior rounds accepted).
+    # r11 window budget (measured on the final source): 10 touched (9
+    # never-green + vocab_growth_curve) + 2 sentinels + ALL 34
+    # oracle-paired r6-vintage entries + 4 oldest r7 = 50 — the r6
+    # staleness tail drains completely, nothing spills past staleness
+    # 4, and the window carries ZERO rows-only rows (the two r6-vintage
+    # rows-only entries now rank in group 5 per VERDICT r10 item 5; see
+    # _ordered).
     #
     # VERDICT r10 item 1: the red row, fixed — embedding_matryoshka_
     # truncate now returns SCALAR rows (posexplode of the renormalized

@@ -33,6 +33,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "repetition_topgram_docs",
     "char_gini_docs",
     "source_unigram_tv",
+    "embedding_top_pc",
 )
 
 
@@ -2608,3 +2609,104 @@ def source_unigram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("na") * F.col("nb")).cast("double")
         ).alias("tv_distance"),
     )
+
+
+_PC_DIM = 64
+_PC_ITERS = 3
+_PC_ITER_SQL = """
+    w{t} AS (
+        SELECT g1.i AS pos, CAST(SUM(g1.g1 * v{p}.v) AS BIGINT) AS w
+        FROM g1 JOIN v{p} ON v{p}.pos = g1.j GROUP BY g1.i
+    ),
+    n{t} AS (SELECT sqrt(CAST(SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+                 AS DOUBLE)) AS nrm FROM w{t}),
+    v{t} AS (SELECT pos, CAST(ROUND(CAST(w AS DOUBLE) / nrm * 1e6) AS BIGINT)
+                 AS v FROM w{t}, n{t})"""
+
+
+@register(
+    "embedding_top_pc",
+    f"""
+    WITH g AS (
+        SELECT gi.i AS i, gj.j AS j,
+               CAST(SUM(CAST(ROUND(CAST(embedding[gi.i] AS DOUBLE)
+                   * CAST(embedding[gj.j] AS DOUBLE) * 1e12) AS BIGINT))
+                   AS BIGINT) AS gv
+        FROM embeddings, range(1, {_PC_DIM + 1}) gi(i),
+             range(1, {_PC_DIM + 1}) gj(j)
+        GROUP BY gi.i, gj.j
+    ),
+    g1 AS (SELECT i, j, gv // 1000000 AS g1 FROM g),
+    v0 AS (SELECT gi.i AS pos, CAST(125000 AS BIGINT) AS v
+           FROM range(1, {_PC_DIM + 1}) gi(i)),{
+        ",".join(_PC_ITER_SQL.format(t=t, p=t - 1) for t in range(1, _PC_ITERS + 1))
+    }
+    SELECT CAST(pos AS INT) AS pos, v AS pc_scaled FROM v{_PC_ITERS}
+    """,
+    "Top principal component of the embedding corpus by DISTRIBUTED "
+    "power iteration — the spectral diagnostic the embedding family "
+    "lacked (kmeans/LSH/IVF/PQ/SemDeDup/Matryoshka cover clustering "
+    "and retrieval; this measures ANISOTROPY, the dominant direction "
+    "whitening/de-biasing removes before cosine retrieval). Exactness "
+    "chain, every step engine-portable: Gramian entries are order-free "
+    "bigint sums of 1e12-grid products; the iteration matvec "
+    "multiplies the 1e6-rescaled Gramian by the 1e6-scaled integer "
+    "vector (exact bigint, terms <= 5e14*1e6 headroom-checked); the "
+    "norm is the one IEEE sqrt over an exact sum of squares (Spark "
+    "DECIMAL(38,0) == DuckDB HUGEINT, same integer, same "
+    "correctly-rounded double); renormalization rounds back to the "
+    "1e6 integer grid (ROUND is half-away-from-zero in both engines, "
+    "`div`//`//` truncate toward zero in both — verified on negative "
+    "operands). Three unrolled iterations; sign is pinned by the "
+    "deterministic v0 = all-125000 start. Scale shape: ONE corpus "
+    "pass builds the d^2-row Gramian (the n x d^2 pair explode is the "
+    "oracle-exact shape; the 100 TB path is an Arrow kernel "
+    "accumulating x x^T outer products per batch into the same "
+    "order-free bigint sums), then every iteration runs on d^2 rows — "
+    "corpus size never re-enters. Slot-persisted Gramian: three "
+    "iterations reference it; uncached each would re-run the explode.",
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.posexplode("embedding").alias("i0", "xi"), "embedding"
+    ).select("i0", "xi", F.posexplode("embedding").alias("j0", "xj"))
+    g = pairs.groupBy(
+        (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("xi").cast("double") * F.col("xj").cast("double") * F.lit(1e12)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gv")
+    )
+    g1 = _slot_persist(
+        "embedding_top_pc.g1",
+        g.select("i", "j", F.expr("gv div 1000000").alias("g1")),
+    )
+    v = spark.range(1, _PC_DIM + 1).select(
+        F.col("id").cast("bigint").alias("pos"),
+        F.lit(125000).cast("bigint").alias("v"),
+    )
+    for _ in range(_PC_ITERS):
+        w = (
+            g1.join(v, g1["j"] == v["pos"])
+            .groupBy("i")
+            .agg(F.sum(F.col("g1") * F.col("v")).cast("bigint").alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("w").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").cast("bigint").alias("pos"),
+            F.round(F.col("w").cast("double") / F.col("nrm") * F.lit(1e6))
+            .cast("bigint")
+            .alias("v"),
+        )
+    return v.select(F.col("pos").cast("int").alias("pos"), F.col("v").alias("pc_scaled"))

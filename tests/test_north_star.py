@@ -2119,3 +2119,44 @@ def test_matryoshka_topk_recall_and_validation(emb):
     assert window_nodes, plan[:2000]
     for seg in window_nodes:
         assert "q_vec" not in seg and "c_vec" not in seg, seg
+
+
+def test_embedding_top_pc_recovers_planted_direction(spark):
+    """Power iteration on an ENGINEERED anisotropic corpus: vectors =
+    planted unit direction u scaled by +-(2..4) plus small orthogonal
+    noise — three iterations must align with u (|cosine| > 0.99), and
+    the returned 1e6-scaled vector must be unit-norm on its grid. The
+    fixture entry's cross-engine exactness is pinned by the oracle
+    hash; this pins that the MATH does what PCA should."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from lichess_db_spark.plans.registry import QUERIES
+
+    d = tempfile.mkdtemp(prefix="pc_")
+    try:
+        D = 64
+        u = [1.0 if i < 4 else 0.0 for i in range(D)]  # planted direction
+        rows = []
+        for k in range(200):
+            scale = (2.0 + (k % 5) * 0.5) * (1 if k % 2 == 0 else -1)
+            noise_pos = 4 + (k % (D - 4))
+            vec = [u[i] * scale / 2.0 for i in range(D)]
+            vec[noise_pos] += 0.25 if k % 3 == 0 else -0.25
+            rows.append((k, vec))
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r.pos: r.pc_scaled
+            for r in QUERIES["embedding_top_pc"].build(spark, d).collect()
+        }
+        assert sorted(got) == list(range(1, D + 1))
+        nrm = math.sqrt(sum(v * v for v in got.values()))
+        assert abs(nrm - 1e6) < 100  # unit on the 1e6 grid (rounding slack)
+        dot = sum(got[i + 1] * u[i] for i in range(D)) / (nrm * 2.0)
+        assert abs(dot) > 0.99, (dot, got)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
