@@ -194,6 +194,7 @@ HEADLINE = [
     "char_gini_docs",
     "source_unigram_tv",
     "embedding_top_pc",
+    "embedding_remove_top_pc",
 ]
 
 

@@ -2265,3 +2265,81 @@ def incremental_phash_near_dup(
         return verified
     finally:
         new_sigs.unpersist()
+
+
+def cdc_chunk_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mod: int = 32,
+    min_len: int = 4,
+) -> DataFrame:
+    """Content-defined chunk dedup report (the LBFS/FastCDC family —
+    the rolling-hash sub-document fingerprinting tier code-corpus
+    pipelines use): a chunk boundary falls after byte ``i`` whenever
+    the md5-derived hash of the ``window``-byte span ending at ``i``
+    hits 0 mod ``mod`` (expected chunk length ~``mod`` bytes), plus a
+    forced boundary at end-of-document. Insertions shift boundaries
+    only LOCALLY — every chunk after the first re-synchronized
+    boundary is byte-identical, which fixed-size blocking can never
+    give (shift-robustness property-tested against a Python twin).
+
+    Returns every chunk digest duplicated across the corpus:
+    ``(chunk_digest, n_copies, n_docs, chunk_len)``; chunks shorter
+    than ``min_len`` are excluded from the report (adjacent boundaries
+    produce confetti chunks — real CDC deployments enforce a min chunk
+    size the same way).
+
+    Scale shape: the boundary predicate and chunk extraction run
+    entirely in codegen ARRAY expressions — positions live in one
+    array cell per doc (`filter` over `sequence(window, len)`), chunks
+    come from an indexed `transform` reading the previous boundary via
+    `get(bnds, j-1)` — no UDF, no per-position explode; the only
+    exploded relation is the chunks themselves and the only exchanges
+    are the digest-keyed dedup aggregate pair. The md5-per-position
+    predicate is the ORACLE-EXACT shape (deterministic in DuckDB too);
+    a 100 TB deployment swaps it for a gear-hash Arrow kernel with the
+    same boundary semantics. Validated: window/mod/min_len must be
+    positive, window >= 2."""
+    if window < 2 or mod <= 0 or min_len <= 0:
+        raise ValueError(
+            f"need window >= 2, mod > 0, min_len > 0: {window}, {mod}, {min_len}"
+        )
+    d = df.where(F.length(text_col) >= window)
+    n = F.length(text_col)
+    bnds = F.filter(
+        F.sequence(F.lit(window), n),
+        lambda i: (i == n)
+        | (
+            F.conv(
+                F.substring(
+                    F.md5(F.col(text_col).substr(i - F.lit(window - 1), F.lit(window))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+            == 0
+        ),
+    )
+    withb = d.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"), bnds.alias("__bnds"))
+    prev = lambda j: F.coalesce(F.get(F.col("__bnds"), j - 1), F.lit(0))  # noqa: E731
+    chunks = F.transform(
+        F.col("__bnds"),
+        lambda b, j: F.col("__tx").substr(prev(j) + 1, b - prev(j)),
+    )
+    ch = withb.select("__id", F.explode(chunks).alias("__chunk")).where(
+        F.length("__chunk") >= min_len
+    )
+    return (
+        ch.groupBy(F.md5("__chunk").alias("chunk_digest"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("__id").cast("bigint").alias("n_docs"),
+            F.min(F.length("__chunk")).cast("bigint").alias("chunk_len"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

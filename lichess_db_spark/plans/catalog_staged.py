@@ -34,6 +34,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "char_gini_docs",
     "source_unigram_tv",
     "embedding_top_pc",
+    "embedding_remove_top_pc",
 )
 
 
@@ -2303,46 +2304,13 @@ _CDC_MIN_LEN = 4
     "digest-keyed exchange for the dedup report.",
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").where(F.length("text") >= _CDC_WIN)
-    n = F.length("text")
-    bnds = F.filter(
-        F.sequence(F.lit(_CDC_WIN), n),
-        lambda i: (i == n)
-        | (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.col("text").substr(
-                            i - F.lit(_CDC_WIN - 1), F.lit(_CDC_WIN)
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _CDC_MOD
-            == 0
-        ),
-    )
-    withb = d.select("doc_id", "text", bnds.alias("bnds"))
-    prev = lambda j: F.coalesce(F.get(F.col("bnds"), j - 1), F.lit(0))  # noqa: E731
-    chunks = F.transform(
-        F.col("bnds"),
-        lambda b, j: F.col("text").substr(prev(j) + 1, b - prev(j)),
-    )
-    ch = withb.select("doc_id", F.explode(chunks).alias("chunk")).where(
-        F.length("chunk") >= _CDC_MIN_LEN
-    )
-    return (
-        ch.groupBy(F.md5("chunk").alias("chunk_digest"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_copies"),
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-            F.min(F.length("chunk")).cast("bigint").alias("chunk_len"),
-        )
-        .where(F.col("n_copies") > 1)
+    from ..operators.dedup import cdc_chunk_report
+
+    return cdc_chunk_report(
+        _t(spark, sf_dir, "documents"),
+        window=_CDC_WIN,
+        mod=_CDC_MOD,
+        min_len=_CDC_MIN_LEN,
     )
 
 
@@ -2624,10 +2592,10 @@ _PC_ITER_SQL = """
                  AS v FROM w{t}, n{t})"""
 
 
-@register(
-    "embedding_top_pc",
-    f"""
-    WITH g AS (
+# shared oracle CTE text: the full power-iteration pipeline ending at
+# v{_PC_ITERS} — reused verbatim by embedding_top_pc AND
+# embedding_remove_top_pc so the two stages can never drift
+_PC_CTES = f"""g AS (
         SELECT gi.i AS i, gj.j AS j,
                CAST(SUM(CAST(ROUND(CAST(embedding[gi.i] AS DOUBLE)
                    * CAST(embedding[gj.j] AS DOUBLE) * 1e12) AS BIGINT))
@@ -2640,7 +2608,13 @@ _PC_ITER_SQL = """
     v0 AS (SELECT gi.i AS pos, CAST(125000 AS BIGINT) AS v
            FROM range(1, {_PC_DIM + 1}) gi(i)),{
         ",".join(_PC_ITER_SQL.format(t=t, p=t - 1) for t in range(1, _PC_ITERS + 1))
-    }
+    }"""
+
+
+@register(
+    "embedding_top_pc",
+    f"""
+    WITH {_PC_CTES}
     SELECT CAST(pos AS INT) AS pos, v AS pc_scaled FROM v{_PC_ITERS}
     """,
     "Top principal component of the embedding corpus by DISTRIBUTED "
@@ -2667,6 +2641,17 @@ _PC_ITER_SQL = """
     "iterations reference it; uncached each would re-run the explode.",
 )
 def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _top_pc_vec(spark, sf_dir)
+    return v.select(
+        F.col("pos").cast("int").alias("pos"), F.col("v").alias("pc_scaled")
+    )
+
+
+def _top_pc_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared power-iteration pipeline: returns the 1e6-scaled
+    integer top-PC vector as (pos bigint 1-based, v bigint) — consumed
+    by embedding_top_pc (reported directly) and
+    embedding_remove_top_pc (projection input). One text, no drift."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = emb.select(
         F.posexplode("embedding").alias("i0", "xi"), "embedding"
@@ -2709,4 +2694,70 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v"),
         )
-    return v.select(F.col("pos").cast("int").alias("pos"), F.col("v").alias("pc_scaled"))
+    return v
+
+
+@register(
+    "embedding_remove_top_pc",
+    f"""
+    WITH {_PC_CTES},
+    ex AS (
+        SELECT vec_id, CAST(gi.i AS BIGINT) AS pos,
+               CAST(embedding[gi.i] AS DOUBLE) AS x
+        FROM embeddings, range(1, {_PC_DIM + 1}) gi(i)
+    ),
+    j AS (
+        SELECT ex.vec_id, ex.pos, ex.x, pc.v
+        FROM ex JOIN v{_PC_ITERS} pc ON pc.pos = ex.pos
+    ),
+    dots AS (
+        SELECT vec_id, CAST(SUM(CAST(ROUND(x * v) AS BIGINT)) AS BIGINT) AS dot_s
+        FROM j GROUP BY vec_id
+    )
+    SELECT j.vec_id, CAST(j.pos AS INT) AS pos,
+           j.x - (CAST(d.dot_s AS DOUBLE) / 1e6) * (CAST(j.v AS DOUBLE) / 1e6)
+               AS value
+    FROM j JOIN dots d ON d.vec_id = j.vec_id
+    """,
+    "All-but-the-top post-processing (Mu & Viswanath 2018): subtract "
+    "each embedding's projection onto the corpus top principal "
+    "component — the standard de-anisotropy step that measurably "
+    "improves cosine retrieval on real embedding models. Composes the "
+    "power-iteration pipeline (SAME _PC_CTES oracle text as "
+    "embedding_top_pc — the two stages cannot drift) with a map-side "
+    "projection: per-(vec, dim) terms ROUND(x * pc_scaled) sum to an "
+    "exact bigint dot (scale 1e6), and the reported residual is the "
+    "fixed IEEE tree x - (dot_s/1e6) * (pc/1e6), identical in both "
+    "engines. Output posexploded to (vec_id, pos, value) scalar rows "
+    "per the driver's scalar-output contract. Scale shape: the PC "
+    "side is d^2-row after its one Gramian pass; the projection side "
+    "is one exploded corpus scan + a 64-row broadcast join + one "
+    "vec-keyed dot aggregate — the joined relation is slot-persisted "
+    "because both the dot pass and the residual pass read it (uncached "
+    "the whole PC pipeline would run twice).",
+)
+def embedding_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = _top_pc_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("p0", "x")).select(
+        "vec_id",
+        (F.col("p0") + 1).cast("bigint").alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    j = _slot_persist(
+        "embedding_remove_top_pc.j", ex.join(F.broadcast(pc), "pos")
+    )
+    dots = j.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("x") * F.col("v")).cast("bigint"))
+        .cast("bigint")
+        .alias("dot_s")
+    )
+    return j.join(dots, "vec_id").select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        (
+            F.col("x")
+            - (F.col("dot_s").cast("double") / F.lit(1e6))
+            * (F.col("v").cast("double") / F.lit(1e6))
+        ).alias("value"),
+    )

@@ -2160,3 +2160,31 @@ def test_embedding_top_pc_recovers_planted_direction(spark):
         assert abs(dot) > 0.99, (dot, got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_remove_top_pc_orthogonal_residual(spark):
+    """After all-but-the-top, every residual's projection onto the
+    removed component is ~0 (|dot| bounded by the 1e-6 grid rounding),
+    and untouched directions keep their values."""
+    from collections import defaultdict
+
+    from .conftest import SF_SMALL
+    from lichess_db_spark.plans.registry import QUERIES
+
+    pc = {
+        r.pos: r.pc_scaled / 1e6
+        for r in QUERIES["embedding_top_pc"].build(spark, SF_SMALL).collect()
+    }
+    res = defaultdict(dict)
+    for r in (
+        QUERIES["embedding_remove_top_pc"]
+        .build(spark, SF_SMALL)
+        .where(F.col("vec_id") < 20)
+        .collect()
+    ):
+        res[r.vec_id][r.pos] = r.value
+    assert res
+    for vid, vals in res.items():
+        assert sorted(vals) == list(range(1, 65)), vid
+        dot = sum(vals[p] * pc[p] for p in pc)
+        assert abs(dot) < 1e-4, (vid, dot)  # grid-rounded projection removed

@@ -236,6 +236,13 @@ def main() -> None:
             ),
             "exact_substring_dedup": lambda d, f: dd.exact_substring_dedup(d, k=10),
             "exact_substring_clean": lambda d, f: dd.exact_substring_clean(d, k=10),
+            # CDC chunk dedup (r11): O(len) md5 boundary predicates per
+            # doc inside ONE codegen array expression (no per-position
+            # explode), then the digest-keyed dedup aggregate. The
+            # md5-per-position cost is the oracle-exact shape the entry
+            # documents (gear-hash Arrow kernel is the production
+            # swap); this cell pins its fitted exponent.
+            "cdc_chunk_dedup": lambda d, f: dd.cdc_chunk_report(d),
         }
     elif args.family == "curation":
         from pyspark.sql import functions as F
