@@ -88,3 +88,24 @@ def test_driver_sim_norm_cell_raises_on_nested():
     assert ds._norm_cell(None) == "NULL"
     assert ds._norm_cell(1.5) == "1.5"
     assert ds._norm_cell("x") == "x"
+
+
+def test_oracle_position_caps_cover_fixture_texts():
+    """The r11 oracles (cdc_chunk_dedup, repetition_topgram_docs)
+    enumerate char/token positions through a constant range cap with
+    the `WHERE g.i <= len(...)` pattern (DuckDB range() takes no
+    lateral args). The Spark side is unbounded, so a regenerated
+    fixture with longer texts would silently diverge FROM THE ORACLE
+    ONLY — make the cap an executable claim at every committed SF
+    tier."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        mx, mxtok = con.execute(
+            f"SELECT MAX(len(text)), MAX(len(string_split(text, ' '))) "
+            f"FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        ).fetchone()
+        assert mx < 2000, (sf, mx)     # cdc cap: range(8, 2001)
+        assert mxtok < 2000, (sf, mxtok)  # gram cap: range(1, 2001)
+    con.close()
