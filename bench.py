@@ -195,6 +195,7 @@ HEADLINE = [
     "source_unigram_tv",
     "embedding_top_pc",
     "embedding_remove_top_pc",
+    "lsh_candidate_recall",
 ]
 
 

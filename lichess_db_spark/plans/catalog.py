@@ -35,13 +35,13 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 #    coverage) — they re-enter only via groups 0/1 (VERDICT r10 item 5).
 _ROUND = 11
 _TOUCHED_THIS_ROUND = (
-    # r11 window budget (measured on the final source): 10 touched (9
-    # never-green + vocab_growth_curve) + 2 sentinels + ALL 34
-    # oracle-paired r6-vintage entries + 4 oldest r7 = 50 — the r6
-    # staleness tail drains completely, nothing spills past staleness
-    # 4, and the window carries ZERO rows-only rows (the two r6-vintage
-    # rows-only entries now rank in group 5 per VERDICT r10 item 5; see
-    # _ordered).
+    # r11 window budget (measured on the final source): 11 touched (9
+    # never-green + vocab_growth_curve + dedup_minhash_pairs_portable)
+    # + 2 sentinels + ALL 34 oracle-paired r6-vintage entries + 3
+    # oldest r7 = 50 — the r6 staleness tail drains completely, nothing
+    # spills past staleness 4, and the window carries ZERO rows-only
+    # rows (the two r6-vintage rows-only entries now rank in group 5
+    # per VERDICT r10 item 5; see _ordered).
     #
     # VERDICT r10 item 1: the red row, fixed — embedding_matryoshka_
     # truncate now returns SCALAR rows (posexplode of the renormalized
@@ -66,6 +66,13 @@ _TOUCHED_THIS_ROUND = (
     # ADVICE r10 (low): vocab_growth_curve's mx now computed over the
     # same non-NULL-text population as the oracle — re-enters.
     "vocab_growth_curve",
+    # r11 in-round change (rotation contract): the portable-minhash
+    # oracle text was refactored onto the shared _MINHASH_CAND_CTES
+    # prefix (now read through an mh_corpus indirection) for the new
+    # lsh_candidate_recall harness — rendered SQL differs only by that
+    # one-line CTE, semantics identical, but a changed builder source
+    # earns a driver row.
+    "dedup_minhash_pairs_portable",
 )
 _TOUCHED_R10 = (
     # r10 window budget: 12 touched + 2 sentinels leaves 36 rotation-tail

@@ -359,11 +359,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_pairs_portable",
-    """
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+# shared oracle CTE prefix: shingles -> portable md5 minhash signatures
+# -> banded LSH candidate pairs (+ per-doc shingle-set sizes). Consumed
+# verbatim by dedup_minhash_pairs_portable AND lsh_candidate_recall so
+# the candidate definition can never drift between the pipeline and its
+# evaluation harness.
+# the prefix reads from a caller-defined `mh_corpus(doc_id, text)` CTE
+# so the evaluation harness can grade synthetic near-dups through the
+# SAME candidate definition the production twin verifies on raw docs
+_MINHASH_CAND_CTES = """toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM mh_corpus
         WHERE doc_id IS NOT NULL
     ),
     sh AS (
@@ -405,7 +410,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN bucket_sizes s ON s.band_idx = x.band_idx AND s.band_key = x.band_key
         WHERE s.n <= 256
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_minhash_pairs_portable",
+    f"""
+    WITH mh_corpus AS (SELECT doc_id, text FROM documents),
+    {_MINHASH_CAND_CTES},
     inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
         FROM cands c
@@ -4772,3 +4784,104 @@ def logreg_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w, _trace = logreg_train(df, n_iter=1, lr=0.5)
     return logreg_predict(df, w).select("vec_id", "y", "margin", "pred")
+
+
+@register(
+    "lsh_candidate_recall",
+    f"""
+    WITH mh_corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                   GREATEST(9, (len(string_split(text, ' '))
+                       * ((doc_id % 8) + 2)) // 10)), ' ') AS text
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    {_MINHASH_CAND_CTES},
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    tj AS (
+        SELECT t.doc_a, t.doc_b,
+               CAST(t.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - t.inter) AS j
+        FROM truth t
+        JOIN sizes sa ON sa.doc_id = t.doc_a
+        JOIN sizes sb ON sb.doc_id = t.doc_b
+    ),
+    lab AS (
+        SELECT CAST(FLOOR(tj.j * 10) AS INT) AS j_decile,
+               CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM tj LEFT JOIN cands c
+            ON c.doc_a = tj.doc_a AND c.doc_b = tj.doc_b
+        WHERE tj.j >= 0.1
+    )
+    SELECT j_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_captured,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS capture_rate
+    FROM lab GROUP BY j_decile
+    """,
+    "The LSH S-CURVE measured on the corpus instead of assumed from "
+    "theory: for each exact-Jaccard decile (0.1 steps), the fraction "
+    "of true near-dup pairs the banded MinHash (b=32, r=4, threshold "
+    "~(1/32)^(1/4) = 0.42) actually captures as candidates — the "
+    "evaluation harness a dedup deployment reads before trusting its "
+    "recall at a given threshold (low deciles SHOULD be near 0, high "
+    "deciles near 1; a flat curve means the banding is mis-tuned). "
+    "Composes the SHARED _MINHASH_CAND_CTES candidate text (the same "
+    "bytes as dedup_minhash_pairs_portable's oracle — pipeline and "
+    "harness cannot drift) with the exact shingle-Jaccard truth "
+    "relation; deciles via FLOOR(j*10) on the bit-identical IEEE "
+    "ratio, capture counts exact integers. Scale shape: the truth "
+    "side is the quadratic exact verifier (this is an EVALUATION "
+    "query, run on a sample at 100 TB — the docstringed contract of "
+    "dedup_ngram_jaccard); the candidate side is the production "
+    "one-exchange LSH path.",
+)
+def lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from ..operators.dedup import _minhash_sig, _shingled, minhash_lsh_candidates
+
+    raw = _t(spark, sf_dir, "documents")
+    # graded near-dups: every 20th doc gets a prefix-truncated copy
+    # whose kept fraction cycles with doc_id, spreading exact Jaccard
+    # across the deciles — the raw fixture's truth pairs all sit at
+    # j >= 0.8, leaving the S-curve's interesting region unmeasured
+    # (the duplicated-media-corpus precedent from the pHash entries)
+    ts = F.split("text", " ")
+    k = F.greatest(
+        F.lit(9),
+        F.expr("(size(split(text, ' ')) * ((doc_id % 8) + 2)) div 10"),
+    )
+    copies = raw.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(ts, F.lit(1), k), " ").alias("text"),
+    )
+    docs = raw.select("doc_id", "text").unionByName(copies)
+    truth = dd.ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.1).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j")
+    )
+    shingled = _shingled(docs, "text", "doc_id", 5)
+    sigs = shingled.select(
+        F.col("doc_id"),
+        _minhash_sig(F.col("_sh"), 128, portable=True).alias("signature"),
+    )
+    cands = minhash_lsh_candidates(sigs, "doc_id", 32, 4).select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb"), F.lit(1).alias("hit")
+    )
+    lab = truth.join(
+        cands,
+        (F.col("doc_a") == F.col("ca")) & (F.col("doc_b") == F.col("cb")),
+        "left",
+    ).select(
+        F.floor(F.col("j") * 10).cast("int").alias("j_decile"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return lab.groupBy("j_decile").agg(
+        F.count("*").cast("bigint").alias("n_truth_pairs"),
+        F.sum("hit").cast("bigint").alias("n_captured"),
+        (F.sum("hit").cast("double") / F.count("*")).alias("capture_rate"),
+    )

@@ -35,6 +35,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "source_unigram_tv",
     "embedding_top_pc",
     "embedding_remove_top_pc",
+    "lsh_candidate_recall",
 )
 
 
