@@ -613,7 +613,60 @@ def main() -> None:
             "mmr_rerank": lambda d, f: mmr_topk(
                 d, d.where(F.col("vec_id") < 10), k=3, pool=20, lam=0.7
             ),
+            # top-PC power iteration (r11): the Gramian pass explodes
+            # n x d^2 pair rows (the oracle-exact shape the entry
+            # documents; an Arrow outer-product kernel is the 100 TB
+            # swap) — the cell pins that cost honestly: alpha ~1 in
+            # corpus volume, iterations flat (d^2 rows). Inline shape
+            # = the catalog builder minus the slot persist (the
+            # harness clears caches per sample anyway).
+            "embedding_top_pc": lambda d, f: _top_pc_cell(d),
         }
+
+        def _top_pc_cell(emb):
+            pairs = emb.select(
+                F.posexplode("embedding").alias("i0", "xi"), "embedding"
+            ).select("i0", "xi", F.posexplode("embedding").alias("j0", "xj"))
+            g = pairs.groupBy(
+                (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+            ).agg(
+                F.sum(
+                    F.round(
+                        F.col("xi").cast("double")
+                        * F.col("xj").cast("double")
+                        * F.lit(1e12)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("gv")
+            )
+            g1 = g.select("i", "j", F.expr("gv div 1000000").alias("g1")).persist()
+            spark_ = emb.sparkSession
+            v = spark_.range(1, 65).select(
+                F.col("id").cast("bigint").alias("pos"),
+                F.lit(125000).cast("bigint").alias("v"),
+            )
+            for _ in range(3):
+                w = (
+                    g1.join(v, g1["j"] == v["pos"])
+                    .groupBy("i")
+                    .agg(F.sum(F.col("g1") * F.col("v")).cast("bigint").alias("w"))
+                )
+                nrm = w.agg(
+                    F.sqrt(
+                        F.sum(
+                            F.col("w").cast("decimal(38,0)")
+                            * F.col("w").cast("decimal(38,0)")
+                        ).cast("double")
+                    ).alias("nrm")
+                )
+                v = w.crossJoin(F.broadcast(nrm)).select(
+                    F.col("i").cast("bigint").alias("pos"),
+                    F.round(F.col("w").cast("double") / F.col("nrm") * F.lit(1e6))
+                    .cast("bigint")
+                    .alias("v"),
+                )
+            return v
 
     if args.ops:
         wanted = set(args.ops.split(","))
