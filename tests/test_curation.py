@@ -789,3 +789,57 @@ def test_source_unigram_tv_semantics(spark):
         assert got[("A", "D")].tv_distance == 0.5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cdc_chunk_report_random_corpus_vs_twin(spark):
+    """Seeded random corpus incl. edge shapes (below-window, exactly
+    window, constant chars, space-heavy, boundary-dense) — the Spark
+    array-expression chunker's DUPLICATED-CHUNK REPORT must equal the
+    Python twin's, and every doc's chunks must tile its text."""
+    import random
+    from collections import Counter, defaultdict
+
+    from lichess_db_spark.operators.dedup import cdc_chunk_report
+
+    rng = random.Random(411)
+    alpha = "ab cdefgh"
+    texts = {}
+    for i in range(40):
+        n = rng.choice([3, 7, 8, 9, 20, 64, 257])
+        texts[i] = "".join(rng.choice(alpha) for _ in range(n))
+    long = "".join(rng.choice(alpha) for _ in range(300))
+    texts[99] = long
+    texts[100] = "x" * 8          # exactly one window
+    texts[101] = "y" * 7          # below window -> no chunks
+    texts[102] = long             # exact duplicate of doc 99
+    texts[103] = "qq" + long      # shifted duplicate (shared tail chunks)
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.chunk_digest: (r.n_copies, r.n_docs, r.chunk_len)
+        for r in cdc_chunk_report(df).collect()
+    }
+
+    import hashlib
+
+    per_digest = Counter()
+    docs_of = defaultdict(set)
+    lens = {}
+    for did, tx in texts.items():
+        chunks = _cdc_chunks_py(tx)
+        assert "".join(chunks) == (tx if len(tx) >= 8 else "")
+        for c in chunks:
+            if len(c) >= 4:
+                h = hashlib.md5(c.encode()).hexdigest()
+                per_digest[h] += 1
+                docs_of[h].add(did)
+                lens[h] = len(c)
+    want = {
+        h: (n, len(docs_of[h]), lens[h])
+        for h, n in per_digest.items()
+        if n > 1
+    }
+    assert got == want
+    assert want, "fixture produced no duplicated chunks (vacuous)"
