@@ -243,7 +243,88 @@ def main() -> None:
             # documents (gear-hash Arrow kernel is the production
             # swap); this cell pins its fitted exponent.
             "cdc_chunk_dedup": lambda d, f: dd.cdc_chunk_report(d),
+            # source-pair TV matrix (r11): token-salt replicas grow the
+            # VOCAB ~linearly with f, so the shared-token self-join and
+            # the complement arithmetic both scale with V x S(S-1)/2 —
+            # the cell pins that the decomposition (no V x S zero-fill
+            # grid) holds sub-quadratic as vocabulary grows. Inline =
+            # the catalog shape minus the slot persist (harness clears
+            # caches per sample).
+            "source_unigram_tv": lambda d, f: _tv_cell(d),
         }
+
+        def _tv_cell(d):
+            from pyspark.sql import functions as F
+
+            # scaled_docs (keep_all=False) carries only doc_id+text;
+            # derive a stable 20-source partition so S stays fixed
+            # while the vocabulary grows with the replica factor —
+            # vocab growth is the axis this cell measures
+            d = d.withColumn(
+                "source", F.concat(F.lit("src"), (F.col("doc_id") % 20))
+            )
+            c = (
+                d.where(F.col("text").isNotNull())
+                .select("source", F.explode(F.split("text", " ")).alias("t"))
+                .groupBy("source", "t")
+                .agg(F.count("*").alias("n"))
+                .persist()
+            )
+            tot = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("tN"))
+            ca = c.select(
+                F.col("source").alias("src_a"),
+                F.col("t").alias("ta"),
+                F.col("n").alias("cna"),
+            )
+            cb = c.select(
+                F.col("source").alias("src_b"),
+                F.col("t").alias("tb"),
+                F.col("n").alias("cnb"),
+            )
+            tota = tot.select(F.col("source").alias("pa"), F.col("tN").alias("na"))
+            totb = tot.select(F.col("source").alias("pb"), F.col("tN").alias("nb"))
+            sagg = (
+                ca.join(
+                    cb,
+                    (F.col("ta") == F.col("tb")) & (F.col("src_a") < F.col("src_b")),
+                )
+                .join(F.broadcast(tota), F.col("pa") == F.col("src_a"))
+                .join(F.broadcast(totb), F.col("pb") == F.col("src_b"))
+                .groupBy("src_a", "src_b")
+                .agg(
+                    F.sum(
+                        F.abs(F.col("cna") * F.col("nb") - F.col("cnb") * F.col("na"))
+                    )
+                    .cast("bigint")
+                    .alias("s_abs"),
+                    F.sum("cna").cast("bigint").alias("sa"),
+                    F.sum("cnb").cast("bigint").alias("sb"),
+                )
+            )
+            pairs = (
+                tota.crossJoin(totb)
+                .where(F.col("pa") < F.col("pb"))
+                .select("pa", "pb", "na", "nb")
+            )
+            j = pairs.join(
+                sagg,
+                (F.col("src_a") == F.col("pa")) & (F.col("src_b") == F.col("pb")),
+                "left",
+            )
+            num = (
+                F.coalesce(F.col("s_abs"), F.lit(0))
+                + (F.col("na") - F.coalesce(F.col("sa"), F.lit(0))) * F.col("nb")
+                + (F.col("nb") - F.coalesce(F.col("sb"), F.lit(0))) * F.col("na")
+            )
+            return j.select(
+                F.col("pa").alias("src_a"),
+                F.col("pb").alias("src_b"),
+                num.cast("bigint").alias("tv_num"),
+                (
+                    num.cast("double")
+                    / (F.lit(2) * F.col("na") * F.col("nb")).cast("double")
+                ).alias("tv_distance"),
+            )
     elif args.family == "curation":
         from pyspark.sql import functions as F
 
