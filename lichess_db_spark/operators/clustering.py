@@ -337,3 +337,89 @@ def lloyd_kmeans(
         inertia.append(it_inertia)
         cents = new
     return assign_clusters(emb, cents, id_col, vec_col, use_arrow), cents, inertia
+
+
+def gramian_exact_arrow(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Arrow-kernel twin of the expression-path Gramian (the
+    embedding_top_pc entry's one corpus pass) — BIT-IDENTICAL,
+    vectorized-numpy fast: returns ``(i, j, gv)`` with 1-based dims and
+    ``gv = SUM(ROUND(x_i * x_j * 1e12))`` as exact int64, the same
+    integers the ``posexplode x posexplode -> groupBy`` shape produces.
+
+    Why: the expression path explodes n x dim^2 pair rows per corpus
+    pass — the honest oracle-exact shape, but at 100 TB the explode
+    volume is the bottleneck the entry's docstring promised a kernel
+    swap for. This kernel emits dim^2 PARTIAL rows per Arrow batch
+    (outer products accumulated batch-side), so the exchange carries
+    batches x dim^2 rows instead of n x dim^2 — the two-level
+    aggregation pattern at the vector level.
+
+    Exactness argument (the dot_exact_arrow signed variant): the
+    per-element term is ROUND(x_i*x_j*1e12) where the product may be
+    NEGATIVE and Spark's HALF_UP round is away-from-zero — computed as
+    ``copysign(floor(abs(v) + 0.5), v)`` on the SAME IEEE double
+    product; int64 sums are order-free, so any batching/partitioning
+    gives the same integers. Memory discipline (the r8 page-zeroing
+    lesson): the (chunk, dim, dim) outer-product temporary streams
+    through ONE reused buffer (chunk_rows*dim^2*8 bytes, ~33 MB at the
+    defaults) instead of a fresh n-proportional allocation per batch.
+
+    Rows with NULL / ragged / NaN vectors raise — the Gramian is a
+    corpus statistic and silently skipping rows would bias it; filter
+    upstream (the catalog fixture has none)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out_schema = "i int, j int, gv long"
+
+    def fold(batches):
+        import pandas as pd
+
+        buf = np.empty((chunk_rows, dim, dim), dtype=np.float64)
+        abuf = np.empty((chunk_rows, dim, dim), dtype=np.float64)
+        ibuf = np.empty((chunk_rows, dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if X.ndim != 2 or X.shape[1] != dim or np.isnan(X).any():
+                raise ValueError(
+                    f"gramian_exact_arrow: expected clean (n, {dim}) batch, "
+                    f"got shape {X.shape}"
+                )
+            G = np.zeros((dim, dim), dtype=np.int64)
+            for s in range(0, len(X), chunk_rows):
+                c = X[s : s + chunk_rows]
+                P, A, I = buf[: len(c)], abuf[: len(c)], ibuf[: len(c)]
+                np.multiply(c[:, :, None], c[:, None, :], out=P)
+                np.multiply(P, 1e12, out=P)
+                np.abs(P, out=A)
+                np.add(A, 0.5, out=A)
+                np.floor(A, out=A)
+                np.copysign(A, P, out=A)
+                # int64 per-element cast into the reused buffer, THEN
+                # the chunk fold — a float64 axis-sum here would round
+                # (terms reach ~1e12, chunk sums ~1e15) and break the
+                # bit-identity contract with the expression path
+                np.copyto(I, A, casting="unsafe")
+                G += I.sum(axis=0)
+            ii, jj = np.indices((dim, dim))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype("int32"),
+                    "j": (jj + 1).ravel().astype("int32"),
+                    "gv": G.ravel(),
+                }
+            )
+
+    return (
+        emb.select(vec_col)
+        .mapInPandas(fold, schema=out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("gv").cast("bigint").alias("gv"))
+    )

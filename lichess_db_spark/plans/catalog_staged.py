@@ -2648,26 +2648,44 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _top_pc_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _top_pc_vec(
+    spark: SparkSession, sf_dir: str, use_arrow: bool = True
+) -> DataFrame:
     """The shared power-iteration pipeline: returns the 1e6-scaled
     integer top-PC vector as (pos bigint 1-based, v bigint) — consumed
     by embedding_top_pc (reported directly) and
-    embedding_remove_top_pc (projection input). One text, no drift."""
+    embedding_remove_top_pc (projection input). One text, no drift.
+
+    ``use_arrow=True`` (default, the production path) computes the
+    Gramian via operators/clustering.gramian_exact_arrow — per-batch
+    outer-product partials through reused buffers, so the exchange
+    carries batches x d^2 rows instead of the expression path's
+    n x d^2 explode. BIT-IDENTICAL integers (the dot_exact_arrow
+    signed-round argument; pinned cell-for-cell in
+    tests/test_clustering.py), so the oracle hash is path-invariant —
+    the same contract semdedup's use_arrow rides."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = emb.select(
-        F.posexplode("embedding").alias("i0", "xi"), "embedding"
-    ).select("i0", "xi", F.posexplode("embedding").alias("j0", "xj"))
-    g = pairs.groupBy(
-        (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
-    ).agg(
-        F.sum(
-            F.round(
-                F.col("xi").cast("double") * F.col("xj").cast("double") * F.lit(1e12)
-            ).cast("bigint")
+    if use_arrow:
+        from ..operators.clustering import gramian_exact_arrow
+
+        g = gramian_exact_arrow(emb, dim=_PC_DIM)
+    else:
+        pairs = emb.select(
+            F.posexplode("embedding").alias("i0", "xi"), "embedding"
+        ).select("i0", "xi", F.posexplode("embedding").alias("j0", "xj"))
+        g = pairs.groupBy(
+            (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+        ).agg(
+            F.sum(
+                F.round(
+                    F.col("xi").cast("double")
+                    * F.col("xj").cast("double")
+                    * F.lit(1e12)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("gv")
         )
-        .cast("bigint")
-        .alias("gv")
-    )
     g1 = _slot_persist(
         "embedding_top_pc.g1",
         g.select("i", "j", F.expr("gv div 1000000").alias("g1")),

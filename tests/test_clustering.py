@@ -212,3 +212,65 @@ def test_lloyd_arrow_path_bit_identical(spark):
     a_map = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a_assigned.collect()}
     b_map = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in b_assigned.collect()}
     assert a_map == b_map
+
+
+def test_gramian_arrow_bit_identical_to_expression(spark):
+    """gramian_exact_arrow must reproduce the expression-path Gramian
+    (posexplode x posexplode -> ROUND(x_i*x_j*1e12) bigint sums)
+    cell-for-cell — the contract that lets embedding_top_pc ride the
+    kernel while its oracle stays hash-green. Checked on the fixture
+    corpus AND an engineered signed batch that exercises the
+    away-from-zero rounding on negative products and chunk boundaries
+    (chunk_rows smaller than the batch)."""
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.clustering import gramian_exact_arrow
+
+    from .conftest import SF_SMALL
+
+    def expr_gram(emb):
+        pairs = emb.select(
+            F.posexplode("embedding").alias("i0", "xi"), "embedding"
+        ).select("i0", "xi", F.posexplode("embedding").alias("j0", "xj"))
+        return pairs.groupBy(
+            (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+        ).agg(
+            F.sum(
+                F.round(
+                    F.col("xi").cast("double")
+                    * F.col("xj").cast("double")
+                    * F.lit(1e12)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("gv")
+        )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    want = {(r.i, r.j): r.gv for r in expr_gram(emb).collect()}
+    got = {(r.i, r.j): r.gv for r in gramian_exact_arrow(emb).collect()}
+    assert got == want and len(got) == 64 * 64
+
+    # signed + tie-ish values, chunk boundary crossing (5 rows, chunk 2)
+    rows = [
+        (i, [((-1) ** (i + d)) * (0.25 + 0.5 * ((i * 7 + d) % 9) / 9.0)
+             for d in range(64)])
+        for i in range(5)
+    ]
+    se = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want2 = {(r.i, r.j): r.gv for r in expr_gram(se).collect()}
+    got2 = {
+        (r.i, r.j): r.gv
+        for r in gramian_exact_arrow(se, chunk_rows=2).collect()
+    }
+    assert got2 == want2
+    assert any(v < 0 for v in want2.values())  # negatives exercised
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="clean"):
+        bad = spark.createDataFrame(
+            [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+        )
+        gramian_exact_arrow(bad).collect()

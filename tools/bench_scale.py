@@ -701,26 +701,37 @@ def main() -> None:
             # corpus volume, iterations flat (d^2 rows). Inline shape
             # = the catalog builder minus the slot persist (the
             # harness clears caches per sample anyway).
-            "embedding_top_pc": lambda d, f: _top_pc_cell(d),
+            "embedding_top_pc": lambda d, f: _top_pc_cell(d, use_arrow=False),
+            # the production Gramian path (r11): per-batch outer-product
+            # partials through reused buffers — batches x d^2 exchange
+            # rows instead of n x d^2 explode; bit-identical integers
+            "embedding_top_pc_arrow": lambda d, f: _top_pc_cell(
+                d, use_arrow=True
+            ),
         }
 
-        def _top_pc_cell(emb):
-            pairs = emb.select(
-                F.posexplode("embedding").alias("i0", "xi"), "embedding"
-            ).select("i0", "xi", F.posexplode("embedding").alias("j0", "xj"))
-            g = pairs.groupBy(
-                (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
-            ).agg(
-                F.sum(
-                    F.round(
-                        F.col("xi").cast("double")
-                        * F.col("xj").cast("double")
-                        * F.lit(1e12)
-                    ).cast("bigint")
+        def _top_pc_cell(emb, use_arrow):
+            from lichess_db_spark.operators.clustering import gramian_exact_arrow
+
+            if use_arrow:
+                g = gramian_exact_arrow(emb)
+            else:
+                pairs = emb.select(
+                    F.posexplode("embedding").alias("i0", "xi"), "embedding"
+                ).select("i0", "xi", F.posexplode("embedding").alias("j0", "xj"))
+                g = pairs.groupBy(
+                    (F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j")
+                ).agg(
+                    F.sum(
+                        F.round(
+                            F.col("xi").cast("double")
+                            * F.col("xj").cast("double")
+                            * F.lit(1e12)
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .alias("gv")
                 )
-                .cast("bigint")
-                .alias("gv")
-            )
             g1 = g.select("i", "j", F.expr("gv div 1000000").alias("g1")).persist()
             spark_ = emb.sparkSession
             v = spark_.range(1, 65).select(
