@@ -196,6 +196,13 @@ HEADLINE = [
     "embedding_top_pc",
     "embedding_remove_top_pc",
     "lsh_candidate_recall",
+    # r11 session 2 (r12 window): winnowing, sorted-neighborhood
+    # blocking, mutual-kNN graph
+    "winnow_fingerprint_density",
+    "winnow_match_pairs",
+    "dedup_sorted_neighborhood",
+    "knn_mutual_pairs",
+    "knn_isolation_docs",
 ]
 
 

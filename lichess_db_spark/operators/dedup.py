@@ -2343,3 +2343,209 @@ def cdc_chunk_report(
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm): hash every
+    overlapping ``k``-char gram, slide a window of ``w`` consecutive
+    hashes, and in each window select the MINIMUM hash, breaking ties
+    by the RIGHTMOST position (robust winnowing). The selected
+    (hash, position) set per document is its fingerprint sketch, with
+    two guarantees the paper proves: any shared substring of length
+    >= w + k - 1 between two documents yields at least one SHARED
+    selected hash, and the expected density of selected positions is
+    2 / (w + 1) — an index ~2x/(w+1) the size of the full k-gram
+    relation that still catches every long-enough match (contrast
+    MinHash, which sketches whole-document similarity and cannot
+    locate the matching span).
+
+    Returns one row per selected fingerprint:
+    ``(id, fp BIGINT, pos BIGINT)`` where ``fp`` is the 32-bit
+    md5-derived gram hash and ``pos`` the 1-based char position of the
+    selected gram. Documents shorter than ``k + w - 1`` chars (or with
+    NULL text) yield no rows — there is no full window to select from.
+
+    Portability/exactness: the per-position hash is
+    ``conv(md5(gram)[:8], 16, 10)`` — deterministic in Spark and
+    DuckDB. Min-with-rightmost-tiebreak is encoded ORDER-FREE in a
+    single bigint key ``hv * 4096 + (4096 - pos)`` (positions are
+    lint-capped at 2000 < 4096, see tests/test_catalog_schema_lint),
+    so ``array_min`` alone performs the paper's tie rule and the
+    selected set is a pure function of the text.
+
+    Scale shape: hashing and window selection run entirely in codegen
+    ARRAY expressions over one row per document — the keys array is
+    pre-projected into its own column so CollapseProject cannot
+    re-inline the md5 chain into every window's lambda (each gram is
+    hashed ONCE, not once per covering window; same materialization
+    rule as text_repetition_stats). The only exploded relation is the
+    selected fingerprints themselves — a 2/(w+1) fraction of
+    positions — and the operator itself needs ZERO shuffles; the
+    md5-per-position cost is the oracle-exact shape (a 100 TB run
+    swaps in a rolling Karp-Rabin Arrow kernel with identical
+    selection semantics, the same documented trade as
+    cdc_chunk_report).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1: {k}, {w}")
+    n_k = F.length(text_col) - (k - 1)
+    d = docs.where(F.col(text_col).isNotNull() & (n_k >= w))
+    keys = F.transform(
+        F.sequence(F.lit(1), n_k),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col(text_col).substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("bigint")
+        * 4096
+        + (F.lit(4096) - i),
+    )
+    # own Project => the hash array materializes once per row
+    withk = spread(
+        d.select(
+            F.col(id_col).alias("__id"),
+            keys.alias("__keys"),
+        )
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__keys") - (w - 1)),
+            lambda j: F.array_min(F.slice("__keys", j, w)),
+        )
+    )
+    return withk.select("__id", F.explode(sel).alias("__key")).select(
+        F.col("__id").alias(id_col),
+        F.shiftright("__key", 12).alias("fp"),
+        (F.lit(4096) - (F.col("__key") % 4096)).alias("pos"),
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style match pairing over winnowed fingerprints: documents
+    sharing >= ``min_shared`` DISTINCT selected hashes, with the exact
+    shared count. Fingerprints appearing in more than
+    ``max_docs_per_fp`` distinct documents are dropped FIRST — the
+    paper's own "ignore extremely common fingerprints" rule
+    (boilerplate headers would otherwise pair everything with
+    everything), and the same count-first hot-key discipline as the
+    MinHash tier: the cap binds BEFORE any per-key row buffering, so a
+    viral fingerprint can never aggregate an unbounded posting list.
+
+    Returns ``(doc_a, doc_b, n_shared BIGINT)`` with doc_a < doc_b.
+
+    Scale shape: distinct (doc, fp) postings shuffle once on fp; the
+    per-fp doc count rides the SAME exchange as a window count (the
+    single-scan shape measured cheapest in the minhash pre-cap A/B,
+    BENCH_SCALE_R10_TEXT); surviving postings self-join on fp (an
+    equi-join whose per-key fanout is cap-bounded at
+    max_docs_per_fp^2) and re-group on the pair.
+    """
+    from pyspark.sql import Window
+
+    if min_shared < 1 or max_docs_per_fp < 2:
+        raise ValueError(
+            f"need min_shared >= 1, max_docs_per_fp >= 2: {min_shared}, {max_docs_per_fp}"
+        )
+    posts = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("__id"), "fp")
+        .distinct()
+    )
+    cnt = Window.partitionBy("fp")
+    ok = (
+        posts.withColumn("__n", F.count("*").over(cnt))
+        .where(F.col("__n") <= max_docs_per_fp)
+        .drop("__n")
+    )
+    a = ok.select(F.col("__id").alias("doc_a"), "fp")
+    b = ok.select(F.col("__id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    key_chars: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo 1995 — the
+    merge/purge blocking family): sort the corpus ONCE by a cheap
+    blocking key (here the lowercased first ``key_chars`` chars of the
+    text), then compare each record only to its ``window`` successors
+    in the sorted order. The third classic blocking strategy next to
+    the repo's hash blocking (exact/CDC) and LSH banding (MinHash/
+    SimHash/pHash): O(n·w) candidate pairs with NO hash-collision
+    tuning, catching near-dups whose edits preserve the sort-key
+    prefix (truncated/suffix-edited copies).
+
+    Each candidate pair is verified exactly: distinct-token-set
+    intersection and union sizes, and an ``is_dup`` flag at Jaccard
+    >= 0.5 decided by integer cross-multiply (2·|A∩B| >= |A∪B|) — no
+    float threshold to diverge cross-engine. Returns
+    ``(doc_a, doc_b, gap INT, inter_tokens BIGINT, union_tokens
+    BIGINT, is_dup BOOLEAN)`` where doc_a precedes doc_b in sort
+    order and gap = rank distance (1..window).
+
+    Scale shape: the global sort order comes from the distributed
+    rank operator (repartitionByRange + per-partition offsets —
+    operators/rank.global_rank, NOT a single-partition ROW_NUMBER);
+    neighborhood pairing is an EQUI-join — the left side explodes
+    each row into ``window`` (rank + delta) probes — so there is no
+    band/range join and no skew beyond the w-fold map-side fanout;
+    set verification is per-pair codegen array arithmetic on the
+    n·w candidate relation.
+    """
+    from .rank import global_rank
+
+    if window < 1 or key_chars < 1:
+        raise ValueError(f"need window >= 1, key_chars >= 1: {window}, {key_chars}")
+    d = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.substring(text_col, 1, key_chars)).alias("__bkey"),
+        F.array_distinct(F.split(text_col, " ")).alias("__ts"),
+    )
+    ranked = global_rank(d, "__bkey", "__id", rank_col="__rnk")
+    left = ranked.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__ts").alias("__ts_a"),
+        F.col("__rnk").alias("__rnk_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("gap"),
+    ).withColumn("__rnk_b", F.col("__rnk_a") + F.col("gap"))
+    right = ranked.select(
+        F.col("__id").alias("doc_b"),
+        F.col("__ts").alias("__ts_b"),
+        F.col("__rnk").alias("__rnk_b"),
+    )
+    inter = F.size(F.array_intersect("__ts_a", "__ts_b")).cast("bigint")
+    uni = F.size(F.array_union("__ts_a", "__ts_b")).cast("bigint")
+    return (
+        left.join(right, "__rnk_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("gap").cast("int").alias("gap"),
+            inter.alias("inter_tokens"),
+            uni.alias("union_tokens"),
+        )
+        .withColumn("is_dup", F.col("inter_tokens") * 2 >= F.col("union_tokens"))
+    )

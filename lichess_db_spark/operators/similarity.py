@@ -1122,3 +1122,152 @@ def mmr_topk(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _all_pairs_topk_arrow(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact-cosine top-k edge list, Arrow-kernel scored —
+    the BIT-IDENTICAL fast twin of ``brute_force_topk(emb, emb, k)``:
+    same per-side expression norms, same ROUND(dot/(qn*cn), 3), same
+    (score DESC, id ASC) rank window; only the pair dot product runs
+    through the signed-round Arrow kernel (one numpy broadcast per
+    batch instead of ~dim interpreted lambda evals per pair — the
+    exactness argument lives on vectors.dot_exact_arrow). Equality
+    over every fixture pair is pinned in tests/test_winnow_snm.py.
+    """
+    from ..functions.vectors import dot_exact_arrow
+
+    q = F.broadcast(
+        emb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_exact(F.col(vec_col)).alias("q_norm"),
+        )
+    )
+    c = spread(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_exact(F.col(vec_col)).alias("c_norm"),
+        )
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_exact_arrow("q_vec", "c_vec")
+                / (F.col("q_norm") * F.col("c_norm")),
+                3,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def mutual_knn_edges(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Mutual-kNN graph over an embedding corpus: the directed exact-
+    cosine top-``k`` edge list, filtered to edges whose REVERSE edge
+    also exists — i is kept as a neighbor of q only when q is
+    simultaneously in i's own top-k. Mutuality is the standard
+    symmetrization that turns a kNN digraph into the graph consistency
+    filters, spectral methods and outlier detectors want: asymmetric
+    edges are exactly the hub/outlier artifacts of high-dimensional
+    cosine (a hub appears in everyone's top-k while reciprocating
+    almost nobody).
+
+    Returns BOTH directions of every mutual edge:
+    ``(query_id, neighbor_id, score, rank, rank_back)`` — ``rank`` is
+    the edge's position in query_id's top-k, ``rank_back`` the reverse
+    edge's position in neighbor_id's list. Scores are the
+    engine-portable rounded exact cosine of :func:`brute_force_topk`
+    (scaled-int dots, ROUND(.,3), id tiebreak), so the selected edge
+    set is bit-stable across engines and partitionings.
+    ``use_arrow=True`` (default) swaps the interpreted zip_with dot
+    fold for the bit-identical signed-round Arrow kernel
+    (:func:`_all_pairs_topk_arrow`; equality pinned by
+    tests/test_winnow_snm.py::test_mutual_knn_arrow_bit_identical) —
+    on the n^2 pair relation the interpreter tax dominates (the same
+    trade as semdedup's use_arrow, measured ~4x at sf0.1 here).
+
+    Scale shape: the kNN build is the pluggable quadratic baseline
+    (broadcast queries x corpus — swap in the IVF/LSH tiers for a
+    100 TB corpus; the mutual step does not care where edges came
+    from). The mutuality filter itself is LINEAR in edges: the n·k
+    edge list self-joins ONCE on the reversed (query, neighbor) key —
+    no corpus data moves, only id/rank tuples.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1: {k}")
+    # MATERIALIZE the edge list before the self-join: the kNN subtree
+    # sits above spread()'s round-robin exchange, and Spark never
+    # ReusedExchanges across nondeterministic projections (the
+    # global_rank lesson) — without the checkpoint the O(n^2) scoring
+    # pass executes TWICE, once per join side (measured: two parallel
+    # BroadcastNestedLoopJoin stages, zero ReusedExchange). The edge
+    # list itself is only n*k rows.
+    edges = (
+        _all_pairs_topk_arrow(emb, k=k, id_col=id_col, vec_col=vec_col)
+        if use_arrow
+        else brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    ).localCheckpoint(eager=True)
+    back = edges.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+        F.col("rank").alias("rank_back"),
+    )
+    return edges.join(back, ["query_id", "neighbor_id"]).select(
+        "query_id", "neighbor_id", "score", "rank", "rank_back"
+    )
+
+
+def knn_isolation(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector mutual-kNN degree and isolation flag: how many of a
+    vector's top-``k`` neighbors reciprocate, and whether NONE do —
+    the mutual-degree-zero rule that flags embedding-space outliers
+    (mislabeled, off-distribution, or near-empty documents) without
+    any density threshold to tune. Returns one row per corpus vector:
+    ``(vec_id, mutual_degree BIGINT, is_isolated BOOLEAN)``.
+
+    Scale shape: one groupBy over the mutual edge list (n·k rows at
+    most) left-joined back to the corpus ids — the corpus relation is
+    touched once for ids only (column-pruned scan).
+    """
+    deg = (
+        mutual_knn_edges(emb, k=k, id_col=id_col, vec_col=vec_col)
+        .groupBy(F.col("query_id").alias(id_col))
+        .agg(F.count("*").cast("bigint").alias("mutual_degree"))
+    )
+    return (
+        emb.select(id_col)
+        .join(deg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("mutual_degree", F.lit(0).cast("bigint")).alias(
+                "mutual_degree"
+            ),
+            (F.coalesce("mutual_degree", F.lit(0)) == 0).alias("is_isolated"),
+        )
+    )

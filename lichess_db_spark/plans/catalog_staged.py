@@ -36,6 +36,12 @@ STAGED_NEXT: tuple[str, ...] = (
     "embedding_top_pc",
     "embedding_remove_top_pc",
     "lsh_candidate_recall",
+    # r11 session 2 (authored after the r11 window froze):
+    "winnow_fingerprint_density",
+    "winnow_match_pairs",
+    "dedup_sorted_neighborhood",
+    "knn_mutual_pairs",
+    "knn_isolation_docs",
 )
 
 
@@ -2780,3 +2786,268 @@ def embedding_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("v").cast("double") / F.lit(1e6))
         ).alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# r11 session 2: winnowing fingerprints (MOSS), sorted-neighborhood
+# blocking, mutual-kNN graph
+# --------------------------------------------------------------------------
+
+# Winnowing selection, shared by both entries below. Robust winnowing
+# (Schleimer/Wilkerson/Aiken 2003): min hash per w=4 window of k=8-char
+# gram hashes, rightmost tie — encoded order-free as MIN over the key
+# hv*4096 + (4096 - pos) (positions lint-capped at 2000 < 4096).
+def _winnow_ctes(k: int) -> str:
+    """Winnowing selection CTEs for gram size ``k`` (window w=4)."""
+    return f"""
+    h AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+               CAST(('0x' || substr(md5(substr(text, CAST(g.i AS INT), {k})), 1, 8))
+                    AS BIGINT) * 4096 + (4096 - CAST(g.i AS BIGINT)) AS key
+        FROM documents, range(1, 2001) AS g(i)
+        WHERE text IS NOT NULL AND g.i <= len(text) - {k - 1}
+    ),
+    sel AS (
+        SELECT doc_id, i,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey,
+               MAX(i) OVER (PARTITION BY doc_id) AS mx
+        FROM h
+    ),
+    fps AS (SELECT DISTINCT doc_id, skey FROM sel WHERE i + 3 <= mx)
+"""
+
+
+@register(
+    "winnow_fingerprint_density",
+    f"""
+    WITH {_winnow_ctes(8)},
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fps GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(GREATEST(COALESCE(len(d.text), 0) - 7, 0) AS BIGINT) AS n_kgrams,
+           CAST(GREATEST(COALESCE(len(d.text), 0) - 10, 0) AS BIGINT) AS n_windows,
+           COALESCE(c.n_fps, 0) AS n_fps,
+           CASE WHEN COALESCE(len(d.text), 0) >= 11
+                THEN CAST(COALESCE(c.n_fps, 0) AS DOUBLE) / (len(d.text) - 10)
+           END AS density
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """,
+    "Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003, "
+    "the MOSS algorithm) — per-document sketch size audit: hash every "
+    "8-char gram, keep the min hash of each 4-hash window (rightmost "
+    "tie = robust winnowing), report k-gram/window/fingerprint counts "
+    "and selected density (expected ~2/(w+1) = 0.4; the paper's lower "
+    "bound is 1.5/(w+1) — property-tested). Min-with-rightmost-tie is "
+    "ONE array_min over the order-free key hv*4096+(4096-pos), so the "
+    "selection is a pure function of the text in both engines. Spark "
+    "side: hashing + selection are codegen array expressions on one "
+    "row per doc (the gram-hash array pre-projected so md5 runs once "
+    "per gram, not once per covering window); the only exchange is "
+    "the per-doc count. Density is a raw IEEE division (bit-identical "
+    "cross-engine).",
+)
+def winnow_fingerprint_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        winnow_fingerprints(d, k=8, w=4)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_fps"))
+    )
+    ln = F.coalesce(F.length("text"), F.lit(0))
+    nf = F.coalesce("n_fps", F.lit(0).cast("bigint"))
+    return (
+        d.select("doc_id", ln.alias("__len"))
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.col("__len") - 7, F.lit(0)).cast("bigint").alias("n_kgrams"),
+            F.greatest(F.col("__len") - 10, F.lit(0)).cast("bigint").alias("n_windows"),
+            nf.alias("n_fps"),
+            F.when(
+                F.col("__len") >= 11,
+                nf.cast("double") / (F.col("__len") - 10),
+            ).alias("density"),
+        )
+    )
+
+
+@register(
+    "winnow_match_pairs",
+    f"""
+    WITH {_winnow_ctes(16)},
+    df AS (SELECT DISTINCT doc_id, CAST(skey // 4096 AS BIGINT) AS fp FROM fps),
+    ok AS (SELECT fp FROM df GROUP BY fp HAVING COUNT(*) <= 16),
+    dfo AS (SELECT df.doc_id, df.fp FROM df JOIN ok USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dfo a JOIN dfo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 8
+    """,
+    "MOSS-style match report over winnowed fingerprints: document "
+    "pairs sharing >= 8 distinct selected 16-char-gram hashes, exact "
+    "shared count (on the word-salad fixture, true prefix-copy "
+    "near-dups share ~200 fingerprints; unrelated docs sharing short "
+    "vocabulary overlap stay far below the 8 cutoff — measured before "
+    "pinning). The winnowing guarantee makes this a SPAN detector: "
+    "any shared substring >= w+k-1 = 19 chars yields a shared "
+    "fingerprint (property-tested), at ~0.4x the index size of the "
+    "full gram relation. Fingerprints in > 16 distinct docs are "
+    "dropped FIRST — "
+    "the paper's ignore-common-matches rule, applied with the same "
+    "count-first window discipline as the MinHash pre-cap (the count "
+    "rides the posting exchange; no capped key ever buffers a posting "
+    "list). Scale shape: one fp-keyed shuffle for postings, "
+    "cap-bounded equi-join fanout (<= 64^2 per key), one pair-keyed "
+    "re-group.",
+)
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_match_pairs as wmp
+
+    return wmp(
+        _t(spark, sf_dir, "documents"), k=16, w=4, min_shared=8, max_docs_per_fp=16
+    )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH d AS (
+        SELECT doc_id, lower(substr(text, 1, 24)) AS bkey,
+               list_distinct(string_split(text, ' ')) AS ts
+        FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+        SELECT doc_id, ts,
+               ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS rnk
+        FROM d
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(b.rnk - a.rnk AS INT) AS gap,
+               CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter_tokens,
+               CAST(len(list_distinct(a.ts || b.ts)) AS BIGINT) AS union_tokens
+        FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 4
+    )
+    SELECT doc_a, doc_b, gap, inter_tokens, union_tokens,
+           inter_tokens * 2 >= union_tokens AS is_dup
+    FROM p
+    """,
+    "Sorted-neighborhood dedup (Hernandez/Stolfo 1995 merge-purge): "
+    "sort once by a cheap blocking key (lowercased 24-char text "
+    "prefix), compare each record to its 4 successors only — the "
+    "third blocking family next to hash blocking and LSH banding, "
+    "O(n*w) candidates with no collision tuning. Candidates verified "
+    "exactly: distinct-token intersection/union counts, dup flag at "
+    "Jaccard >= 0.5 by integer cross-multiply. Spark side: the global "
+    "order comes from the distributed rank operator "
+    "(repartitionByRange + offsets, NOT a single-partition window); "
+    "pairing is an EQUI-join on rank+delta with a w-fold map-side "
+    "explode — no range join, no quadratic block.",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=4, key_chars=24
+    )
+
+
+# Mutual-kNN graph, shared by both entries below. Exact-cosine top-4
+# per vector (scaled-int dots, ROUND(.,3), id tiebreak — the proven
+# knn_bruteforce_cosine portability kit, norms factored per-side), then
+# edges whose reverse edge also exists.
+_MUTUAL_KNN_CTES = """
+    nrm AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(ROUND(CAST(embedding[g.i] AS DOUBLE)
+                    * CAST(embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS nn
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(ROUND(CAST(q.embedding[g.i] AS DOUBLE)
+                    * CAST(c.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS dot_i
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id,
+             generate_series(1, 64) AS g(i)
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND((dot_i / 1e12) / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 3) AS score
+        FROM dots
+        JOIN nrm a ON a.vec_id = query_id
+        JOIN nrm b ON b.vec_id = neighbor_id
+    ),
+    edges AS (
+        SELECT query_id, neighbor_id, score, rank FROM (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 4
+    ),
+    mut AS (
+        SELECT a.query_id, a.neighbor_id, a.score,
+               CAST(a.rank AS INT) AS rank, CAST(b.rank AS INT) AS rank_back
+        FROM edges a JOIN edges b
+          ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+    )
+"""
+
+
+@register(
+    "knn_mutual_pairs",
+    f"""
+    WITH {_MUTUAL_KNN_CTES}
+    SELECT query_id AS vec_a, neighbor_id AS vec_b, score,
+           rank AS rank_ab, rank_back AS rank_ba
+    FROM mut WHERE query_id < neighbor_id
+    """,
+    "Mutual-kNN pairs: exact-cosine top-4 edges where BOTH endpoints "
+    "list each other — the standard symmetrization that strips the "
+    "hub/outlier artifacts of high-dimensional cosine (a hub sits in "
+    "everyone's top-k while reciprocating almost nobody). Kept pairs "
+    "carry both ranks + the (symmetric, exactly-equal both ways) "
+    "score. Scale shape: the kNN build is the pluggable baseline "
+    "(swap in IVF/LSH at 100 TB); the mutuality filter is LINEAR in "
+    "edges — one self-join of the n*k edge list on the reversed key, "
+    "no corpus bytes move.",
+)
+def knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mutual_knn_edges
+
+    e = mutual_knn_edges(_t(spark, sf_dir, "embeddings"), k=4)
+    return e.where(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        "score",
+        F.col("rank").alias("rank_ab"),
+        F.col("rank_back").alias("rank_ba"),
+    )
+
+
+@register(
+    "knn_isolation_docs",
+    f"""
+    WITH {_MUTUAL_KNN_CTES},
+    deg AS (SELECT query_id AS vec_id, COUNT(*) AS deg FROM mut GROUP BY query_id)
+    SELECT e.vec_id,
+           CAST(COALESCE(m.deg, 0) AS BIGINT) AS mutual_degree,
+           COALESCE(m.deg, 0) = 0 AS is_isolated
+    FROM embeddings e LEFT JOIN deg m USING (vec_id)
+    """,
+    "Embedding-space isolation scoring: per-vector mutual-kNN degree "
+    "(how many of its top-4 neighbors reciprocate) and the "
+    "degree-zero isolation flag — the threshold-free outlier rule for "
+    "mislabeled / off-distribution documents. One groupBy over the "
+    "mutual edge list, left-joined to the id-only (column-pruned) "
+    "corpus scan.",
+)
+def knn_isolation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_isolation
+
+    return knn_isolation(_t(spark, sf_dir, "embeddings"), k=4)

@@ -1,0 +1,270 @@
+"""Winnowing (MOSS), sorted-neighborhood and mutual-kNN properties.
+
+The driver-facing catalog entries are oracle-hashed by driver_sim /
+tests/test_catalog_oracle.py; these tests pin the ALGORITHMIC
+contracts the hash alone can't see:
+
+- winnowing selection == an independent pure-Python twin (same md5
+  hashes, same min-with-rightmost-tie rule), incl. the all-ties text
+  that isolates the tie-break;
+- the paper's guarantee: a shared substring of length >= w + k - 1
+  always yields a shared fingerprint;
+- density lands in the expected 2/(w+1) band on real fixture text;
+- sorted-neighborhood pairs are exactly the rank-window pairs and an
+  exact duplicate is always caught with is_dup;
+- mutual-kNN edges are symmetric with consistent back-ranks, and a
+  planted far-away vector is flagged isolated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from lichess_db_spark.operators.dedup import (
+    sorted_neighborhood_pairs,
+    winnow_fingerprints,
+    winnow_match_pairs,
+)
+from lichess_db_spark.operators.similarity import knn_isolation, mutual_knn_edges
+
+from .conftest import SF_SMALL
+
+
+def _py_winnow(text: str, k: int = 8, w: int = 4) -> set[tuple[int, int]]:
+    """Independent reference: (fp, pos) selected by robust winnowing."""
+    n_k = len(text) - k + 1
+    if n_k < w:
+        return set()
+    hv = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(n_k)
+    ]
+    out = set()
+    for j in range(n_k - w + 1):
+        # min hash, rightmost position on ties
+        best = min(range(j, j + w), key=lambda i: (hv[i], -i))
+        out.add((hv[best], best + 1))
+    return out
+
+
+def _spark_fps(spark, rows, k=8, w=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc: dict[int, set[tuple[int, int]]] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add((r.fp, r.pos))
+    return by_doc
+
+
+def test_winnow_matches_python_twin(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "abcdefghijklmnopqrstuvwxyz0123456789",
+        "xy " * 30,  # heavy internal repetition
+        "short",  # below k: no grams at all
+        "elevenchars",  # exactly k + w - 1 = 11 chars at k=8, w=4
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    by_doc = _spark_fps(spark, rows)
+    for i, t in enumerate(texts):
+        assert by_doc.get(i, set()) == _py_winnow(t), f"doc {i}"
+
+
+def test_winnow_rightmost_tie_break(spark):
+    # all k-grams identical -> every window's min is its RIGHTMOST slot
+    t = "a" * 20  # n_k = 13 grams, windows j=1..10 select pos j+3
+    by_doc = _spark_fps(spark, [(0, t)])
+    assert by_doc[0] == _py_winnow(t)
+    assert {p for _, p in by_doc[0]} == set(range(4, 14))
+
+
+def test_winnow_null_and_short_yield_no_rows(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "tiny"), (2, "abcdefghij")],  # 10 chars < k+w-1
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(df, k=8, w=4).count() == 0
+
+
+def test_winnow_guarantee_shared_span(spark):
+    # Schleimer et al. theorem: a shared substring of length >= w+k-1
+    # guarantees >= 1 shared selected hash. 11-char shared span inside
+    # otherwise-disjoint text.
+    span = "GUARANTEED!"  # 11 chars = w + k - 1
+    a = "aaaaaaaaaaaaaaa " + span + " bbbbbbbbbbbbbbbb"
+    b = "cccccccccccccccccc " + span + " ddddddddddd"
+    by_doc = _spark_fps(spark, [(0, a), (1, b)])
+    shared = {h for h, _ in by_doc[0]} & {h for h, _ in by_doc[1]}
+    assert shared, "w+k-1 shared span must produce a shared fingerprint"
+
+
+def test_winnow_density_band(spark):
+    from lichess_db_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMALL, "documents").where(F.length("text") >= 100)
+    fps = winnow_fingerprints(d, k=8, w=4)
+    agg = (
+        fps.groupBy("doc_id")
+        .count()
+        .join(d.select("doc_id", F.length("text").alias("ln")), "doc_id")
+        .select((F.col("count") / (F.col("ln") - 10)).alias("density"))
+        .agg(F.avg("density").alias("avg"), F.min("density").alias("mn"))
+        .first()
+    )
+    # expected density 2/(w+1) = 0.4; paper lower bound 1.5/(w+1) = 0.3
+    assert 0.3 <= agg["avg"] <= 0.55, agg
+    assert agg["mn"] >= 1.5 / 5 * 0.8  # slack under the lower bound
+
+
+def test_winnow_match_pairs_finds_planted_copy(spark):
+    base = (
+        "the training corpus pipeline deduplicates documents by winnowed "
+        "fingerprints selected from sliding windows of gram hashes over "
+        "the normalized text body of every ingested record"
+    )
+    rows = [(0, base), (1, base[: len(base) * 3 // 4]), (2, "zq " * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_match_pairs(df, k=16, w=4, min_shared=8, max_docs_per_fp=16)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_winnow_match_pairs_cap_drops_common_fp(spark):
+    # one 19-char span shared by ALL docs: with the cap below the doc
+    # count the fingerprints of that span are dropped and no pair forms
+    span = "common boilerplate!"
+    rows = [(i, f"{'u' * (i + 1)} {span} {'v' * (i + 2)}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = winnow_match_pairs(df, k=8, w=4, min_shared=1, max_docs_per_fp=3)
+    uncapped = winnow_match_pairs(df, k=8, w=4, min_shared=1, max_docs_per_fp=64)
+    assert uncapped.count() > 0
+    # every fp from the shared span occurs in all 6 docs -> over cap 3
+    assert capped.count() < uncapped.count()
+
+
+def test_winnow_validates_params():
+    with pytest.raises(ValueError):
+        winnow_fingerprints(None, k=0)
+    with pytest.raises(ValueError):
+        winnow_match_pairs(None, min_shared=0)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(None, window=0)
+    with pytest.raises(ValueError):
+        mutual_knn_edges(None, k=0)
+
+
+def test_snm_pairs_are_exactly_rank_window(spark):
+    rows = [(i, f"{chr(97 + i)} token body {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = sorted_neighborhood_pairs(df, window=3, key_chars=24).collect()
+    # blocking key = full ordering by first char here -> rank == doc_id+1
+    got = {(r.doc_a, r.doc_b, r.gap) for r in pairs}
+    want = {
+        (a, a + g, g) for a in range(10) for g in range(1, 4) if a + g < 10
+    }
+    assert got == want
+
+
+def test_snm_exact_duplicate_is_caught(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),  # exact dup
+        (2, "omega psi chi phi upsilon tau"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r for r in sorted_neighborhood_pairs(df).collect()}
+    dup = pairs[(0, 1)]
+    assert dup.is_dup and dup.inter_tokens == dup.union_tokens == 6
+    assert dup.gap == 1  # identical key -> adjacent ranks (id tiebreak)
+
+
+def test_snm_jaccard_counts_are_set_semantics(spark):
+    rows = [
+        (0, "a a a b c"),  # distinct tokens {a,b,c}
+        (1, "a b b d"),  # distinct tokens {a,b,d}
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = sorted_neighborhood_pairs(df, window=2).collect()[0]
+    # duplicates inside a doc never inflate the counts
+    assert (r.inter_tokens, r.union_tokens) == (2, 4)
+    assert r.is_dup  # 2*2 >= 4: the >= 0.5 boundary is inclusive
+
+
+def test_snm_jaccard_boundary_is_inclusive(spark):
+    rows = [(0, "a b c d"), (1, "a b e f")]  # inter 2, union 6 -> 4 < 6
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = sorted_neighborhood_pairs(df, window=2).collect()[0]
+    assert (r.inter_tokens, r.union_tokens, r.is_dup) == (2, 6, False)
+    rows2 = [(0, "a b c d"), (1, "a b c e")]  # inter 3, union 5: 6 >= 5
+    r2 = sorted_neighborhood_pairs(
+        spark.createDataFrame(rows2, "doc_id long, text string"), window=2
+    ).collect()[0]
+    assert (r2.inter_tokens, r2.union_tokens, r2.is_dup) == (3, 5, True)
+
+
+def _vec(*xs):
+    return [float(x) for x in xs] + [0.0] * (4 - len(xs))
+
+
+def test_mutual_knn_symmetric_and_consistent(spark):
+    from lichess_db_spark.io import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(64)
+    edges = mutual_knn_edges(emb, k=3).collect()
+    es = {(r.query_id, r.neighbor_id): r for r in edges}
+    assert es, "expected some mutual edges"
+    for (q, n), r in es.items():
+        back = es.get((n, q))
+        assert back is not None, "mutual edges must come in both directions"
+        assert back.rank == r.rank_back and back.rank_back == r.rank
+        assert back.score == r.score  # exact-cosine symmetry survives ROUND
+
+
+def test_knn_isolation_flags_planted_outlier(spark):
+    # two tight 3-vector clusters + one far-off vector: with k=2 each
+    # cluster member's top-2 is exactly the other two members (score
+    # ties round to 1.0; id tiebreak keeps the set inside the cluster),
+    # so clusters are fully mutual while nobody lists the outlier
+    rows = (
+        [(i, [1.0, float(i) * 1e-4, 0.0, 0.0]) for i in range(3)]
+        + [(10 + i, [0.0, 1.0, float(i) * 1e-4, 0.0]) for i in range(3)]
+        + [(99, [0.0, 0.0, 0.0, 1.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    iso = {r.vec_id: r for r in knn_isolation(df, k=2).collect()}
+    assert len(iso) == 7
+    assert iso[99].is_isolated and iso[99].mutual_degree == 0
+    for i in (0, 1, 2, 10, 11, 12):
+        assert iso[i].mutual_degree == 2 and not iso[i].is_isolated
+
+
+def test_mutual_knn_arrow_bit_identical(spark):
+    """use_arrow=True must select the SAME edges with the SAME scores
+    as the interpreted expression path — over every fixture pair (the
+    semdedup use_arrow contract, applied to the all-pairs kNN)."""
+    from lichess_db_spark.io import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    fast = mutual_knn_edges(emb, k=4, use_arrow=True).collect()
+    slow = mutual_knn_edges(emb, k=4, use_arrow=False).collect()
+    key = lambda r: (r.query_id, r.neighbor_id)  # noqa: E731
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len({key(r) for r in fast}) == len(fast)
+
+
+def test_knn_isolation_degree_matches_edge_list(spark):
+    from lichess_db_spark.io import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    edges = mutual_knn_edges(emb, k=4).collect()
+    deg: dict[int, int] = {}
+    for r in edges:
+        deg[r.query_id] = deg.get(r.query_id, 0) + 1
+    iso = {r.vec_id: r.mutual_degree for r in knn_isolation(emb, k=4).collect()}
+    assert len(iso) == 50
+    for v, d in iso.items():
+        assert d == deg.get(v, 0)
