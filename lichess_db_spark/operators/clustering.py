@@ -423,3 +423,63 @@ def gramian_exact_arrow(
         .groupBy("i", "j")
         .agg(F.sum("gv").cast("bigint").alias("gv"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    steps: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), the
+    DETERMINISTIC variant: every node starts labeled as itself; each
+    superstep every node simultaneously adopts the most frequent label
+    among its neighbors, ties broken by the smallest label. The
+    paper's asynchronous random-order walk is irreproducible by
+    design; min-tie synchronous LPA is a pure function of the graph
+    (and of ``steps``), which is what an oracle-checked pipeline
+    needs. Complements :func:`~.dedup.connected_components`: CC says
+    WHICH nodes touch, LPA says which nodes cluster densely.
+
+    ``edges`` is an undirected edge list given one row per edge in
+    either orientation; both directions are derived internally.
+    Returns ``(node, label)`` for every node with >= 1 edge after
+    ``steps`` supersteps.
+
+    Scale shape: per superstep, ONE edge-sized equi-join against the
+    (node, label) frontier, one map-side-combinable (node, label)
+    count, one per-node rank window — Pregel as a driver loop with
+    2-column state, no driver-side graph. The symmetrized edge
+    relation is persisted once and reused every superstep. Lineage
+    grows linearly in ``steps``; past ~10 supersteps adopt the CC
+    operator's localCheckpoint cadence (typical LPA converges in a
+    handful of sweeps; community quality, not convergence, is the
+    stopping rule here).
+    """
+    from pyspark.sql import Window
+
+    if steps < 1:
+        raise ValueError(f"need steps >= 1: {steps}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(steps):
+        cnt = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

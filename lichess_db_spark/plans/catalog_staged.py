@@ -42,6 +42,8 @@ STAGED_NEXT: tuple[str, ...] = (
     "dedup_sorted_neighborhood",
     "knn_mutual_pairs",
     "knn_isolation_docs",
+    "label_prop_communities",
+    "events_autocorr_lags",
 )
 
 
@@ -3051,3 +3053,164 @@ def knn_isolation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_isolation
 
     return knn_isolation(_t(spark, sf_dir, "embeddings"), k=4)
+
+
+# --------------------------------------------------------------------------
+# r11 session 2: label-propagation communities, time-series
+# autocorrelation diagnostics
+# --------------------------------------------------------------------------
+
+_LPA_STEPS = 3
+
+
+def _lpa_step_sql(i: int) -> str:
+    return f"""
+    c{i} AS (
+        SELECT s.dst AS node, l.label, COUNT(*) AS c
+        FROM sym s JOIN l{i - 1} l ON l.node = s.src
+        GROUP BY s.dst, l.label
+    ),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "label_prop_communities",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    {",".join(_lpa_step_sql(i) for i in range(1, _LPA_STEPS + 1))}
+    SELECT node AS partkey, CAST(label AS BIGINT) AS community
+    FROM l{_LPA_STEPS}
+    """,
+    "Community detection by synchronous label propagation (Raghavan "
+    "et al. 2007) over the co-purchase graph: every node starts as "
+    "its own label; each superstep every node adopts the MOST "
+    "FREQUENT label among its neighbors, ties broken by smallest "
+    "label — the deterministic synchronous variant (the paper's "
+    "random asynchronous order is irreproducible by design; min-tie "
+    "synchronous LPA is a pure function of the graph), 3 supersteps "
+    "unrolled in both engines so intermediate states match too. "
+    "Completes the graph family: CC (connectivity), PageRank "
+    "(centrality), BFS (distance), triangles (cohesion), LPA "
+    "(community). Scale shape: one edge-sized join + one (node, "
+    "label)-keyed count + one rank window per superstep — Pregel as "
+    "a driver loop, frontier state is 2 columns per node; deep runs "
+    "adopt the CC operator's localCheckpoint cadence (3 stays "
+    "shallow).",
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import label_propagation
+    from .catalog_scale import _copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    labels = label_propagation(_copurchase_edges(li), steps=_LPA_STEPS)
+    return labels.select(
+        F.col("node").alias("partkey"),
+        F.col("label").cast("bigint").alias("community"),
+    )
+
+
+_AC_MAX_LAG = 6
+
+
+@register(
+    "events_autocorr_lags",
+    f"""
+    WITH c AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT l.lag AS lag, a.x AS x, b.x AS y
+        FROM range(1, {_AC_MAX_LAG + 1}) AS l(lag)
+        CROSS JOIN c a
+        JOIN c b ON b.h = a.h + l.lag * 3600
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n AS n_pairs, sx, sy, sxy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS autocorr
+    FROM s
+    """,
+    "Time-series autocorrelation diagnostics: Pearson r of the hourly "
+    "event-count series against itself at lags 1..6 hours — the "
+    "periodicity / burstiness probe that decides windowing and "
+    "watermark budgets for a streaming pipeline. Every moment is an "
+    "EXACT bigint sum over integer counts (n, Sx, Sy, Sxy, Sxx, Syy "
+    "all cross the oracle boundary as integers); r itself is two IEEE "
+    "sqrts and one division over exact integers — bit-identical "
+    "cross-engine, NULL when a lag's series is constant. Scale shape: "
+    "the hourly aggregate map-side combines to calendar-bounded "
+    "cardinality (one row per observed hour); the lag join widens "
+    "that bounded relation {_AC_MAX_LAG}-fold and re-aggregates to "
+    "{_AC_MAX_LAG} rows — the only corpus-sized work is the first "
+    "scan. Missing hours produce no pair (observed-hours semantics; "
+    "the gapfill entry owns the dense-spine variant).",
+)
+def events_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h")
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    left = c.select(
+        "h",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(_AC_MAX_LAG))).alias("lag"),
+    ).withColumn("h2", F.col("h") + F.col("lag") * 3600)
+    right = c.select(F.col("h").alias("h2"), F.col("x").alias("y"))
+    s = (
+        left.join(right, "h2")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        "sx",
+        "sy",
+        "sxy",
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+        ).alias("autocorr"),
+    )

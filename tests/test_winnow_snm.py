@@ -268,3 +268,90 @@ def test_knn_isolation_degree_matches_edge_list(spark):
     assert len(iso) == 50
     for v, d in iso.items():
         assert d == deg.get(v, 0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    min-tie sweeps every clique member carries its clique's minimum
+    label (the bridge is outvoted by within-clique neighbors)."""
+    from lichess_db_spark.operators.clustering import label_propagation
+
+    clique_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(10 + a, 10 + b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 10)], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(edges, steps=3).collect()}
+    assert {got[n] for n in (0, 1, 2, 3)} == {0}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_star_min_tie(spark):
+    """A star: leaves see only the hub; the hub sees every leaf once,
+    all tied at count 1 -> min-tie picks the smallest leaf label.
+    Step-2 state is then a pure function of that choice — pinned
+    against the hand-computed synchronous trace."""
+    from lichess_db_spark.operators.clustering import label_propagation
+
+    edges = spark.createDataFrame(
+        [(100, leaf) for leaf in (5, 7, 9)], "src long, dst long"
+    )
+    one = {r.node: r.label for r in label_propagation(edges, steps=1).collect()}
+    assert one == {5: 100, 7: 100, 9: 100, 100: 5}
+    two = {r.node: r.label for r in label_propagation(edges, steps=2).collect()}
+    # leaves adopt the hub's step-1 label (5); hub sees three '100's
+    assert two == {5: 5, 7: 5, 9: 5, 100: 100}
+
+
+def test_label_propagation_validates():
+    from lichess_db_spark.operators.clustering import label_propagation
+
+    with pytest.raises(ValueError):
+        label_propagation(None, steps=0)
+
+
+def test_autocorr_perfect_periodicity(spark):
+    """A strictly 2-hour-periodic hourly count series: autocorr at the
+    even lags is exactly +1.0 and at odd lags exactly -1.0 (IEEE
+    arithmetic over exact integer moments can represent both)."""
+    import datetime as dt
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        # alternate 2 events / 4 events per hour
+        for _ in range(2 if h % 2 == 0 else 4):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=7)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        got = {
+            r.lag: r
+            for r in QUERIES["events_autocorr_lags"].build(spark, td).collect()
+        }
+    for lag in (2, 4, 6):
+        assert got[lag].autocorr == 1.0, got[lag]
+    for lag in (1, 3, 5):
+        assert got[lag].autocorr == -1.0, got[lag]
+    assert got[1].n_pairs == 47
+
+
+def test_autocorr_constant_series_is_null(spark):
+    import datetime as dt
+    import tempfile
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(h, base + dt.timedelta(hours=h)) for h in range(24)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        out = QUERIES["events_autocorr_lags"].build(spark, td).collect()
+    assert out and all(r.autocorr is None for r in out)

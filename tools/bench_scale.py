@@ -251,6 +251,25 @@ def main() -> None:
             # the catalog shape minus the slot persist (harness clears
             # caches per sample).
             "source_unigram_tv": lambda d, f: _tv_cell(d),
+            # winnowing (r11 s2): map-only selection in codegen array
+            # expressions (one md5 per gram, window mins over the
+            # pre-projected key array) + one explode of the ~0.4x
+            # selected fraction — expect alpha ~1 with a flat constant
+            "winnow_fingerprints": lambda d, f: dd.winnow_fingerprints(
+                d, k=8, w=4
+            ),
+            # MOSS pairing (r11 s2): posting shuffle + count-first cap
+            # + cap-bounded fp self-join; token salt keeps the
+            # cross-replica fp space disjoint so pairs grow linearly
+            "winnow_match_pairs": lambda d, f: dd.winnow_match_pairs(
+                d, k=16, w=4, min_shared=8, max_docs_per_fp=16
+            ),
+            # sorted-neighborhood (r11 s2): distributed rank (range
+            # exchange) + w-fold equi-join on rank+delta — n log n
+            # sort cost, linear pair verify
+            "dedup_sorted_neighborhood": lambda d, f: dd.sorted_neighborhood_pairs(
+                d, window=4, key_chars=24
+            ),
         }
 
         def _tv_cell(d):
@@ -708,7 +727,47 @@ def main() -> None:
             "embedding_top_pc_arrow": lambda d, f: _top_pc_cell(
                 d, use_arrow=True
             ),
+            # mutual-kNN quadratic baseline (r11 s2): the documented
+            # O(n^2) brute-force build — run at LOW factors only
+            # (--factors 1,2,4) to pin alpha ~2 honestly; the linear
+            # scale path swaps in the IVF/LSH edge tiers
+            "mutual_knn_bruteforce": lambda d, f: _mutual_edges(d),
+            # the mutual STEP alone (r11 s2): synthetic n*k edge list
+            # (xor partner -> mutual, ring -> asymmetric) through the
+            # reversed-key self-join — the design claim is that
+            # mutuality is LINEAR in edges regardless of the kNN tier
+            "mutual_knn_step": lambda d, f: _mutual_step(d),
         }
+
+        def _mutual_edges(d):
+            from lichess_db_spark.operators.similarity import mutual_knn_edges
+
+            return mutual_knn_edges(d, k=4, use_arrow=True)
+
+        def _mutual_step(d):
+            ids = d.select(F.col("vec_id").alias("query_id"))
+            e = ids.select(
+                "query_id",
+                F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+            ).select(
+                "query_id",
+                F.when(
+                    F.col("j") == 1,
+                    F.col("query_id").bitwiseXOR(F.lit(1)),
+                )
+                .otherwise(F.col("query_id") + F.col("j"))
+                .alias("neighbor_id"),
+                F.lit(0.5).alias("score"),
+                F.col("j").cast("int").alias("rank"),
+            ).localCheckpoint(eager=True)
+            back = e.select(
+                F.col("neighbor_id").alias("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+                F.col("rank").alias("rank_back"),
+            )
+            return e.join(back, ["query_id", "neighbor_id"]).select(
+                "query_id", "neighbor_id", "score", "rank", "rank_back"
+            )
 
         def _top_pc_cell(emb, use_arrow):
             from lichess_db_spark.operators.clustering import gramian_exact_arrow
