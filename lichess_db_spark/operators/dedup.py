@@ -2393,6 +2393,33 @@ def winnow_fingerprints(
     selection semantics, the same documented trade as
     cdc_chunk_report).
     """
+    withk, sel = _winnow_selected_keys(docs, k, w, id_col, text_col)
+    return withk.select("__id", F.explode(sel).alias("__key")).select(
+        F.col("__id").alias(id_col),
+        F.shiftright("__key", 12).alias("fp"),
+        (F.lit(4096) - (F.col("__key") % 4096)).alias("pos"),
+    )
+
+
+def _winnow_selected_keys(docs: DataFrame, k: int, w: int, id_col: str, text_col: str):
+    """Shared winnowing selection: returns ``(withk, sel)`` — the
+    filtered/projected frame carrying the per-doc gram-key array, and
+    the selection as a column EXPRESSION over it. The gram-hash array
+    is pre-projected into its own column so md5 runs once per gram,
+    not once per covering window (CollapseProject materialization
+    rule, same as text_repetition_stats). The selection is handed
+    back as an expression, NOT pre-projected into a named column,
+    deliberately: callers explode it, and Catalyst's
+    InferFiltersFromGenerate only infers ``size(e) > 0 AND
+    isnotnull(e)`` when the generator input is an ATTRIBUTE — a named
+    __sel column made the rule push that predicate below the
+    round-robin exchange, where the re-inlined selection loses the
+    keys pre-projection and rebuilds the whole gram array per window:
+    O(grams x windows) md5s per doc, measured 30x on the density
+    entry, plus slice(keys, 0, w) crashes on the sub-window docs the
+    real filter would have dropped. The when() guard makes the
+    expression total regardless of where an optimizer rule evaluates
+    it."""
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1: {k}, {w}")
     n_k = F.length(text_col) - (k - 1)
@@ -2405,24 +2432,22 @@ def winnow_fingerprints(
         * 4096
         + (F.lit(4096) - i),
     )
-    # own Project => the hash array materializes once per row
     withk = spread(
         d.select(
             F.col(id_col).alias("__id"),
             keys.alias("__keys"),
         )
     )
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__keys") - (w - 1)),
-            lambda j: F.array_min(F.slice("__keys", j, w)),
-        )
-    )
-    return withk.select("__id", F.explode(sel).alias("__key")).select(
-        F.col("__id").alias(id_col),
-        F.shiftright("__key", 12).alias("fp"),
-        (F.lit(4096) - (F.col("__key") % 4096)).alias("pos"),
-    )
+    sel = F.when(
+        F.size("__keys") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__keys") - (w - 1)),
+                lambda j: F.array_min(F.slice("__keys", j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return withk, sel
 
 
 def winnow_match_pairs(
@@ -2459,11 +2484,14 @@ def winnow_match_pairs(
         raise ValueError(
             f"need min_shared >= 1, max_docs_per_fp >= 2: {min_shared}, {max_docs_per_fp}"
         )
-    posts = (
-        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select(F.col(id_col).alias("__id"), "fp")
-        .distinct()
-    )
+    # per-doc DISTINCT fp hashes computed INSIDE the selection array —
+    # a map-side array_distinct instead of a corpus-sized (doc, fp)
+    # shuffle (the exploded-then-.distinct() shape cost a full extra
+    # exchange of the posting relation; removing it cut the 64x scale
+    # cell's tail, BENCH_SCALE_R11_WINNOW.json)
+    withk, sel = _winnow_selected_keys(docs, k, w, id_col, text_col)
+    fps = F.array_distinct(F.transform(sel, lambda key: F.shiftright(key, 12)))
+    posts = withk.select("__id", F.explode(fps).alias("fp"))
     cnt = Window.partitionBy("fp")
     ok = (
         posts.withColumn("__n", F.count("*").over(cnt))
