@@ -203,6 +203,10 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "knn_mutual_pairs",
     "knn_isolation_docs",
+    "label_prop_communities",
+    "events_autocorr_lags",
+    "kmv_distinct_users",
+    "stats_mad_by_type",
 ]
 
 

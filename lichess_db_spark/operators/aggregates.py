@@ -193,3 +193,71 @@ def profile_table(df: DataFrame) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+def kmv_sketch(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> "DataFrame":
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    Theta-sketch family's simplest member) per group: the ``k``
+    smallest md5-derived 32-bit hashes of the group's distinct value
+    set, summarized as ``(group, n_hashes, kth_hash, kmv_estimate)``
+    with estimate (k-1) * 2^32 / h_(k) — exact (= n_hashes) when the
+    group holds fewer than k distinct hashes.
+
+    Why this sketch when HLL exists: Spark's approx_count_distinct
+    uses engine-internal hashing, so its estimates can never be
+    oracle-compared across engines (the repo's HLL rows are rows-only
+    by design). KMV over md5 is a DETERMINISTIC pure function of the
+    value set — portable, hash-checkable, and self-evaluating when
+    the exact count rides along. Standard error ~1/sqrt(k-2) (~13%
+    at k=64).
+
+    Mergeability (what makes it MV-grade at 100 TB): the min-k of a
+    union is the min-k of the concatenated per-partition min-k's —
+    so partial sketches combine associatively; property-tested in
+    tests/test_winnow_snm.py. Plan shape: one distinct-hash
+    aggregation, then a per-group rank window that Spark 4 runs
+    through WindowGroupLimit (partial top-k BEFORE the exchange), so
+    only k rows per group cross the wire after the map-side prune.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"need k >= 2: {k}")
+    h = (
+        df.select(
+            F.col(group_col),
+            F.conv(
+                F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("hv")
+    r = h.select(
+        group_col,
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("nh"),
+    ).where(F.col("rn") <= k)
+    sk = r.groupBy(group_col).agg(
+        F.max("nh").cast("bigint").alias("n_hashes"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).cast("bigint").alias("kth_hash"),
+    )
+    return sk.select(
+        group_col,
+        "n_hashes",
+        "kth_hash",
+        F.when(
+            F.col("n_hashes") >= k,
+            F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("kth_hash"),
+        )
+        .otherwise(F.col("n_hashes").cast("double"))
+        .alias("kmv_estimate"),
+    )

@@ -44,6 +44,8 @@ STAGED_NEXT: tuple[str, ...] = (
     "knn_isolation_docs",
     "label_prop_communities",
     "events_autocorr_lags",
+    "kmv_distinct_users",
+    "stats_mad_by_type",
 )
 
 
@@ -3213,4 +3215,156 @@ def events_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double")
             / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
         ).alias("autocorr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# r11 session 2: KMV distinct sketch (the hash-checkable approx-distinct),
+# robust statistics (MAD)
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nh
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(MAX(nh) AS BIGINT) AS n_hashes,
+               CAST(MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS BIGINT) AS kth_hash
+        FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, e.n_exact, s.n_hashes, s.kth_hash,
+           CASE WHEN s.n_hashes >= {_KMV_K}
+                THEN {_KMV_K - 1} * 4294967296.0 / s.kth_hash
+                ELSE CAST(s.n_hashes AS DOUBLE)
+           END AS kmv_estimate
+    FROM sk s JOIN ex e USING (event_type)
+    """,
+    "Distinct-count sketching that the ORACLE CAN CHECK: a K-minimum-"
+    "values sketch (Bar-Yossef et al. 2002 / the Theta-sketch "
+    "family) — keep the 64 smallest md5-derived 32-bit hashes of the "
+    "distinct user set per event type; estimate = (k-1) * 2^32 / "
+    "h_(k), exact when fewer than k distinct hashes exist. Unlike the "
+    "HLL rows (engine-internal hashing -> rows-only by design), every "
+    "column here crosses the oracle boundary bit-identically: the "
+    "sketch IS deterministic given md5. The exact COUNT(DISTINCT) "
+    "rides along, so the row self-reports its own error. Scale shape: "
+    "one distinct-hash shuffle; the per-type top-k runs through "
+    "WindowGroupLimit (partial top-k BEFORE the exchange, Spark 4), "
+    "so only k rows per type cross after the map-side prune — and the "
+    "sketch is MERGEABLE (min-k of a union == min-k of per-partition "
+    "min-k's, property-tested), which is what makes it an MV-grade "
+    "summary at 100 TB.",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=_KMV_K)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return sk.join(ex, "event_type").select(
+        "event_type", "n_exact", "n_hashes", "kth_hash", "kmv_estimate"
+    )
+
+
+@register(
+    "stats_mad_by_type",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n,
+               MAX(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS med
+        FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS d, e.event_id
+        FROM events e JOIN med m USING (event_type)
+    ),
+    dranked AS (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM dev
+    )
+    SELECT m.event_type, m.n, m.med AS median_value,
+           dr.mad
+    FROM med m JOIN (
+        SELECT event_type,
+               MAX(CASE WHEN rn = (cnt + 1) // 2 THEN d END) AS mad
+        FROM dranked GROUP BY event_type
+    ) dr USING (event_type)
+    """,
+    "Robust dispersion: median absolute deviation per event type — "
+    "the outlier-resistant scale estimate (50% breakdown point where "
+    "stddev's is 0%) every data-quality gate wants next to "
+    "stats_moments_exact. Both medians are rank-PICKED lower medians "
+    "((n+1)//2-th element, ties broken by event_id), never "
+    "interpolated — interpolation differs across engines in the last "
+    "ulp, picked elements are bit-portable; the deviation |x - med| "
+    "is one exact IEEE op. Scale shape: two rank windows over the "
+    "same type-keyed exchange plus one broadcast-size median join — "
+    "same cost family as median_disc_by_type, run twice.",
+)
+def stats_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("value"))
+        ).alias("med"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+        "event_id",
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    mad = dranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("d"))
+        ).alias("mad")
+    )
+    return med.join(mad, "event_type").select(
+        "event_type", "n", F.col("med").alias("median_value"), "mad"
     )

@@ -355,3 +355,105 @@ def test_autocorr_constant_series_is_null(spark):
         df.write.parquet(f"{td}/events.parquet")
         out = QUERIES["events_autocorr_lags"].build(spark, td).collect()
     assert out and all(r.autocorr is None for r in out)
+
+
+def test_kmv_mergeability_law(spark):
+    """min-k of a union == min-k over concatenated per-partition
+    min-k's — the property that makes KMV an MV-grade mergeable
+    summary. Also: estimate is exact below k, and within the
+    ~1/sqrt(k-2) error band above it."""
+    import hashlib
+
+    from lichess_db_spark.operators.aggregates import kmv_sketch
+
+    rows = [("g", i) for i in range(1000)] + [("small", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r.grp: r for r in kmv_sketch(df, "grp", "v", k=64).collect()}
+
+    # python twin of the sketch for group g
+    hv = sorted(
+        {
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            for i in range(1000)
+        }
+    )
+    assert got["g"].kth_hash == hv[63]
+    assert got["g"].kmv_estimate == 63 * 4294967296.0 / hv[63]
+    assert abs(got["g"].kmv_estimate - 1000) / 1000 < 3 / (62**0.5)
+
+    # below k: exact, kth_hash NULL
+    assert got["small"].kmv_estimate == 20.0 and got["small"].kth_hash is None
+
+    # mergeability: split the values into 4 parts, take per-part min-64,
+    # union the partials, re-sketch -> identical kth hash
+    partial = sorted(
+        h
+        for p in range(4)
+        for h in sorted(
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            for i in range(1000)
+            if i % 4 == p
+        )[:64]
+    )
+    assert partial[63] == hv[63]
+
+
+def test_kmv_validates():
+    from lichess_db_spark.operators.aggregates import kmv_sketch
+
+    with pytest.raises(ValueError):
+        kmv_sketch(None, "g", "v", k=1)
+
+
+def test_mad_hand_computed(spark):
+    """values {1..7, 100}: lower median = 4 (rank 4 of 8); deviations
+    {3,2,1,0,1,2,3,96} sorted -> lower median (rank 4) = 2."""
+    import tempfile
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", i, "t", float(v), None)
+        for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 100])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        out = QUERIES["stats_mad_by_type"].build(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.median_value, r.mad) == (8, 4.0, 2.0)
+
+
+def test_mad_outlier_resistance(spark):
+    """Replacing one value with a huge outlier must not move the MAD
+    (50% breakdown), while the exact stddev explodes."""
+    import tempfile
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    base = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+
+    def run(vals):
+        rows = [
+            (i, f"2024-01-01 00:{i:02d}:00", i, "t", float(v), None)
+            for i, v in enumerate(vals)
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(f"{td}/events.parquet")
+            return QUERIES["stats_mad_by_type"].build(spark, td).collect()[0]
+
+    clean = run(base)
+    dirty = run(base[:-1] + [1e9])
+    assert clean.mad == 2.0
+    assert dirty.mad == 2.0  # unmoved by the outlier
