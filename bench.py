@@ -207,6 +207,7 @@ HEADLINE = [
     "events_autocorr_lags",
     "kmv_distinct_users",
     "stats_mad_by_type",
+    "blocking_recall_eval",
 ]
 
 

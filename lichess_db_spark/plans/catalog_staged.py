@@ -47,6 +47,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "kmv_distinct_users",
     "stats_mad_by_type",
     "blocking_recall_eval",
+    "bloom_prefilter_join",
 )
 
 
@@ -3539,4 +3540,101 @@ def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hit").cast("bigint").alias("n_captured"),
             (F.sum("hit").cast("double") / F.count("*")).alias("capture_rate"),
         )
+    )
+
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+_BLOOM_PRICE = 450000.0
+
+
+@register(
+    "bloom_prefilter_join",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_totalprice > {_BLOOM_PRICE}
+    ),
+    kprobes AS (
+        SELECT o_custkey,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '-'
+                    || CAST(t.t AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {_BLOOM_BITS} AS idx
+        FROM keys, range(0, {_BLOOM_K}) AS t(t)
+    ),
+    filt AS (
+        SELECT idx // 32 AS word,
+               BIT_OR(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS bits
+        FROM kprobes GROUP BY idx // 32
+    ),
+    eprobes AS (
+        SELECT e.event_id, e.user_id, t.t AS probe,
+               CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || '-'
+                    || CAST(t.t AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {_BLOOM_BITS} AS idx
+        FROM events e, range(0, {_BLOOM_K}) AS t(t)
+    ),
+    hits AS (
+        SELECT p.event_id, p.user_id,
+               COUNT(*) FILTER (WHERE f.bits IS NOT NULL
+                   AND (f.bits & (CAST(1 AS BIGINT) << CAST(p.idx % 32 AS INT)))
+                       <> 0) AS n_set
+        FROM eprobes p LEFT JOIN filt f ON f.word = p.idx // 32
+        GROUP BY p.event_id, p.user_id
+    ),
+    lab AS (
+        SELECT h.event_id,
+               h.n_set = {_BLOOM_K} AS bloom_pass,
+               k.o_custkey IS NOT NULL AS is_member
+        FROM hits h LEFT JOIN keys k ON k.o_custkey = h.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_members,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_negatives,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+               AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 0)
+               AS false_positive_rate
+    FROM lab
+    """,
+    "Bloom-filter join pruning with EXACT accounting — the classic "
+    "big-join reduction (runtime row-level filtering; what Spark's "
+    "InjectRuntimeFilter does engine-internally, rebuilt here "
+    "PORTABLY so the oracle can hash it): a 4096-bit / 3-probe bloom "
+    "over the high-value-order customer set, encoded as 128 bigint "
+    "words of 32 bits each (bit 63 shifts OVERFLOW DuckDB's << where "
+    "Spark wraps — 32-bit words keep both engines defined) via "
+    "BIT_OR of md5-derived probe bits; every event tests "
+    "all 3 probes against the broadcast word table. The row reports "
+    "the exact confusion counts — false negatives PROVABLY zero "
+    "(property of the construction, also a test), measured FPR vs "
+    "the ~(1-e^(-kn/m))^k theory bound. Scale shape: the filter "
+    "build is one groupBy of |S|*k probe rows into 128 words; the "
+    "probe side touches the big table map-only against a broadcast "
+    "128-row relation — the semi-join's shuffle of the BIG side is "
+    "what the bloom removes at 100 TB.",
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import bloom_words, bloom_confusion
+
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    keys = (
+        o.where(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    filt = bloom_words(keys, "key", m_bits=_BLOOM_BITS, k=_BLOOM_K)
+    return bloom_confusion(
+        ev.select("event_id", F.col("user_id").alias("key")),
+        keys,
+        filt,
+        m_bits=_BLOOM_BITS,
+        k=_BLOOM_K,
     )

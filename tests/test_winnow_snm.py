@@ -457,3 +457,43 @@ def test_mad_outlier_resistance(spark):
     dirty = run(base[:-1] + [1e9])
     assert clean.mad == 2.0
     assert dirty.mad == 2.0  # unmoved by the outlier
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Every true member passes (construction guarantee); FPR on
+    non-members sits under ~3x the (1-e^(-kn/m))^k theory bound."""
+    import math
+
+    from lichess_db_spark.operators.skew import bloom_confusion, bloom_words
+
+    keys = spark.createDataFrame([(i,) for i in range(200)], "key long")
+    rows = spark.createDataFrame(
+        [(i, i % 500) for i in range(2000)], "event_id long, key long"
+    )
+    filt = bloom_words(keys, m_bits=1024, k=3)
+    out = bloom_confusion(rows, keys, filt, m_bits=1024, k=3).collect()[0]
+    assert out.n_false_negatives == 0
+    assert out.n_true_members == 2000 * 200 // 500
+    fill = 1 - math.exp(-3 * 200 / 1024)
+    assert out.false_positive_rate <= 3 * fill**3 + 0.02
+
+
+def test_bloom_saturated_filter_passes_everything(spark):
+    from lichess_db_spark.operators.skew import bloom_confusion, bloom_words
+
+    keys = spark.createDataFrame([(i,) for i in range(5000)], "key long")
+    rows = spark.createDataFrame(
+        [(i, 100000 + i) for i in range(200)], "event_id long, key long"
+    )
+    filt = bloom_words(keys, m_bits=64, k=3)  # 2 words, fully saturated
+    out = bloom_confusion(rows, keys, filt, m_bits=64, k=3).collect()[0]
+    assert out.n_bloom_pass == 200 and out.false_positive_rate == 1.0
+
+
+def test_bloom_validates():
+    from lichess_db_spark.operators.skew import bloom_words
+
+    with pytest.raises(ValueError):
+        bloom_words(None, m_bits=100, k=3)  # not divisible by 32
+    with pytest.raises(ValueError):
+        bloom_words(None, m_bits=1024, k=0)
