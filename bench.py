@@ -208,6 +208,8 @@ HEADLINE = [
     "kmv_distinct_users",
     "stats_mad_by_type",
     "blocking_recall_eval",
+    "bloom_prefilter_join",
+    "als_user_factors",
 ]
 
 

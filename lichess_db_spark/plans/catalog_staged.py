@@ -48,6 +48,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "stats_mad_by_type",
     "blocking_recall_eval",
     "bloom_prefilter_join",
+    "als_user_factors",
 )
 
 
@@ -3637,4 +3638,108 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         filt,
         m_bits=_BLOOM_BITS,
         k=_BLOOM_K,
+    )
+
+
+@register(
+    "als_user_factors",
+    """
+    WITH r AS (
+        SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    ),
+    v AS (
+        SELECT r.*,
+               CAST(('0x' || substr(md5(CAST(partkey AS VARCHAR) || '-f1'), 1, 8))
+                    AS BIGINT) % 19 - 9 AS v1,
+               CAST(('0x' || substr(md5(CAST(partkey AS VARCHAR) || '-f2'), 1, 8))
+                    AS BIGINT) % 19 - 9 AS v2
+        FROM r
+    ),
+    nrm AS (
+        SELECT custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(v1 * v1) AS BIGINT) + 1 AS a11,
+               CAST(SUM(v1 * v2) AS BIGINT) AS a12,
+               CAST(SUM(v2 * v2) AS BIGINT) + 1 AS a22,
+               CAST(SUM(qty * v1) AS BIGINT) AS b1,
+               CAST(SUM(qty * v2) AS BIGINT) AS b2
+        FROM v GROUP BY custkey
+    )
+    SELECT custkey, n_items,
+           CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det,
+           CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+               / (a11 * a22 - a12 * a12) AS x1,
+           CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+               / (a11 * a22 - a12 * a12) AS x2
+    FROM nrm
+    """,
+    "One exact half-step of alternating least squares — the implicit-"
+    "feedback recommender bootstrap (Hu/Koren/Volinsky 2008 shape, "
+    "lambda = 1): item factors are DETERMINISTIC 2-dim integer "
+    "vectors derived from md5(partkey) (the fixed side of the "
+    "alternation), each customer's factor solves the ridge normal "
+    "equations (V_u' V_u + I) x = V_u' r_u in closed form via 2x2 "
+    "CRAMER — every determinant and cofactor is an exact bigint over "
+    "the user's rated items, so the whole solve crosses the oracle "
+    "boundary as integers plus exactly TWO IEEE divisions per user. "
+    "Completes the ML family line-up (k-means, logreg, power "
+    "iteration, TracIn, now factorization) with the same exact-"
+    "arithmetic discipline. Scale shape: one fact-fact join + one "
+    "(user, item)-keyed aggregate + one user-keyed map-side-"
+    "combinable fold into 5 integers per user; factors are DERIVED, "
+    "never stored or broadcast — at 100 TB the alternation's other "
+    "half is the same plan with the roles swapped.",
+)
+def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+
+    def _f(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("partkey").cast("string"), F.lit(tag))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 19
+            - 9
+        )
+
+    v = r.select("custkey", "qty", _f("-f1").alias("v1"), _f("-f2").alias("v2"))
+    nrm = v.groupBy("custkey").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (F.sum(F.col("v1") * F.col("v1")).cast("bigint") + 1).alias("a11"),
+        F.sum(F.col("v1") * F.col("v2")).cast("bigint").alias("a12"),
+        (F.sum(F.col("v2") * F.col("v2")).cast("bigint") + 1).alias("a22"),
+        F.sum(F.col("qty") * F.col("v1")).cast("bigint").alias("b1"),
+        F.sum(F.col("qty") * F.col("v2")).cast("bigint").alias("b2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return nrm.select(
+        "custkey",
+        "n_items",
+        det.cast("bigint").alias("det"),
+        (
+            (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")).cast("double")
+            / det
+        ).alias("x1"),
+        (
+            (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")).cast("double")
+            / det
+        ).alias("x2"),
     )

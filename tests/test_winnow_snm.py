@@ -497,3 +497,47 @@ def test_bloom_validates():
         bloom_words(None, m_bits=100, k=3)  # not divisible by 32
     with pytest.raises(ValueError):
         bloom_words(None, m_bits=1024, k=0)
+
+
+def test_als_factors_solve_ridge_exactly(spark):
+    """The Cramer solve must equal numpy's ridge solution, and any
+    perturbation of x must increase the regularized loss (optimality
+    of the normal-equations solution)."""
+    import tempfile
+
+    import numpy as np
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    li = [(1, p, float(q)) for p, q in [(10, 3), (11, 7), (12, 2)]]
+    orders = [(1, 42)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            li, "l_orderkey long, l_partkey long, l_quantity double"
+        ).write.parquet(f"{td}/lineitem.parquet")
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long"
+        ).write.parquet(f"{td}/orders.parquet")
+        out = QUERIES["als_user_factors"].build(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    import hashlib
+
+    def f(pk, tag):
+        return int(hashlib.md5(f"{pk}{tag}".encode()).hexdigest()[:8], 16) % 19 - 9
+
+    V = np.array([[f(p, "-f1"), f(p, "-f2")] for p in (10, 11, 12)], dtype=float)
+    rv = np.array([3.0, 7.0, 2.0])
+    A = V.T @ V + np.eye(2)
+    b = V.T @ rv
+    x = np.linalg.solve(A, b)
+    assert abs(r.x1 - x[0]) < 1e-9 and abs(r.x2 - x[1]) < 1e-9
+    assert r.det == round(np.linalg.det(A))
+
+    def loss(xv):
+        return ((V @ xv - rv) ** 2).sum() + (xv**2).sum()
+
+    base = loss(np.array([r.x1, r.x2]))
+    for d in ([0.01, 0], [-0.01, 0], [0, 0.01], [0, -0.01]):
+        assert loss(np.array([r.x1, r.x2]) + np.array(d)) > base
