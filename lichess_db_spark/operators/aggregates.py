@@ -228,8 +228,13 @@ def kmv_sketch(
 
     if k < 2:
         raise ValueError(f"need k >= 2: {k}")
+    # NULL values are excluded EXPLICITLY: md5(NULL) is NULL, and a
+    # NULL hv would rank NULLS-FIRST in Spark but NULLS-LAST in DuckDB
+    # — the kth hash would silently diverge on any corpus with NULL
+    # keys (latent on the committed fixtures, which have none)
     h = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col),
             F.conv(
                 F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10

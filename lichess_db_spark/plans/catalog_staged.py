@@ -3236,7 +3236,7 @@ _KMV_K = 64
         SELECT DISTINCT event_type,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
                     AS BIGINT) AS hv
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     r AS (
         SELECT event_type, hv,

@@ -541,3 +541,16 @@ def test_als_factors_solve_ridge_exactly(spark):
     base = loss(np.array([r.x1, r.x2]))
     for d in ([0.01, 0], [-0.01, 0], [0, 0.01], [0, -0.01]):
         assert loss(np.array([r.x1, r.x2]) + np.array(d)) > base
+
+
+def test_kmv_null_values_excluded(spark):
+    """NULL values must be excluded BEFORE ranking: a NULL md5 hash
+    would rank NULLS-FIRST in Spark but NULLS-LAST in DuckDB, silently
+    diverging the kth hash on any corpus with NULL keys."""
+    from lichess_db_spark.operators.aggregates import kmv_sketch
+
+    rows = [("g", i if i % 3 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = kmv_sketch(df, "grp", "v", k=64).collect()[0]
+    # 20 non-null distinct values, all below k -> exact
+    assert out.n_hashes == 20 and out.kmv_estimate == 20.0
