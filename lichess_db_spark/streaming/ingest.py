@@ -1609,3 +1609,112 @@ def _duration_ms(s: str) -> int:
         "day": 86_400_000, "days": 86_400_000,
     }[unit]
     return int(n) * mult
+
+
+def stream_kmv_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    available_now: bool = True,
+):
+    """Streaming K-minimum-values sketch maintenance: keep a per-group
+    distinct-count sketch fresh as batches arrive — the continuous
+    twin of ``operators.aggregates.kmv_sketch`` (the catalog's
+    hash-checkable approximate-distinct, ``kmv_distinct_users``).
+
+    Per micro-batch: the batch's distinct md5 hashes per group union
+    the previous committed posting state, and the per-group min-``k``
+    survive — correct BECAUSE the sketch is mergeable (min-k of a
+    union == min-k over concatenated partial min-k's, the law
+    property-tested on the batch operator) and IDEMPOTENT under
+    replay (re-merging a batch's hashes is a set-union no-op, so a
+    crashed batch's re-run converges to the same state). State is at
+    most ``k`` rows per group — per-batch cost scales with the delta
+    plus ``k * |groups|``, never the history. Versioned state with
+    the same crash contract as :func:`stream_agg_maintenance`
+    (highest _SUCCESS-committed version strictly below the running
+    batch id; older versions pruned).
+    """
+    from pyspark.sql import Window
+
+    def _batch_hashes(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .select(
+                F.col(group_col).alias("__grp"),
+                F.conv(
+                    F.substring(F.md5(F.col(value_col).cast("string")), 1, 8),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("hv"),
+            )
+            .distinct()
+        )
+
+    w = Window.partitionBy("__grp").orderBy("hv")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        partial = _batch_hashes(batch_df)
+        prev, fs, path_cls = _latest_state_version(spark, state_dir, batch_id)
+        if prev is not None:
+            st = spark.read.parquet(f"{state_dir}/v{prev}")
+            partial = st.unionByName(partial).distinct()
+        merged = (
+            partial.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        if prev is not None:
+            for status in fs.listStatus(path_cls(state_dir)):
+                name = status.getPath().getName()
+                if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < prev:
+                    fs.delete(status.getPath(), True)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_from_state(spark: SparkSession, state_dir: str, k: int = 64) -> DataFrame:
+    """Serve the streaming KMV state as sketch rows
+    ``(group, n_postings, kth_hash, kmv_estimate)`` — the same
+    estimate the batch operator reports (a group holding fewer than
+    ``k`` postings is exact by construction; at ``k`` the estimate is
+    (k-1) * 2^32 / h_(k))."""
+    from pyspark.sql import Window
+
+    st = latest_agg_state(spark, state_dir)
+    w = Window.partitionBy("__grp").orderBy("hv")
+    r = st.select(
+        "__grp",
+        "hv",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy("__grp")).alias("__n"),
+    )
+    sk = r.groupBy("__grp").agg(
+        F.max("__n").cast("bigint").alias("n_postings"),
+        F.max(F.when(F.col("__rn") == k, F.col("hv")))
+        .cast("bigint")
+        .alias("kth_hash"),
+    )
+    return sk.select(
+        F.col("__grp").alias("group"),
+        "n_postings",
+        "kth_hash",
+        F.when(
+            F.col("n_postings") >= k,
+            F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("kth_hash"),
+        )
+        .otherwise(F.col("n_postings").cast("double"))
+        .alias("kmv_estimate"),
+    )

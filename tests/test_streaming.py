@@ -1724,3 +1724,68 @@ def test_stream_images_phash_index_cross_batch_reentry(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(out / "_phash_sigs")).collect()
     }
     assert sig_ids == {1, 2, 12}
+
+
+def test_stream_kmv_matches_batch_sketch(spark, tmp_path):
+    """Two arrival runs maintain the per-type KMV posting state; the
+    served sketch's estimates equal the one-shot batch kmv_sketch over
+    everything (the mergeability law, end to end through the
+    streaming state), and the first run's state really was partial."""
+    from lichess_db_spark.operators.aggregates import kmv_sketch
+    from lichess_db_spark.streaming.ingest import (
+        kmv_from_state,
+        stream_kmv_maintenance,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = stream_kmv_maintenance(
+            spark, stream, state, ckpt, "event_type", "user_id", k=16
+        )
+        q.awaitTermination(120)
+
+    # split by USER so the second run genuinely introduces new
+    # distinct values (event-id splits cover every user in both halves
+    # on this fixture, making the partiality probe vacuous)
+    first = ev.where(F.col("user_id") % 2 == 0)
+    second = ev.where(F.col("user_id") % 2 == 1)
+    first.write.mode("append").parquet(src)
+    run_once()
+    mid = {
+        r["group"]: r["n_postings"]
+        for r in kmv_from_state(spark, state, k=16).collect()
+    }
+    second.write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        r["group"]: (r["kth_hash"], r["kmv_estimate"])
+        for r in kmv_from_state(spark, state, k=16).collect()
+    }
+    want = {
+        r["event_type"]: (r["kth_hash"], r["kmv_estimate"])
+        for r in kmv_sketch(ev, "event_type", "user_id", k=16).collect()
+    }
+    assert got == want
+    # the merge across runs grew at least one group's posting set
+    fin = {
+        r["group"]: r["n_postings"]
+        for r in kmv_from_state(spark, state, k=16).collect()
+    }
+    assert any(mid[g] < fin[g] for g in fin if g in mid)
+
+    # idempotent replay: a third run with NO new files must leave the
+    # served sketch identical
+    run_once()
+    again = {
+        r["group"]: (r["kth_hash"], r["kmv_estimate"])
+        for r in kmv_from_state(spark, state, k=16).collect()
+    }
+    assert again == got

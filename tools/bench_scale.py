@@ -156,6 +156,28 @@ def scaled_tpch(spark, base_dir: str, factor: int, path_dir: str):
         for p in parts[1:]:
             out = out.unionAll(p)
         out.write.mode("overwrite").parquet(f"{path_dir}/{fact}.parquet")
+    # events grow along BOTH natural axes: each replica is a disjoint
+    # slice of extra history (event ids offset, timestamps shifted by
+    # 400 days per replica -> the hourly series gets N-fold longer)
+    # from a disjoint user population (user ids offset) — so calendar-
+    # bounded aggregates (autocorr) and distinct-cardinality sketches
+    # (KMV) scale along the axes they claim to be bounded by
+    ev = load_table(spark, base_dir, "events")
+    eparts = [
+        ev.select(
+            (F.col("event_id") + (i * OFFSET)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 9600} HOURS")).alias("ts"),
+            (F.col("user_id") + (i * OFFSET)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(factor)
+    ]
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionAll(p)
+    eout.write.mode("overwrite").parquet(f"{path_dir}/events.parquet")
 
 
 def main() -> None:
@@ -668,6 +690,27 @@ def main() -> None:
                 "q9_profit_by_nation_year",  # multi-join, broadcast dims
                 "q18_large_orders",          # agg -> semi filter -> join
                 "incremental_agg_orders",    # MV delta merge
+                # r11 s2: replicated orders duplicate each order's item
+                # set, so the distinct co-purchase EDGE set stays
+                # constant while wedge volume grows N-fold — the cell
+                # measures the edge-derivation dedup under fact growth,
+                # with the 3 LPA supersteps a constant term on top
+                "label_prop_communities",
+                # r11 s2: (cust, part) pair set constant, qty sums grow
+                # — pure map-side-combine scaling on the fact join
+                "als_user_factors",
+                # r11 s2 (events axis): filter build constant, probe
+                # side scans N-fold more events map-only
+                "bloom_prefilter_join",
+                # r11 s2 (events axis): hourly series N-fold LONGER
+                # (calendar growth), lag join stays calendar-bounded
+                "events_autocorr_lags",
+                # r11 s2 (events axis): distinct users grow N-fold;
+                # WindowGroupLimit prunes to k rows per type map-side
+                "kmv_distinct_users",
+                # r11 s2 (events axis): two rank windows over the
+                # type-keyed exchange at N-fold volume
+                "stats_mad_by_type",
             )
         }
     else:
