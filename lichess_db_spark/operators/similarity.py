@@ -1228,6 +1228,21 @@ def mutual_knn_edges(
         if use_arrow
         else brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
     ).localCheckpoint(eager=True)
+    return mutual_filter(edges)
+
+
+def mutual_filter(edges: DataFrame) -> DataFrame:
+    """The mutuality step alone, over ANY directed kNN edge list
+    ``(query_id, neighbor_id, score, rank)`` — this is where the
+    "swap in the IVF/LSH tiers at 100 TB" claim is made literal: the
+    filter does not care where edges came from (brute force,
+    lsh_topk_portable, ivf_topk, the posting-archive ANN), it is one
+    self-join of the edge list on the reversed key, LINEAR in edges
+    (alpha 0.869 through 64x, BENCH_SCALE_R11_MUTUAL_STEP). Callers
+    should hand it a MATERIALIZED edge list (persist/localCheckpoint)
+    when the kNN build is expensive — both join sides read it.
+    Cross-tier equality on any edge set where the approximate tier's
+    edges match brute force is pinned in tests."""
     back = edges.select(
         F.col("neighbor_id").alias("query_id"),
         F.col("query_id").alias("neighbor_id"),

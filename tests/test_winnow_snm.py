@@ -554,3 +554,33 @@ def test_kmv_null_values_excluded(spark):
     out = kmv_sketch(df, "grp", "v", k=64).collect()[0]
     # 20 non-null distinct values, all below k -> exact
     assert out.n_hashes == 20 and out.kmv_estimate == 20.0
+
+
+def test_mutual_filter_pluggable_tiers(spark):
+    """mutual_filter over an ANN tier's edge list: wherever the LSH
+    tier recalls exactly the brute-force edges, the mutual sets agree
+    — the pluggability claim made executable."""
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk_portable,
+        mutual_filter,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(80)
+    bf = brute_force_topk(emb, emb, k=3).localCheckpoint(eager=True)
+    lsh = lsh_topk_portable(emb, emb, k=3).localCheckpoint(eager=True)
+    mb = {(r.query_id, r.neighbor_id) for r in mutual_filter(bf).collect()}
+    ml = {(r.query_id, r.neighbor_id) for r in mutual_filter(lsh).collect()}
+    bfe = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    le = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    # queries whose full edge set the LSH tier recalled exactly
+    agree = {
+        q
+        for q in {e[0] for e in bfe}
+        if {e for e in bfe if e[0] == q} == {e for e in le if e[0] == q}
+    }
+    assert agree, "expected some fully-recalled queries"
+    for q, n in list(mb):
+        if q in agree and n in agree:
+            assert (q, n) in ml
