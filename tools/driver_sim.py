@@ -89,6 +89,16 @@ def main() -> int:
         help="shuffle partitions / cores — vary (e.g. 3, 17) to flush "
         "out order-dependent accumulations the fixed driver conf hides",
     )
+    ap.add_argument(
+        "--arrow-batch",
+        type=int,
+        default=None,
+        help="spark.sql.execution.arrow.maxRecordsPerBatch override — "
+        "run Arrow-kernel entries at a tiny batch size (e.g. 16) to "
+        "flush out batch-boundary bugs (the gramian chunk-fold class: "
+        "a kernel that is only correct when a whole partition fits one "
+        "batch hashes differently the moment batches split)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -101,6 +111,10 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    if args.arrow_batch:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(args.arrow_batch)
+        )
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
