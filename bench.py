@@ -210,6 +210,7 @@ HEADLINE = [
     "blocking_recall_eval",
     "bloom_prefilter_join",
     "als_user_factors",
+    "recursive_cte_reachability",
 ]
 
 

@@ -49,6 +49,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "blocking_recall_eval",
     "bloom_prefilter_join",
     "als_user_factors",
+    "recursive_cte_reachability",
 )
 
 
@@ -3742,4 +3743,62 @@ def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")).cast("double")
             / det
         ).alias("x2"),
+    )
+
+
+_RCTE_BODY = """
+    e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM {li} a JOIN {li} b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ),
+    reach(node, hop) AS (
+        SELECT p_partkey AS node, 0 AS hop FROM {part}
+        WHERE p_partkey % 97 = 0
+        UNION ALL
+        SELECT s.dst AS node, r.hop + 1 AS hop
+        FROM reach r JOIN sym s ON s.src = r.node
+        WHERE r.hop < 2
+    )
+    SELECT node AS partkey, CAST(MIN(hop) AS INT) AS hop
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "recursive_cte_reachability",
+    "WITH RECURSIVE " + _RCTE_BODY.format(li="lineitem", part="part"),
+    "Spark 4 RECURSIVE CTE coverage: min-hop reachability (<= 2 hops) "
+    "from the %97 seed parts over the co-purchase graph, written as "
+    "ONE `WITH RECURSIVE` that BOTH engines execute verbatim (table "
+    "names aside) — the SQL-native twin of bfs_copurchase_hops' "
+    "driver-loop supersteps, exercising the engine's own fixpoint "
+    "operator instead of hand-rolled iteration. Spark 4.1 supports "
+    "only the UNION ALL recursion variant (UNION-distinct raises "
+    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the recursion "
+    "enumerates PATHS, not nodes — the depth bound (hop < 2, ~deg^2 "
+    "x seeds ~ 3M path rows at sf0.1, measured before pinning) is "
+    "what keeps UNION ALL recursion tractable; the driver-loop BFS "
+    "stays the production shape for deeper traversals because its "
+    "per-superstep MIN-aggregate dedups the frontier, which UNION "
+    "ALL recursion cannot. MIN(hop) collapses paths to distances at "
+    "the end.",
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNION ALL recursion counts PATHS against the safety cap
+    # (spark.sql.cteRecursionRowLimit, default 1M): the sf0.1 graph's
+    # ~3M depth-2 paths trip it. Runtime conf, session-scoped — the
+    # bound stays a real guard, just sized to the measured path volume.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(8_000_000))
+    _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).createOrReplaceTempView("__rcte_lineitem")
+    _t(spark, sf_dir, "part").select("p_partkey").createOrReplaceTempView(
+        "__rcte_part"
+    )
+    return spark.sql(
+        "WITH RECURSIVE " + _RCTE_BODY.format(li="__rcte_lineitem", part="__rcte_part")
     )
