@@ -211,6 +211,8 @@ HEADLINE = [
     "bloom_prefilter_join",
     "als_user_factors",
     "recursive_cte_reachability",
+    "dedup_containment_pairs",
+    "orders_abc_analysis",
 ]
 
 

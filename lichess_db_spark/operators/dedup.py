@@ -2577,3 +2577,82 @@ def sorted_neighborhood_pairs(
         )
         .withColumn("is_dup", F.col("inter_tokens") * 2 >= F.col("union_tokens"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.9,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup (Broder's containment
+    coefficient): directional pairs where ``|A ∩ B| / |A| >=
+    threshold`` — the quote/subset detector symmetric Jaccard
+    structurally misses. A short document fully quoted inside a long
+    one has containment 1.0 while its Jaccard can sit arbitrarily
+    low (|A|/|B| in the subset case) — on the fixture's prefix-
+    truncated near-dups the copy's shingle set is a SUBSET of the
+    original's, so copy->original containment is exactly 1.0 where
+    the symmetric entries report ~the kept fraction (test-pinned).
+
+    Returns directional rows ``(doc_src, doc_dst, inter_shingles,
+    n_src, n_dst, containment)`` with doc_src != doc_dst; the gate is
+    decided by integer cross-multiply (inter * SCALE >= n_src *
+    round(threshold * SCALE)), never a float compare; the reported
+    ratio is the raw IEEE division.
+
+    Scale shape: shares the inverted-index discipline of
+    :func:`ngram_jaccard_pairs` — one shingle-keyed exchange, the
+    optional ``max_shingle_doc_freq`` window cap rides the SAME
+    exchange (hot-shingle d^2 mitigation), and pair volume is the
+    candidate relation's. Like the Jaccard verifier it is quadratic
+    in the worst case: at 100 TB run it on LSH candidates, not the
+    cross product.
+    """
+    if not (0 < threshold <= 1):
+        raise ValueError(f"need 0 < threshold <= 1: {threshold}")
+    scale = 1000
+    thr_i = int(round(threshold * scale))
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    if max_shingle_doc_freq is not None:
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            .where(F.col("_df") <= max_shingle_doc_freq)
+            .drop("_df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"), F.col("b.doc_id").alias("doc_dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("inter_shingles"))
+    )
+    ssrc = sizes.select(F.col("doc_id").alias("doc_src"), F.col("n_sh").alias("n_src"))
+    sdst = sizes.select(F.col("doc_id").alias("doc_dst"), F.col("n_sh").alias("n_dst"))
+    return (
+        inter.join(ssrc, "doc_src")
+        .join(sdst, "doc_dst")
+        .where(F.col("inter_shingles") * scale >= F.col("n_src") * thr_i)
+        .select(
+            "doc_src",
+            "doc_dst",
+            "inter_shingles",
+            F.col("n_src").cast("bigint").alias("n_src"),
+            F.col("n_dst").cast("bigint").alias("n_dst"),
+            (F.col("inter_shingles").cast("double") / F.col("n_src")).alias(
+                "containment"
+            ),
+        )
+    )

@@ -50,6 +50,8 @@ STAGED_NEXT: tuple[str, ...] = (
     "bloom_prefilter_join",
     "als_user_factors",
     "recursive_cte_reachability",
+    "dedup_containment_pairs",
+    "orders_abc_analysis",
 )
 
 
@@ -3801,4 +3803,162 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         "WITH RECURSIVE " + _RCTE_BODY.format(li="__rcte_lineitem", part="__rcte_part")
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2]
+               || ' ' || ts[g.i+3] || ' ' || ts[g.i+4] AS shingle
+        FROM toks, range(1, 100001) AS g(i)
+        WHERE g.i <= len(ts) - 4
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+               CAST(COUNT(*) AS BIGINT) AS inter_shingles
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_src, doc_dst, inter_shingles,
+           CAST(ss.n_sh AS BIGINT) AS n_src, CAST(sd.n_sh AS BIGINT) AS n_dst,
+           CAST(inter_shingles AS DOUBLE) / ss.n_sh AS containment
+    FROM inter
+    JOIN sizes ss ON ss.doc_id = doc_src
+    JOIN sizes sd ON sd.doc_id = doc_dst
+    WHERE inter_shingles * 1000 >= ss.n_sh * 900
+    """,
+    "Asymmetric containment near-dup (Broder's containment "
+    "coefficient |A∩B|/|A| >= 0.9): the QUOTE/SUBSET detector "
+    "symmetric Jaccard structurally misses — a short doc fully "
+    "contained in a long one scores containment 1.0 while Jaccard "
+    "sits at |A|/|B| (on the fixture's prefix-truncated near-dups, "
+    "copy->original containment is exactly 1.0 where Jaccard reports "
+    "~the kept fraction; test-pinned). Directional rows, integer "
+    "cross-multiply gate, raw IEEE ratio. Same inverted-index scale "
+    "discipline as the Jaccard verifier (one shingle-keyed exchange; "
+    "quadratic worst case -> run on LSH candidates at 100 TB).",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=5, threshold=0.9
+    )
+
+
+@register(
+    "orders_abc_analysis",
+    """
+    WITH rev AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                   AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(revenue) * 10000 AS BIGINT) AS total_c FROM rev
+    ),
+    r AS (
+        SELECT partkey, revenue,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rnk,
+               CAST(SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) * 10000 AS BIGINT)
+                   AS cum_c
+        FROM rev
+        WINDOW w AS (ORDER BY revenue DESC, partkey)
+    )
+    SELECT partkey, CAST(revenue AS DOUBLE) AS revenue, rnk,
+           CASE WHEN cum_c * 5 <= t.total_c * 4 THEN 'A'
+                WHEN cum_c * 20 <= t.total_c * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r, tot t
+    """,
+    "ABC / Pareto revenue classification per part (the 80/95 "
+    "warehouse cut): rank parts by exact decimal revenue, classify by "
+    "cumulative share — A while cum <= 80% of total, B to 95%, C "
+    "after — decided on BIGINT cents via integer cross-multiply "
+    "(cum_c*5 <= total_c*4), never a float share. Spark side runs the "
+    "DISTRIBUTED prefix sum (repartitionByRange on (revenue DESC, "
+    "partkey) + per-partition running sums + P-row broadcast offsets "
+    "— sample_token_budget's machinery, with the same persist-the-"
+    "ranged-relation rule: prefix offsets are only correct against "
+    "the exact partitioning the local sums used), NOT a single-"
+    "partition window; the oracle's window is DuckDB-side only. "
+    "Classification input is the dimension-sized per-part aggregate, "
+    "so the broadcast offset relation is P rows regardless of fact "
+    "volume.",
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,4)"
+            )
+        ).alias("revenue")
+    )
+    n_parts = max(int(rev.sparkSession.sparkContext.defaultParallelism), 2)
+    ranged = rev.repartitionByRange(
+        n_parts, F.desc("revenue"), F.asc("partkey")
+    ).withColumn("__pid", F.spark_partition_id())
+    wl = Window.partitionBy("__pid").orderBy(F.desc("revenue"), F.asc("partkey"))
+    local = (
+        ranged.withColumn("__cum_local", F.sum("revenue").over(wl))
+        .withColumn("__rn_local", F.row_number().over(wl))
+        .persist()
+    )
+    totals = (
+        local.groupBy("__pid")
+        .agg(
+            F.max("__cum_local").alias("__tot_rev"),
+            F.count("*").alias("__tot_n"),
+        )
+        .withColumn(
+            "__off_rev",
+            F.coalesce(
+                F.sum("__tot_rev").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(38,4)"),
+            ),
+        )
+        .withColumn(
+            "__off_n",
+            F.coalesce(
+                F.sum("__tot_n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off_rev", "__off_n")
+    )
+    total_c = rev.agg(
+        (F.sum("revenue") * 10000).cast("bigint").alias("total_c")
+    )
+    cum_c = (
+        (F.col("__off_rev") + F.col("__cum_local")) * 10000
+    ).cast("bigint")
+    return (
+        local.join(F.broadcast(totals), "__pid")
+        .crossJoin(F.broadcast(total_c))
+        .select(
+            "partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            (F.col("__off_n") + F.col("__rn_local")).cast("int").alias("rnk"),
+            F.when(cum_c * 5 <= F.col("total_c") * 4, F.lit("A"))
+            .when(cum_c * 20 <= F.col("total_c") * 19, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
     )

@@ -584,3 +584,69 @@ def test_mutual_filter_pluggable_tiers(spark):
     for q, n in list(mb):
         if q in agree and n in agree:
             assert (q, n) in ml
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short quote fully contained in a long doc: containment 1.0,
+    Jaccard far below the 0.5 near-dup bar — the asymmetric detector
+    exists precisely for this pair."""
+    from lichess_db_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:12])  # 8 shingles, all inside a's 36
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    cont = {
+        (r.doc_src, r.doc_dst): r
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (2, 1) in cont and cont[(2, 1)].containment == 1.0
+    assert (1, 2) not in cont  # the long doc is NOT contained in the quote
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not jac  # symmetric Jaccard (8/36) misses the pair entirely
+
+
+def test_containment_validates():
+    from lichess_db_spark.operators.dedup import containment_pairs
+
+    with pytest.raises(ValueError):
+        containment_pairs(None, threshold=0.0)
+
+
+def test_abc_analysis_hand_computed(spark):
+    """Revenues 50/30/15/5: cumulative shares 50/80/95/100 -> classes
+    A, A (80% boundary inclusive), B (95% boundary inclusive), C."""
+    import tempfile
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    rows = [
+        (1, 101, 50.0, 0.0),
+        (2, 102, 30.0, 0.0),
+        (3, 103, 15.0, 0.0),
+        (4, 104, 5.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/lineitem.parquet")
+        out = {r.partkey: r for r in QUERIES["orders_abc_analysis"].build(spark, td).collect()}
+    assert [out[k].abc_class for k in (101, 102, 103, 104)] == ["A", "A", "B", "C"]
+    assert [out[k].rnk for k in (101, 102, 103, 104)] == [1, 2, 3, 4]
+
+
+def test_abc_ranks_unique_and_total(spark):
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    out = QUERIES["orders_abc_analysis"].build(spark, SF_SMALL).collect()
+    n_parts = (
+        load_table(spark, SF_SMALL, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert len(out) == n_parts
+    assert sorted(r.rnk for r in out) == list(range(1, n_parts + 1))
+    assert {r.abc_class for r in out} <= {"A", "B", "C"}
