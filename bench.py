@@ -213,6 +213,10 @@ HEADLINE = [
     "recursive_cte_reachability",
     "dedup_containment_pairs",
     "orders_abc_analysis",
+    # wordpiece_prefix_segment is excluded like triangle_copurchase:
+    # its ~8s cost is per-iteration recursive-CTE scheduling overhead
+    # (40+ engine iterations), a fixed showcase cost unrelated to data
+    # volume; its correctness row rides the driver gate
 ]
 
 

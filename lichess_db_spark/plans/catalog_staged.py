@@ -52,6 +52,7 @@ STAGED_NEXT: tuple[str, ...] = (
     "recursive_cte_reachability",
     "dedup_containment_pairs",
     "orders_abc_analysis",
+    "wordpiece_prefix_segment",
 )
 
 
@@ -3962,3 +3963,76 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+# Greedy longest-match segmentation vocab (fixed, ASCII): 4-char
+# pieces, 3-char pieces, 2-char digraphs. Order inside each tier is
+# irrelevant (IN-list); tiers are tried longest-first.
+_WP_V4 = "'scan','sort','join','hash','part','wind','tabl','batc'"
+_WP_V3 = "'the','str','key','row','ord','sma','mer','spa','dup'"
+_WP_V2 = (
+    "'er','in','an','re','at','or','st','ar','te','ow','ha','me','sc',"
+    "'jo','ta','ke','sp','du','wi','ba','sm','fa','pa','le','ll','am',"
+    "'as','ab','tc','h ','e ','t ','n ','d ','k ','w ',' s',' t',' b',' w'"
+)
+_WP_CAP = 64
+
+
+def _wp_len_sql(t: str, p: str) -> str:
+    return f"""CASE
+        WHEN substr({t}, {p}, 4) IN ({_WP_V4}) THEN 4
+        WHEN substr({t}, {p}, 3) IN ({_WP_V3}) THEN 3
+        WHEN substr({t}, {p}, 2) IN ({_WP_V2}) THEN 2
+        ELSE 1 END"""
+
+
+def _wp_sql(docs: str) -> str:
+    cap = f"CASE WHEN length(d.text) < {_WP_CAP} THEN length(d.text) ELSE {_WP_CAP} END"
+    ln = _wp_len_sql("d.text", "s.pos")
+    return f"""
+    seg(doc_id, pos, n_pieces, n_unk) AS (
+        SELECT doc_id, 1 AS pos, 0 AS n_pieces, 0 AS n_unk
+        FROM {docs} WHERE text IS NOT NULL
+        UNION ALL
+        SELECT s.doc_id,
+               s.pos + {ln} AS pos,
+               s.n_pieces + 1 AS n_pieces,
+               s.n_unk + CASE WHEN {ln} = 1 THEN 1 ELSE 0 END AS n_unk
+        FROM seg s JOIN {docs} d ON d.doc_id = s.doc_id
+        WHERE s.pos <= {cap}
+    )
+    SELECT s.doc_id,
+           CAST(s.n_pieces AS INT) AS n_pieces,
+           CAST(s.n_unk AS INT) AS n_unk,
+           CAST({cap} AS INT) AS n_chars
+    FROM seg s JOIN {docs} d ON d.doc_id = s.doc_id
+    WHERE s.pos > {cap}
+"""
+
+
+@register(
+    "wordpiece_prefix_segment",
+    "WITH RECURSIVE " + _wp_sql("documents"),
+    "Greedy longest-match-first subword segmentation (the WordPiece/"
+    "SentencePiece inference rule) over each document's first 64 "
+    "chars, as ONE recursive CTE BOTH engines execute verbatim: the "
+    "cursor state (doc, pos, n_pieces, n_unk) advances by the longest "
+    "vocab piece matching at pos (4-char pieces, then 3, then 2-char "
+    "digraphs, else a single-char UNK advance), the inherently "
+    "SEQUENTIAL-per-document scan that batch dataflow cannot express "
+    "— and exactly what recursive CTEs are for: every document's "
+    "cursor advances in parallel per iteration, recursion depth = "
+    "max pieces per doc (<= 64 here, inside Spark's default level "
+    "limit of 100; the 64-char cap is the depth budget, documented — "
+    "full-text segmentation at 100 TB belongs to an Arrow kernel "
+    "with this rule, the oracle-exact shape is the recursion). "
+    "Complements the BPE tier: BPE learns merges bottom-up, "
+    "WordPiece inference consumes a FIXED vocab greedily. Terminal "
+    "rows (pos past the cap) are unique per doc; counts are exact "
+    "integers.",
+)
+def wordpiece_prefix_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "__wp_documents"
+    )
+    return spark.sql("WITH RECURSIVE " + _wp_sql("__wp_documents"))

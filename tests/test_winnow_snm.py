@@ -650,3 +650,57 @@ def test_abc_ranks_unique_and_total(spark):
     assert len(out) == n_parts
     assert sorted(r.rnk for r in out) == list(range(1, n_parts + 1))
     assert {r.abc_class for r in out} <= {"A", "B", "C"}
+
+
+def test_wordpiece_greedy_matches_python_twin(spark):
+    """The recursive-CTE segmentation equals an independent Python
+    greedy longest-match over the same vocab, for every fixture doc
+    prefix (64 chars)."""
+    import tempfile
+
+    from lichess_db_spark.plans.catalog import QUERIES
+    from lichess_db_spark.plans.catalog_staged import (
+        _WP_CAP,
+        _WP_V2,
+        _WP_V3,
+        _WP_V4,
+    )
+
+    def vset(s):
+        return {x.strip("'") for x in s.replace("','", "'|'").split("|")}
+
+    v4, v3, v2 = vset(_WP_V4), vset(_WP_V3), vset(_WP_V2)
+
+    def py_seg(text):
+        text = text[:_WP_CAP]
+        pos, pieces, unk = 0, 0, 0
+        while pos < len(text):
+            if text[pos : pos + 4] in v4:
+                pos += 4
+            elif text[pos : pos + 3] in v3:
+                pos += 3
+            elif text[pos : pos + 2] in v2:
+                pos += 2
+            else:
+                pos += 1
+                unk += 1
+            pieces += 1
+        return pieces, unk
+
+    texts = [
+        "the fast key order sort table scan merge part window small",
+        "zzzz qqqq xxxx",  # all-UNK-ish
+        "scanscanscan",  # back-to-back 4-pieces
+        "ab",  # shorter than every tier but 2
+        "x",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/documents.parquet")
+        out = {
+            r.doc_id: (r.n_pieces, r.n_unk)
+            for r in QUERIES["wordpiece_prefix_segment"].build(spark, td).collect()
+        }
+    for i, t in enumerate(texts):
+        assert out[i] == py_seg(t), (i, t)
