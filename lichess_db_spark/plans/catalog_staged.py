@@ -4032,6 +4032,11 @@ def _wp_sql(docs: str) -> str:
     "integers.",
 )
 def wordpiece_prefix_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total recursion rows = docs x steps (<= 64/doc): ~225k at sf0.1,
+    # ~3.6M at the 16x scale cell — size the engine guard to the
+    # measured volume so it still guards (same rule as the
+    # reachability entry)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(32_000_000))
     _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
         "__wp_documents"
     )

@@ -178,6 +178,21 @@ def scaled_tpch(spark, base_dir: str, factor: int, path_dir: str):
     for p in eparts[1:]:
         eout = eout.unionAll(p)
     eout.write.mode("overwrite").parquet(f"{path_dir}/events.parquet")
+    # documents replicate verbatim with offset ids: enough for cells
+    # whose cost axis is doc COUNT (wordpiece recursion, profiling) —
+    # text-similarity cells need the salted scaled_docs corpora instead
+    dv = load_table(spark, base_dir, "documents")
+    dparts = [
+        dv.select(
+            (F.col("doc_id") + (i * OFFSET)).alias("doc_id"),
+            *[c for c in dv.columns if c != "doc_id"],
+        )
+        for i in range(factor)
+    ]
+    dout = dparts[0]
+    for p in dparts[1:]:
+        dout = dout.unionAll(p)
+    dout.write.mode("overwrite").parquet(f"{path_dir}/documents.parquet")
 
 
 def main() -> None:
@@ -711,6 +726,19 @@ def main() -> None:
                 # r11 s2 (events axis): two rank windows over the
                 # type-keyed exchange at N-fold volume
                 "stats_mad_by_type",
+                # r11 s2 wave 3: distributed prefix-sum classification
+                # over the dimension-sized per-part aggregate
+                "orders_abc_analysis",
+                # r11 s2 wave 3: recursion depth CONSTANT (64-char
+                # prefix cap) while doc count grows N-fold — the cell
+                # pins that rCTE iteration overhead is flat, volume
+                # rides inside each iteration
+                "wordpiece_prefix_segment",
+                # r11 s2 wave 3: replicated orders duplicate item sets,
+                # so the distinct edge relation is constant and the
+                # cost measured is path enumeration + dedup under
+                # N-fold wedge volume
+                "recursive_cte_reachability",
             )
         }
     else:
