@@ -213,6 +213,8 @@ HEADLINE = [
     "recursive_cte_reachability",
     "dedup_containment_pairs",
     "orders_abc_analysis",
+    "events_cusum_changepoint",
+    "neyman_allocation_docs",
     # wordpiece_prefix_segment is excluded like triangle_copurchase:
     # its ~8s cost is per-iteration recursive-CTE scheduling overhead
     # (40+ engine iterations), a fixed showcase cost unrelated to data

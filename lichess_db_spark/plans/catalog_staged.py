@@ -53,6 +53,8 @@ STAGED_NEXT: tuple[str, ...] = (
     "dedup_containment_pairs",
     "orders_abc_analysis",
     "wordpiece_prefix_segment",
+    "events_cusum_changepoint",
+    "neyman_allocation_docs",
 )
 
 
@@ -4041,3 +4043,145 @@ def wordpiece_prefix_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__wp_documents"
     )
     return spark.sql("WITH RECURSIVE " + _wp_sql("__wp_documents"))
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH c AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot FROM c),
+    p AS (
+        SELECT h, x,
+               CAST(SUM(x * t.n - t.tot) OVER (
+                   ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pref
+        FROM c, t
+    ),
+    s AS (
+        SELECT h, x,
+               CAST(pref - MIN(pref) OVER (
+                   ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cusum
+        FROM p
+    ),
+    pk AS (SELECT MIN(h) AS ph FROM s WHERE cusum = (SELECT MAX(cusum) FROM s))
+    SELECT s.h AS hour_sec, s.x AS n_events, s.cusum,
+           s.h = pk.ph AS is_change_peak
+    FROM s, pk
+    """,
+    "CUSUM change-point detection over the hourly event-count series "
+    "(Page 1954, the k = global-mean one-sided chart): the upward "
+    "CUSUM S_t = max over prefixes of the cumulative deviation is "
+    "computed WITHOUT recursion or any division via the prefix-sum "
+    "identity S_t = P_t - min_{j<=t} P_j with INTEGER deviations "
+    "d_t = x_t*n - total (mean-centering cross-multiplied away) — "
+    "every cusum value crosses the oracle boundary as an exact "
+    "bigint; the argmax hour (earliest on ties) is flagged "
+    "is_change_peak. Completes the time-series diagnostics family "
+    "(gapfill, EWMA, autocorrelation, now change-point). Scale "
+    "shape: the hourly aggregate map-side combines to "
+    "calendar-bounded cardinality; the two running windows scan that "
+    "bounded series once (the gapfill spine note applies — series "
+    "length grows with the CALENDAR, not data volume).",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    t = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    p = c.crossJoin(F.broadcast(t)).withColumn(
+        "pref",
+        F.sum(F.col("x") * F.col("n") - F.col("tot")).over(w).cast("bigint"),
+    )
+    s = p.withColumn(
+        "cusum", (F.col("pref") - F.min("pref").over(w)).cast("bigint")
+    ).select("h", "x", "cusum")
+    mx = s.agg(F.max("cusum").alias("mc"))
+    pk = (
+        s.crossJoin(F.broadcast(mx))
+        .where(F.col("cusum") == F.col("mc"))
+        .agg(F.min("h").alias("ph"))
+    )
+    return s.crossJoin(F.broadcast(pk)).select(
+        F.col("h").alias("hour_sec"),
+        F.col("x").alias("n_events"),
+        "cusum",
+        (F.col("h") == F.col("ph")).alias("is_change_peak"),
+    )
+
+
+_NEYMAN_BUDGET = 10000
+
+
+@register(
+    "neyman_allocation_docs",
+    f"""
+    WITH st AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(len(text) AS BIGINT) * CAST(len(text) AS BIGINT))
+                    AS BIGINT) AS sxx
+        FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    wgt AS (
+        SELECT lang, n_docs,
+               CAST(ROUND(n_docs * (sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                                    / CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS w_scaled
+        FROM st
+    ),
+    tw AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS wt FROM wgt)
+    SELECT w.lang, w.n_docs, w.w_scaled,
+           CAST(({_NEYMAN_BUDGET} * w.w_scaled) // t.wt AS BIGINT) AS alloc
+    FROM wgt w, tw t
+    """,
+    "Neyman-optimal stratified sample allocation (the variance-"
+    "minimizing design, n_h ∝ N_h * S_h) per language over document "
+    "lengths: the third allocation design next to proportional "
+    "(stratified_sample_langs) and temperature/UniMax (power-law "
+    "flattening) — strata with more internal VARIANCE earn more "
+    "budget, which proportional allocation cannot express. "
+    "Portability: the per-stratum sd enters as ROUND(N * (sqrt(exact "
+    "bigint moment) / N) * 1e6) — one IEEE sqrt and one IEEE "
+    "division in a FIXED order, then quantized to bigint micro-units "
+    "so the cross-strata total and the final integral-division "
+    "quotas are exact integers (the temperature_mix_allocation "
+    "discipline; a float share sum would be order-dependent). Scale "
+    "shape: one map-side-combinable moment fold per stratum, then "
+    "G-row arithmetic.",
+)
+def neyman_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ln = F.length("text").cast("bigint")
+    st = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(ln).cast("bigint").alias("sx"),
+        F.sum(ln * ln).cast("bigint").alias("sxx"),
+    )
+    sd = F.sqrt(
+        (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) / F.col("n_docs").cast("double")
+    wgt = st.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") * sd * F.lit(1e6)).cast("bigint").alias("w_scaled"),
+    )
+    tw = wgt.agg(F.sum("w_scaled").cast("bigint").alias("wt"))
+    return wgt.crossJoin(F.broadcast(tw)).select(
+        "lang",
+        "n_docs",
+        "w_scaled",
+        F.expr(f"CAST(({_NEYMAN_BUDGET} * w_scaled) div wt AS BIGINT)").alias(
+            "alloc"
+        ),
+    )

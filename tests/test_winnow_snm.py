@@ -704,3 +704,59 @@ def test_wordpiece_greedy_matches_python_twin(spark):
         }
     for i, t in enumerate(texts):
         assert out[i] == py_seg(t), (i, t)
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """48 quiet hours then 24 elevated hours: the CUSUM peak must land
+    at the LAST hour (max cumulative positive deviation accrues to the
+    end of the elevated run) and cusum values match a python twin."""
+    import datetime as dt
+    import tempfile
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    counts = [2] * 48 + [10] * 24
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        out = sorted(
+            QUERIES["events_cusum_changepoint"].build(spark, td).collect(),
+            key=lambda r: r.hour_sec,
+        )
+    n, tot = len(counts), sum(counts)
+    pref, mn, want = 0, 0, []
+    for c in counts:
+        pref += c * n - tot
+        mn = min(mn, pref)
+        want.append(pref - mn)
+    assert [r.cusum for r in out] == want
+    peaks = [i for i, r in enumerate(out) if r.is_change_peak]
+    assert peaks == [want.index(max(want))]
+    assert peaks == [71]  # deviation keeps accruing to the series end
+
+
+def test_neyman_favors_high_variance_stratum(spark):
+    """Two strata, equal sizes: the one with spread lengths must earn
+    (nearly) the whole budget; a zero-variance stratum earns none."""
+    import tempfile
+
+    from lichess_db_spark.plans.catalog import QUERIES
+
+    rows = [(i, "flat", "x" * 100) for i in range(50)] + [
+        (100 + i, "spread", "y" * (10 + 37 * (i % 9))) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/documents.parquet")
+        out = {
+            r.lang: r
+            for r in QUERIES["neyman_allocation_docs"].build(spark, td).collect()
+        }
+    assert out["flat"].w_scaled == 0 and out["flat"].alloc == 0
+    assert out["spread"].alloc == 10000
