@@ -33,8 +33,47 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # 5. Rows-only-by-design entries never rotate in by staleness (a slot
 #    spent there buys only a row count; their exact twins carry hash
 #    coverage) — they re-enter only via groups 0/1 (VERDICT r10 item 5).
-_ROUND = 11
+_ROUND = 12
 _TOUCHED_THIS_ROUND = (
+    # r12 window budget (VERDICT r11 item 1 — drain the driver-row
+    # backlog before adding breadth): the 25 r11-session-2 staged
+    # entries (STAGED_NEXT now cleared; all 25 judge-sim PASS at
+    # sf0.01/p8 in the r11 verdict) lead the window in their staging
+    # order, followed by the 2 core sentinels and 23 rotation-tail
+    # slots — the single r6-vintage entry plus the 22 oldest
+    # oracle-paired r7-vintage entries. NO new oracle-paired entries
+    # enter this round's window (breadth freeze); anything authored
+    # this round is staged for r13 via STAGED_NEXT. Measured final
+    # shape: 25 + 2 + 23 = 50, spill = the remaining r7-vintage
+    # oracle-paired entries (documented at the BREADTH-BUDGET rule
+    # below and in COVERAGE.md).
+    "cdc_chunk_dedup",
+    "repetition_topgram_docs",
+    "char_gini_docs",
+    "source_unigram_tv",
+    "embedding_top_pc",
+    "embedding_remove_top_pc",
+    "lsh_candidate_recall",
+    "winnow_fingerprint_density",
+    "winnow_match_pairs",
+    "dedup_sorted_neighborhood",
+    "knn_mutual_pairs",
+    "knn_isolation_docs",
+    "label_prop_communities",
+    "events_autocorr_lags",
+    "kmv_distinct_users",
+    "stats_mad_by_type",
+    "blocking_recall_eval",
+    "bloom_prefilter_join",
+    "als_user_factors",
+    "recursive_cte_reachability",
+    "dedup_containment_pairs",
+    "orders_abc_analysis",
+    "wordpiece_prefix_segment",
+    "events_cusum_changepoint",
+    "neyman_allocation_docs",
+)
+_TOUCHED_R11 = (
     # r11 window budget (measured on the final source): 11 touched (9
     # never-green + vocab_growth_curve + dedup_minhash_pairs_portable)
     # + 2 sentinels + ALL 34 oracle-paired r6-vintage entries + 3
@@ -388,6 +427,31 @@ def _last_green_round() -> dict[str, int]:
             if green:
                 out[name] = max(out.get(name, 0), rnd)
     return out
+
+
+# BREADTH-BUDGET RULE (standing, VERDICT r11 item 2): the driver
+# verifies ~50 rows/round while recent rounds added ~25 oracle entries
+# each — at that rate cumulative driver-freshness decays without bound.
+# Therefore: new oracle-paired entries registered per round must not
+# exceed (window size − rotation debt), where rotation debt = count of
+# oracle-paired entries whose last green driver row is older than 3
+# rounds (staleness > 3). When the debt leaves no room, new entries go
+# to STAGED_NEXT (tail) and the window drains the oldest tail instead.
+# tests/test_rotation.py::test_breadth_budget enforces this against the
+# committed CORRECTNESS history; r12 registers ZERO new oracle-paired
+# window entries (full breadth freeze — the 25 r11-staged entries plus
+# the 23 oldest tail slots consume the whole window).
+_WINDOW_SIZE = 50
+
+
+def _rotation_debt(last_green: dict[str, int]) -> int:
+    return sum(
+        1
+        for q in QUERIES.values()
+        if q.oracle is not None
+        and q.name in last_green
+        and _ROUND - last_green[q.name] > 3
+    )
 
 
 def _ordered() -> list[QueryDef]:

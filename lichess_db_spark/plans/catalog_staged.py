@@ -26,36 +26,10 @@ from .registry import register
 
 # names ranked at the catalog tail this round; plans/catalog.py clears
 # this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
-# r11 boundary: the eight r10-staged entries moved into the r11 window;
-# entries registered AFTER the r11 window freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = (
-    "cdc_chunk_dedup",
-    "repetition_topgram_docs",
-    "char_gini_docs",
-    "source_unigram_tv",
-    "embedding_top_pc",
-    "embedding_remove_top_pc",
-    "lsh_candidate_recall",
-    # r11 session 2 (authored after the r11 window froze):
-    "winnow_fingerprint_density",
-    "winnow_match_pairs",
-    "dedup_sorted_neighborhood",
-    "knn_mutual_pairs",
-    "knn_isolation_docs",
-    "label_prop_communities",
-    "events_autocorr_lags",
-    "kmv_distinct_users",
-    "stats_mad_by_type",
-    "blocking_recall_eval",
-    "bloom_prefilter_join",
-    "als_user_factors",
-    "recursive_cte_reachability",
-    "dedup_containment_pairs",
-    "orders_abc_analysis",
-    "wordpiece_prefix_segment",
-    "events_cusum_changepoint",
-    "neyman_allocation_docs",
-)
+# r12 boundary: the 25 r11-session-2 staged entries moved into the r12
+# window (VERDICT r11 item 1); entries registered AFTER the r12 window
+# freezes are staged here.
+STAGED_NEXT: tuple[str, ...] = ()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -103,6 +103,33 @@ def test_ordering_is_deterministic():
     assert len(a) == len(set(a))
 
 
+def test_breadth_budget():
+    """Standing BREADTH-BUDGET rule (VERDICT r11 item 2): new
+    oracle-paired entries per round <= (window size - rotation debt),
+    rotation debt = oracle-paired entries whose last green driver row
+    is older than staleness 3. 'New this round' = never-green and not
+    in _TOUCHED_THIS_ROUND (which carries the PRIOR round's staged
+    entries). When the debt leaves no budget, every new entry must be
+    in STAGED_NEXT (tail) so the window drains the oldest tail
+    instead."""
+    catalog = _catalog()
+    lg = catalog._last_green_round()
+    budget = max(0, catalog._WINDOW_SIZE - catalog._rotation_debt(lg))
+    new_this_round = [
+        n
+        for n, q in catalog.QUERIES.items()
+        if q.oracle is not None
+        and n not in lg
+        and n not in catalog._TOUCHED_THIS_ROUND
+    ]
+    in_window_new = [n for n in new_this_round if n not in catalog.STAGED_NEXT]
+    assert len(in_window_new) <= budget, (
+        f"breadth budget exceeded: {len(in_window_new)} new oracle-paired "
+        f"entries rank into the window but rotation debt leaves a budget of "
+        f"{budget} — stage the excess in STAGED_NEXT: {in_window_new}"
+    )
+
+
 def test_staged_entries_rank_at_tail():
     """STAGED_NEXT entries (authored after this round's window froze
     at the mandated re-green floor) must: resolve, register a full
