@@ -215,6 +215,8 @@ HEADLINE = [
     "orders_abc_analysis",
     "events_cusum_changepoint",
     "neyman_allocation_docs",
+    # r12 staged (r13 window): ANN-built mutual-kNN
+    "knn_mutual_pairs_lsh",
     # wordpiece_prefix_segment is excluded like triangle_copurchase:
     # its ~8s cost is per-iteration recursive-CTE scheduling overhead
     # (40+ engine iterations), a fixed showcase cost unrelated to data

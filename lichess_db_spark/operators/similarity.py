@@ -1231,6 +1231,97 @@ def mutual_knn_edges(
     return mutual_filter(edges)
 
 
+def lsh_self_topk_portable(
+    corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int | None = None,
+    target_bucket: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus self-kNN via portable hyperplane LSH — the edge SOURCE
+    that makes the mutual-kNN 100 TB story literal (VERDICT r11 item
+    4): where :func:`lsh_topk_portable` broadcasts a small query set,
+    here every corpus vector is a query, so the candidate join is a
+    shuffle EQUI-JOIN of the bucket relation against itself on
+    (table, bucket) — id-only rows move, never vector payloads, and
+    nothing is broadcast. Hash-checkable end to end on the shared
+    portability kit (md5 integer planes, floor(x*2^20) quantization,
+    int64 einsum cosine).
+
+    ``n_planes=None`` auto-scales bucket width to the corpus
+    (:func:`~..operators.dedup.auto_n_planes`), keeping expected
+    occupancy ~``target_bucket`` at any scale — the self-join's cost
+    is sum(bucket^2) per table, so occupancy control IS the scale
+    knob. ``max_bucket_size`` (default None: off, oracle-exact) drops
+    over-cap (table, bucket) groups COUNT-FIRST before pairing — the
+    same silent-recall-guarded pre-cap as the MinHash/pHash tiers for
+    corpora with mass near-dup floods.
+
+    Returns ``(query_id, neighbor_id, score, rank)`` — the
+    :func:`mutual_filter` input contract.
+    """
+    from .dedup import auto_n_planes, portable_bucket_udf, portable_qcos_udf
+
+    if k < 1:
+        raise ValueError(f"need k >= 1: {k}")
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count(), target_bucket=target_bucket)
+    _buckets = portable_bucket_udf(dim, n_tables, n_planes)
+    _qcos = portable_qcos_udf()
+
+    # Materialize the bucket relation: both sides of the self-join
+    # read it, and the round-robin spread() exchange below the bucket
+    # kernel blocks ReusedExchange (the mutual_knn_edges lesson) — the
+    # n x n_tables id/bucket relation is cheap to pin, the bucket
+    # einsum is not cheap to run twice.
+    bucketed = (
+        spread(corpus.select(id_col, vec_col))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if max_bucket_size is not None:
+        sizes = bucketed.groupBy("table", "bucket").agg(
+            F.count("*").alias("__bsz")
+        )
+        bucketed = (
+            bucketed.join(sizes, ["table", "bucket"])
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    cands = (
+        bucketed.select(F.col("__id").alias("query_id"), "table", "bucket")
+        .join(
+            bucketed.select(F.col("__id").alias("neighbor_id"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _qcos("q_vec", "c_vec").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def mutual_filter(edges: DataFrame) -> DataFrame:
     """The mutuality step alone, over ANY directed kNN edge list
     ``(query_id, neighbor_id, score, rank)`` — this is where the

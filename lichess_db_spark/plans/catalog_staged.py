@@ -29,7 +29,12 @@ from .registry import register
 # r12 boundary: the 25 r11-session-2 staged entries moved into the r12
 # window (VERDICT r11 item 1); entries registered AFTER the r12 window
 # freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = ()
+STAGED_NEXT: tuple[str, ...] = (
+    # r12: ANN-built mutual-kNN (VERDICT r11 item 4); the breadth-
+    # budget rule (plans/catalog.py) leaves zero r12 window slots, so
+    # it leads the r13 window as a group-1 never-green.
+    "knn_mutual_pairs_lsh",
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4158,4 +4163,120 @@ def neyman_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(({_NEYMAN_BUDGET} * w_scaled) div wt AS BIGINT)").alias(
             "alloc"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# r12: ANN-built mutual-kNN (VERDICT r11 item 4) — the "swap in the
+# LSH tier at 100 TB" docstring claim as a pinned, runnable,
+# oracle-hashed path. Staged for r13 (breadth freeze: the r12 window
+# is fully consumed by the 25 r11-staged entries + the r7 tail).
+# --------------------------------------------------------------------------
+
+_MUTUAL_LSH_CTES = """
+    params AS (
+        -- auto-scaled plane count: smallest p with 16 * 2^p >= n,
+        -- clamped to [4, 24] — integer-for-integer the same
+        -- derivation as operators.dedup.auto_n_planes
+        SELECT LEAST(24, GREATEST(4, COALESCE(
+            (SELECT MIN(p.p) FROM range(0, 25) p(p)
+             WHERE 16 * (1::BIGINT << p.p)
+                   >= (SELECT COUNT(*) FROM embeddings)), 24))) AS np
+    ),
+    planes AS (
+        SELECT t.t AS t, p.p AS p, d.d AS d,
+               (('0x' || substr(md5(CAST(t.t AS VARCHAR) || '-' ||
+                    CAST(p.p AS VARCHAR) || '-' || CAST(d.d AS VARCHAR)),
+                    1, 8))::BIGINT % 2000000) - 1000000 AS c
+        FROM range(0, 8) t(t), range(0, 24) p(p), range(0, 64) d(d)
+        WHERE p.p < (SELECT np FROM params)
+    ),
+    v AS (
+        SELECT vec_id, g.i - 1 AS d,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) AS g(i)
+    ),
+    pdots AS (
+        SELECT v.vec_id, pl.t, pl.p, SUM(v.x * pl.c) AS dot
+        FROM v JOIN planes pl ON pl.d = v.d
+        GROUP BY v.vec_id, pl.t, pl.p
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM pdots GROUP BY vec_id, t
+    ),
+    lcands AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM buckets a JOIN buckets b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    lnorms AS (SELECT vec_id, SUM(x * x) AS q FROM v GROUP BY vec_id),
+    lcdots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(va.x * vb.x) AS d
+        FROM lcands c
+        JOIN v va ON va.vec_id = c.query_id
+        JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.d = va.d
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    ltopk AS (
+        SELECT query_id, neighbor_id, score, rank FROM (
+            SELECT cd.query_id, cd.neighbor_id,
+                   CAST(cd.d AS DOUBLE)
+                     / (sqrt(CAST(nq.q AS DOUBLE))
+                        * sqrt(CAST(nn.q AS DOUBLE))) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cd.query_id
+                       ORDER BY CAST(cd.d AS DOUBLE)
+                                  / (sqrt(CAST(nq.q AS DOUBLE))
+                                     * sqrt(CAST(nn.q AS DOUBLE))) DESC,
+                                cd.neighbor_id) AS rank
+            FROM lcdots cd
+            JOIN lnorms nq ON nq.vec_id = cd.query_id
+            JOIN lnorms nn ON nn.vec_id = cd.neighbor_id
+        ) WHERE rank <= 4
+    )"""
+
+
+@register(
+    "knn_mutual_pairs_lsh",
+    f"""
+    WITH {_MUTUAL_LSH_CTES}
+    SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b, a.score,
+           CAST(a.rank AS INT) AS rank_ab, CAST(b.rank AS INT) AS rank_ba
+    FROM ltopk a JOIN ltopk b
+      ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+    """,
+    "Mutual-kNN graph built from the PORTABLE-LSH ANN tier instead of "
+    "the quadratic brute-force scorer — the scale-safe composition "
+    "the r11 verdict asked to pin: lsh_self_topk_portable's bucket "
+    "SELF-join (auto-scaled plane count, id-only shuffle rows, no "
+    "broadcast, hash-checkable md5-plane/quantized-int kit) feeds the "
+    "edge-source-agnostic mutual_filter — ONE self-join of the n*k "
+    "edge list on the reversed key, linear in edges (alpha 0.87, "
+    "BENCH_SCALE_R11_MUTUAL_STEP). The LSH approximation structure "
+    "itself is oracle-verified: the DuckDB twin reproduces buckets, "
+    "candidate cosines, per-query rank windows AND the mutuality join "
+    "bit-for-bit; recall vs the brute-force build is pinned in "
+    "tests/test_winnow_snm.py on planted near-dup clusters.",
+)
+def knn_mutual_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_self_topk_portable, mutual_filter
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # materialize the n*k edge list: mutual_filter reads it on BOTH
+    # join sides, and the candidate join + kNN scoring above it must
+    # not execute twice (the mutual_knn_edges lesson)
+    edges = lsh_self_topk_portable(emb, k=4).localCheckpoint(eager=True)
+    return (
+        mutual_filter(edges)
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "score",
+            F.col("rank").alias("rank_ab"),
+            F.col("rank_back").alias("rank_ba"),
+        )
     )
