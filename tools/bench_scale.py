@@ -612,6 +612,33 @@ def main() -> None:
                 max_hamming=3,
                 bands=4,
             ),
+            # Video tier under VIRAL duplication (VERDICT r11 item 5):
+            # the most expensive driver entry (frame explode x aHash x
+            # shared Hamming kit) gets its duplication-stress exponent.
+            # Every 5th doc becomes ONE constant ~3.4 KB text, so its
+            # 4 evenly-spaced frame byte-spans are identical across all
+            # re-uploads — FOUR frame signatures each owning 20% of the
+            # corpus x f*1000 copies, far over the 256 cap at every
+            # factor, with the frame fan-out multiplying the hot-key
+            # row count 4x relative to the audio cell. Exact catalog
+            # composition: frame_sample -> span slice -> aHash ->
+            # count-first pre-cap pairing -> track-level aggregation.
+            "video_fp_viral_precap": lambda d, f: _video_viral_pairs(d),
+            # The mitigation cell for the 64-bit tier's measured
+            # super-linearity (alpha 1.24 at 64x): the 4-band/16-bit
+            # key space (2^16 keys/band) SATURATES under the frame
+            # fan-out — measured 259k of 262k possible (band, key)
+            # values occupied at 64x, under-cap candidate pairs
+            # growing 72x for an 8x corpus (birthday collisions on
+            # uniform-random stub signatures), every one rejected by
+            # the Hamming verify. Widening the band key is the scale
+            # knob: a 128-bit signature (aHash ++ dHash, both real
+            # perceptual-hash rules from the same kit) banded 4 x
+            # 32-bit keeps the pigeonhole guarantee (4 bands >
+            # max_hamming 3) and lifts the key space to 2^32/band.
+            "video_fp_viral_precap_wide": lambda d, f: _video_viral_pairs(
+                d, wide=True
+            ),
             # passage-duplication growth curve (r10): the catalog
             # entry's exact single-pass shape — one 8-gram exploded
             # scan into ONE gram-keyed aggregate carrying the
@@ -635,6 +662,76 @@ def main() -> None:
                 strict=True,
             ),
         }
+
+        def _video_viral_pairs(d, wide=False):
+            from lichess_db_spark.multimodal.media import frame_sample
+
+            vt = d.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit("the same viral video byte span " * 110),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            blobs = vt.select(
+                "doc_id", "text", F.encode("text", "UTF-8").alias("data")
+            )
+            frames = frame_sample(blobs, max_frames=4, stride_bytes=256)
+            nf = F.least(
+                F.lit(4).cast("bigint"),
+                F.lit(1) + (F.col("n_bytes") / F.lit(256)).cast("bigint"),
+            )
+            span = F.floor(F.col("n_bytes") / nf)
+            frame_blobs = frames.join(vt.select("doc_id", "text"), "doc_id").select(
+                (F.col("doc_id") * 100 + F.col("frame_idx")).alias("fid"),
+                F.encode(
+                    F.substring(
+                        "text",
+                        (F.col("byte_offset") + 1).cast("int"),
+                        span.cast("int"),
+                    ),
+                    "UTF-8",
+                ).alias("data"),
+            )
+            ah = ahash_images(frame_blobs, id_col="fid", use_real=False).select(
+                F.col("doc_id").alias("fid"), F.col("phash").alias("vfp")
+            )
+            if wide:
+                dh = ahash_images(
+                    frame_blobs, id_col="fid", use_real=False, method="dhash"
+                ).select(F.col("doc_id").alias("fid"), F.col("phash").alias("dfp"))
+                fsig = (
+                    ah.join(dh, "fid")
+                    .select("fid", F.concat("vfp", "dfp").alias("vfp"))
+                    .persist()
+                )
+                n_bits = 128
+            else:
+                fsig = ah.persist()
+                n_bits = 64
+            pairs = dd.bitstring_near_dup_pairs(
+                fsig,
+                sig_col="vfp",
+                id_col="fid",
+                n_bits=n_bits,
+                max_hamming=3,
+                bands=4,
+            )
+            return (
+                pairs.select(
+                    F.floor(F.col("id_lo") / 100).alias("track_lo"),
+                    F.floor(F.col("id_hi") / 100).alias("track_hi"),
+                    "hamming",
+                )
+                .where(F.col("track_lo") != F.col("track_hi"))
+                .groupBy("track_lo", "track_hi")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_frame_matches"),
+                    F.min("hamming").cast("bigint").alias("min_hamming"),
+                )
+            )
 
         def _chain_edges(spark_, n_nodes, chain_len):
             return spark_.range(n_nodes).select(
