@@ -900,6 +900,16 @@ def main() -> None:
             # (--factors 1,2,4) to pin alpha ~2 honestly; the linear
             # scale path swaps in the IVF/LSH edge tiers
             "mutual_knn_bruteforce": lambda d, f: _mutual_edges(d),
+            # the ANN-built composition (r12, VERDICT r11 item 4): the
+            # whole scale path end to end — lsh_self_topk_portable's
+            # bucket self-equi-join (auto-scaled plane count keeps
+            # expected occupancy ~16, so candidate volume stays
+            # ~linear in corpus rows) feeding mutual_filter. This is
+            # the cell that replaces mutual_knn_bruteforce's honest
+            # quadratic at scale; sign-pattern replica salting keeps
+            # within-replica neighbor structure and near-zero
+            # cross-replica cosines.
+            "mutual_knn_lsh": lambda d, f: _mutual_lsh(d),
             # the mutual STEP alone (r11 s2): synthetic n*k edge list
             # (xor partner -> mutual, ring -> asymmetric) through the
             # reversed-key self-join — the design claim is that
@@ -911,6 +921,15 @@ def main() -> None:
             from lichess_db_spark.operators.similarity import mutual_knn_edges
 
             return mutual_knn_edges(d, k=4, use_arrow=True)
+
+        def _mutual_lsh(d):
+            from lichess_db_spark.operators.similarity import (
+                lsh_self_topk_portable,
+                mutual_filter,
+            )
+
+            edges = lsh_self_topk_portable(d, k=4).localCheckpoint(eager=True)
+            return mutual_filter(edges)
 
         def _mutual_step(d):
             ids = d.select(F.col("vec_id").alias("query_id"))
