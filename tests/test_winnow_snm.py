@@ -834,3 +834,49 @@ def test_mutual_lsh_precap_drops_flooded_buckets(spark):
     assert base == wide
     # cap=1 leaves no bucket with two occupants -> zero candidates
     assert lsh_self_topk_portable(emb, k=3, max_bucket_size=1).count() == 0
+
+
+def test_mutual_lsh_edges_share_a_bucket_and_ranks_dense(spark):
+    """Structural invariants of lsh_self_topk_portable: every returned
+    edge's endpoints share at least one (table, bucket); per-query
+    ranks are dense 1..deg with (score DESC, neighbor_id ASC) order;
+    and the quantized cosine is exactly symmetric when both directions
+    survive the top-k cut."""
+    import numpy as np
+
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.dedup import (
+        auto_n_planes,
+        portable_bucket_udf,
+    )
+    from lichess_db_spark.operators.similarity import lsh_self_topk_portable
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(200)
+    edges = lsh_self_topk_portable(emb, k=4).collect()
+    assert edges
+
+    n = 200
+    p = auto_n_planes(n)
+    _buckets = portable_bucket_udf(64, 8, p)
+    bk = {
+        r.vec_id: set((t, b) for t, b in enumerate(r.bks))
+        for r in emb.select(
+            "vec_id", _buckets("embedding").alias("bks")
+        ).collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in edges:
+        assert bk[r.query_id] & bk[r.neighbor_id], (
+            "edge endpoints never collided in any LSH table"
+        )
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: (-r.score, r.neighbor_id))
+        assert [r.rank for r in ordered] == list(range(1, len(rs) + 1))
+    es = {(r.query_id, r.neighbor_id): r.score for r in edges}
+    sym = [(a, b) for (a, b) in es if (b, a) in es]
+    assert sym, "fixture should yield some reciprocal edges"
+    for a, b in sym:
+        assert es[(a, b)] == es[(b, a)]  # exact quantized-cosine symmetry
