@@ -880,3 +880,29 @@ def test_mutual_lsh_edges_share_a_bucket_and_ranks_dense(spark):
     assert sym, "fixture should yield some reciprocal edges"
     for a, b in sym:
         assert es[(a, b)] == es[(b, a)]  # exact quantized-cosine symmetry
+
+
+def test_auto_n_planes_matches_sql_derivation():
+    """The oracle twin of auto_n_planes is a SQL MIN(p) over integer
+    shifts (see _MUTUAL_LSH_CTES / dedup_embedding_lsh). Pin the two
+    derivations equal across the whole relevant corpus-size range,
+    including every power-of-two boundary where a float log2 path
+    would risk a 1-ulp disagreement."""
+    import duckdb
+
+    from lichess_db_spark.operators.dedup import auto_n_planes
+
+    sizes = [0, 1, 15, 16, 17, 255, 256, 257, 500, 2000, 16000, 128000]
+    for p in range(4, 25):
+        b = 16 << p
+        sizes += [b - 1, b, b + 1]
+    for n in sizes:
+        want = auto_n_planes(n)
+        got = duckdb.sql(
+            f"""
+            SELECT LEAST(24, GREATEST(4, COALESCE(
+                (SELECT MIN(p.p) FROM range(0, 25) p(p)
+                 WHERE 16 * (1::BIGINT << p.p) >= {n}), 24)))
+            """
+        ).fetchone()[0]
+        assert got == want, f"n={n}: sql {got} != python {want}"
