@@ -1901,3 +1901,63 @@ def test_stream_kmv_reentering_key_per_microbatch(spark, tmp_path):
         for p in _glob.glob(f"{state}/v*")
     ]
     assert max(versions) >= 2, f"expected >=3 micro-batches, saw {versions}"
+
+
+def test_stream_embeddings_curation_cross_batch_reentry(spark, tmp_path):
+    """The embedding member of the r11 re-entry fleet (docs and images
+    got theirs in r11; this path's fixture still staged both files
+    before ONE availableNow run, which lumps them into a single batch
+    — intra-batch dedup alone could pass it). Two sequential
+    availableNow runs over ONE checkpoint give real distinct batch
+    ids: run 2's exact re-uploads must die against run 1's PERSISTED
+    digest state, run 2's near-dups against run 1's posting archive +
+    exact-cosine verify (foreign batch_id probes), and the archives
+    must span >=2 batch ids."""
+    import glob as _glob
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from lichess_db_spark.streaming.ingest import stream_embeddings_curation
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    src = tmp_path / "esrc"
+    out = tmp_path / "eout"
+    ckpt = tmp_path / "eckpt"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_embeddings_curation(
+        spark, str(src), str(out), str(ckpt), threshold=0.9, target_corpus=600
+    )
+    q.awaitTermination(240)
+    kept1 = {r.vec_id for r in spark.read.parquet(str(out / "vecs")).collect()}
+    assert kept1
+
+    near = b1.limit(10).select(
+        (F.col("vec_id") + 700000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.001)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).cast(ArrayType(FloatType())).alias("embedding"),
+        "label",
+    )
+    exact = b1.limit(5).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "embedding", "label"
+    )
+    b2 = emb.where(F.col("vec_id") % 2 == 1).unionByName(near).unionByName(exact)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = stream_embeddings_curation(
+        spark, str(src), str(out), str(ckpt), threshold=0.9, target_corpus=600
+    )
+    q2.awaitTermination(240)
+
+    kept = {r.vec_id for r in spark.read.parquet(str(out / "vecs")).collect()}
+    assert not {v for v in kept if 700000 <= v < 900000}, (
+        "a run-2 re-upload survived against run-1's persisted archives"
+    )
+    assert kept1 <= kept  # run-1 survivors untouched
+    # archives really span two batch ids (true foreign-batch re-entry)
+    batches = {
+        p.rsplit("batch=", 1)[1]
+        for p in _glob.glob(str(out / "_digest_state" / "batch=*"))
+    }
+    assert len(batches) >= 2, batches
