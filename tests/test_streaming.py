@@ -1961,3 +1961,50 @@ def test_stream_embeddings_curation_cross_batch_reentry(spark, tmp_path):
         for p in _glob.glob(str(out / "_digest_state" / "batch=*"))
     }
     assert len(batches) >= 2, batches
+
+
+def test_stream_dedup_cross_batch_state_probe(spark, tmp_path):
+    """stream_dedup's original fixture doubles events inside one
+    availableNow batch, so the drop could be purely intra-batch. Force
+    the duplicate copies into a LATER micro-batch (maxFilesPerTrigger=1
+    over mtime-ordered files): copies of the 20 LATEST batch-1 events —
+    ts at the watermark frontier, so their keys' state is still live —
+    must die against CROSS-BATCH state, while genuinely new batch-2
+    events (later ts) survive."""
+    import datetime as dt
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts")
+    )
+    rows1 = [(r.event_id, r.user_id, r.ts) for r in ev.collect()]
+    latest = sorted(rows1, key=lambda r: r[2])[-20:]
+    max_ts = max(r[2] for r in rows1)
+    fresh = [
+        (10_000_000 + i, 1, max_ts + dt.timedelta(minutes=i + 1))
+        for i in range(5)
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    src = _stage_ordered_batches(
+        spark, tmp_path, [rows1, list(latest) + fresh], schema
+    )
+    from lichess_db_spark.streaming.ingest import stream_dedup
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_dedup(stream, ["event_id"], ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("xbatch_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("xbatch_dedup")
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "a cross-batch duplicate survived"
+    assert len(ids) == len(rows1) + len(fresh)
+    assert {i for i, _, _ in fresh} <= set(ids)
