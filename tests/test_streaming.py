@@ -2008,3 +2008,62 @@ def test_stream_dedup_cross_batch_state_probe(spark, tmp_path):
     assert len(ids) == len(set(ids)), "a cross-batch duplicate survived"
     assert len(ids) == len(rows1) + len(fresh)
     assert {i for i, _, _ in fresh} <= set(ids)
+
+
+def test_stream_kmv_ignores_uncommitted_and_survives_checkpoint_wipe(spark, tmp_path):
+    """KMV state rides the same versioned _SUCCESS crash contract as
+    the agg MV — prove it on this path too: (a) a crashed batch's
+    partial state version (no _SUCCESS) is never served; (b) the
+    harshest replay — wiping the CHECKPOINT and re-running every batch
+    against the existing state — leaves the served sketch identical
+    (per-batch merge is a set-union no-op under replay)."""
+    import os as _os
+    import shutil as _shutil
+
+    from lichess_db_spark.streaming.ingest import (
+        kmv_from_state,
+        stream_kmv_maintenance,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev.where(F.col("user_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = stream_kmv_maintenance(
+            spark, stream, state, ckpt, "event_type", "user_id", k=16
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    before = {
+        r["group"]: (r["n_postings"], r["kth_hash"])
+        for r in kmv_from_state(spark, state, k=16).collect()
+    }
+
+    # (a) a fake LATER uncommitted version must be invisible
+    bad = spark.createDataFrame([("zzz", 1)], "__grp string, hv bigint")
+    bad.write.mode("overwrite").parquet(f"{state}/v999")
+    _os.remove(f"{state}/v999/_SUCCESS")
+    mid = {
+        r["group"]: (r["n_postings"], r["kth_hash"])
+        for r in kmv_from_state(spark, state, k=16).collect()
+    }
+    assert mid == before
+    _shutil.rmtree(f"{state}/v999")
+
+    # (b) wipe the checkpoint: every batch replays against the
+    # existing committed state; the sketch must not move
+    _shutil.rmtree(ckpt)
+    run_once()
+    after = {
+        r["group"]: (r["n_postings"], r["kth_hash"])
+        for r in kmv_from_state(spark, state, k=16).collect()
+    }
+    assert after == before
