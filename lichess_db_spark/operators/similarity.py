@@ -1268,6 +1268,14 @@ def lsh_self_topk_portable(
 
     if k < 1:
         raise ValueError(f"need k >= 1: {k}")
+    # contract: only non-NULL, exactly-``dim`` vectors participate (the
+    # quantization kernel hard-errors on NULL/ragged input, and the
+    # oracle's positional unnest assumes validity) — filter here so a
+    # dirty corpus degrades to exclusion, not a worker crash, matching
+    # the dot_exact_arrow NULL-mask precedent.
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count(), target_bucket=target_bucket)
     _buckets = portable_bucket_udf(dim, n_tables, n_planes)

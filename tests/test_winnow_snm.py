@@ -906,3 +906,26 @@ def test_auto_n_planes_matches_sql_derivation():
             """
         ).fetchone()[0]
         assert got == want, f"n={n}: sql {got} != python {want}"
+
+
+def test_mutual_lsh_excludes_null_and_ragged_vectors(spark):
+    """NULL / wrong-dim vectors are EXCLUDED, not a worker crash: the
+    quantization kernel hard-errors on ragged input, so the operator
+    filters to valid dim-length vectors up front (the dot_exact_arrow
+    NULL-mask precedent)."""
+    from lichess_db_spark.operators.similarity import lsh_self_topk_portable
+
+    rows = [
+        (0, [1.0] * 64),
+        (1, [1.0] * 64),
+        (2, None),
+        (3, [0.5] * 32),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_self_topk_portable(df, k=2).collect()
+    ids = {r.query_id for r in got} | {r.neighbor_id for r in got}
+    assert ids == {0, 1}
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got} == {
+        (0, 1, 1),
+        (1, 0, 1),
+    }
