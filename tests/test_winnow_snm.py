@@ -929,3 +929,21 @@ def test_mutual_lsh_excludes_null_and_ragged_vectors(spark):
         (0, 1, 1),
         (1, 0, 1),
     }
+
+
+def test_mutual_lsh_plan_shape(spark):
+    """Plan regression guards for lsh_self_topk_portable's scoring
+    stage (everything above the eager bucket checkpoint): the qcos
+    kernel must appear EXACTLY once (asNondeterministic blocks
+    Catalyst from cloning it below a referencing filter — the
+    portable_qcos lesson), and no BroadcastNestedLoopJoin /
+    CartesianProduct may sneak in (the candidate join is an equi-join
+    by construction)."""
+    from lichess_db_spark.io import load_table
+    from lichess_db_spark.operators.similarity import lsh_self_topk_portable
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(100)
+    plan = lsh_self_topk_portable(emb, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
