@@ -1895,7 +1895,14 @@ def test_stream_kmv_reentering_key_per_microbatch(spark, tmp_path):
         r["event_type"]: (r["n_hashes"], r["kth_hash"], r["kmv_estimate"])
         for r in kmv_sketch(ev, "event_type", "user_id", k=16).collect()
     }
-    assert got == want
+    # kth hash + estimate must match the one-shot batch sketch exactly;
+    # the state keeps at most k postings where the batch operator
+    # reports the TRUE distinct count, so the count column compares
+    # through min(., k)
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g][1:] == want[g][1:], g
+        assert got[g][0] == min(want[g][0], 16), g
     versions = [
         int(p.rstrip("/").split("v")[-1])
         for p in _glob.glob(f"{state}/v*")
