@@ -144,3 +144,29 @@ def test_staged_entries_rank_at_tail():
         )
         assert names.index(n) >= 50, f"staged entry {n} leaked into the window"
         assert n not in catalog._TOUCHED_THIS_ROUND
+
+
+def test_window_matches_committed_snapshot():
+    """The composed driver window is THE round deliverable: pin the
+    exact first-50 list to a committed snapshot so a late registration
+    or ordering change cannot silently reshuffle it between
+    pre-verification and the driver run. Refresh the snapshot (and
+    re-pre-verify the window) whenever the composition legitimately
+    changes: python - <<'PY'
+    import json; from lichess_db_spark.plans import catalog
+    json.dump({"round": catalog._ROUND,
+               "window": list(catalog.queries_map())[:50]},
+              open("lichess_db_spark/plans/window_snapshot.json", "w"), indent=1)
+    PY"""
+    import json
+
+    catalog = _catalog()
+    path = os.path.join(
+        REPO, "lichess_db_spark", "plans", "window_snapshot.json"
+    )
+    with open(path) as f:
+        snap = json.load(f)
+    assert snap["round"] == catalog._ROUND, (
+        "window snapshot is from another round — refresh it at the boundary"
+    )
+    assert list(catalog.queries_map())[:50] == snap["window"]
