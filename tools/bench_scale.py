@@ -639,6 +639,14 @@ def main() -> None:
             "video_fp_viral_precap_wide": lambda d, f: _video_viral_pairs(
                 d, wide=True
             ),
+            # KMV distinct sketch (r12): one distinct-hash aggregation
+            # + a per-group rank window that Spark 4 runs through the
+            # partial/final WindowGroupLimit pair (top-k pruned BEFORE
+            # the exchange, so only k rows per group cross the wire) —
+            # the map-side-prune claim gets its fitted exponent.
+            # Group = lang (bounded), value = text: hash cardinality
+            # scales with the corpus while state stays k x |langs|.
+            "kmv_lang_sketch": lambda d, f: _kmv_cell(d),
             # passage-duplication growth curve (r10): the catalog
             # entry's exact single-pass shape — one 8-gram exploded
             # scan into ONE gram-keyed aggregate carrying the
@@ -662,6 +670,11 @@ def main() -> None:
                 strict=True,
             ),
         }
+
+        def _kmv_cell(d):
+            from lichess_db_spark.operators.aggregates import kmv_sketch
+
+            return kmv_sketch(d, "lang", "text", k=64)
 
         def _video_viral_pairs(d, wide=False):
             from lichess_db_spark.multimodal.media import frame_sample
