@@ -444,14 +444,36 @@ def _last_green_round() -> dict[str, int]:
 _WINDOW_SIZE = 50
 
 
-def _rotation_debt(last_green: dict[str, int]) -> int:
+def _rotation_debt(last_green: dict[str, int], rnd: int | None = None) -> int:
+    rnd = _ROUND if rnd is None else rnd
     return sum(
         1
         for q in QUERIES.values()
         if q.oracle is not None
         and q.name in last_green
-        and _ROUND - last_green[q.name] > 3
+        and rnd - last_green[q.name] > 3
     )
+
+
+def _base_rank(q: QueryDef, last_green: dict[str, int]) -> tuple[int, int]:
+    """The marker-independent ordering groups (1/2/3/5) shared by
+    _ordered and tools/window_plan.py's next-round projection (the
+    projection drops the STAGED/TOUCHED markers because the boundary
+    clears them)."""
+    if q.name not in last_green:
+        return (1, 0)
+    if q.name in _CORE_SENTINELS:
+        return (2, 0)
+    if q.oracle is None:
+        # rows-only-by-design entries (sketches, engine-hash-specific
+        # paths, iterated algorithms): a window slot spent here buys
+        # only a row count — their exact/portable twins carry the hash
+        # coverage. Standing rule (VERDICT r10 item 5): they take
+        # window duty ONLY when forced — touched by a helper change
+        # (group 0) or never driver-recorded (group 1) — never by
+        # staleness rotation.
+        return (5, last_green[q.name])
+    return (3, last_green[q.name])
 
 
 def _ordered() -> list[QueryDef]:
@@ -466,20 +488,7 @@ def _ordered() -> list[QueryDef]:
             return (4, STAGED_NEXT.index(q.name))
         if q.name in _TOUCHED_THIS_ROUND:
             return (0, _TOUCHED_THIS_ROUND.index(q.name))
-        if q.name not in last_green:
-            return (1, 0)
-        if q.name in _CORE_SENTINELS:
-            return (2, 0)
-        if q.oracle is None:
-            # rows-only-by-design entries (sketches, engine-hash-
-            # specific paths, iterated algorithms): a window slot spent
-            # here buys only a row count — their exact/portable twins
-            # carry the hash coverage. Standing rule (VERDICT r10 item
-            # 5): they take window duty ONLY when forced — touched by a
-            # helper change (group 0) or never driver-recorded (group
-            # 1) — never by staleness rotation.
-            return (5, last_green[q.name])
-        return (3, last_green[q.name])
+        return _base_rank(q, last_green)
 
     # sorted() is stable: registration order is preserved within each group.
     return sorted(QUERIES.values(), key=rank)

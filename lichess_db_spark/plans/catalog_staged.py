@@ -4174,6 +4174,15 @@ def neyman_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MUTUAL_LSH_CTES = """
+    mcorpus AS (
+        -- validity filter mirroring the builder (similarity.py:
+        -- lsh_self_topk_portable): only non-NULL, exactly-64-dim
+        -- vectors participate — BOTH the auto-plane count and the
+        -- bucket/score pipeline see the same filtered population, so
+        -- a dirty corpus degrades to exclusion in BOTH engines
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
     params AS (
         -- auto-scaled plane count: smallest p with 16 * 2^p >= n,
         -- clamped to [4, 24] — integer-for-integer the same
@@ -4181,7 +4190,7 @@ _MUTUAL_LSH_CTES = """
         SELECT LEAST(24, GREATEST(4, COALESCE(
             (SELECT MIN(p.p) FROM range(0, 25) p(p)
              WHERE 16 * (1::BIGINT << p.p)
-                   >= (SELECT COUNT(*) FROM embeddings)), 24))) AS np
+                   >= (SELECT COUNT(*) FROM mcorpus)), 24))) AS np
     ),
     planes AS (
         SELECT t.t AS t, p.p AS p, d.d AS d,
@@ -4194,7 +4203,7 @@ _MUTUAL_LSH_CTES = """
     v AS (
         SELECT vec_id, g.i - 1 AS d,
                CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT) AS x
-        FROM embeddings, range(1, 65) AS g(i)
+        FROM mcorpus, range(1, 65) AS g(i)
     ),
     pdots AS (
         SELECT v.vec_id, pl.t, pl.p, SUM(v.x * pl.c) AS dot

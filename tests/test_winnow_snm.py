@@ -851,11 +851,15 @@ def test_mutual_lsh_edges_share_a_bucket_and_ranks_dense(spark):
     )
     from lichess_db_spark.operators.similarity import lsh_self_topk_portable
 
-    emb = load_table(spark, SF_SMALL, "embeddings").limit(200)
+    from pyspark.sql import functions as F
+
+    # deterministic subset: limit() without ordering may pick different
+    # rows across the two independent jobs below on a multi-file scan
+    emb = load_table(spark, SF_SMALL, "embeddings").where(F.col("vec_id") < 200)
     edges = lsh_self_topk_portable(emb, k=4).collect()
     assert edges
 
-    n = 200
+    n = emb.count()
     p = auto_n_planes(n)
     _buckets = portable_bucket_udf(64, 8, p)
     bk = {

@@ -5,6 +5,8 @@ Mechanizes the boundary arithmetic the BREADTH-BUDGET rule
 history plus an assumed green outcome for the current first-50
 window, print what the next round's 50 slots would hold, which
 entries spill, and the projected rotation debt / breadth budget.
+Reuses the catalog's own _base_rank / _rotation_debt so the
+projection cannot drift from the ordering policy.
 
 Usage: python tools/window_plan.py
 """
@@ -24,39 +26,23 @@ def main() -> None:
     last_green = dict(catalog._last_green_round())
     rnd = catalog._ROUND
     window_now = list(catalog.queries_map())[:50]
-    # assume the pending driver round greens the current window
+    # assume the pending driver round greens the current window (both
+    # hash rows and rows-only rows count as green in _last_green_round)
     for n in window_now:
-        q = catalog.QUERIES[n]
-        if q.oracle is not None or n in last_green or True:
-            last_green[n] = rnd
+        last_green[n] = rnd
 
     nxt = rnd + 1
-
-    def rank(name: str):
-        q = catalog.QUERIES[name]
-        if name not in last_green:
-            return (1, 0)
-        if name in catalog._CORE_SENTINELS:
-            return (2, 0)
-        if q.oracle is None:
-            return (5, last_green[name])
-        return (3, last_green[name])
-
-    names = list(catalog.QUERIES)
-    ordered = sorted(names, key=rank)
-    window_next = ordered[:50]
-    debt = sum(
-        1
-        for n, q in catalog.QUERIES.items()
-        if q.oracle is not None
-        and n in last_green
-        and nxt - last_green[n] > 3
+    # next-round ordering: the boundary clears STAGED_NEXT/_TOUCHED, so
+    # the projection is the catalog's marker-independent base ranking
+    ordered = sorted(
+        catalog.QUERIES, key=lambda n: catalog._base_rank(catalog.QUERIES[n], last_green)
     )
+    window_next = ordered[:50]
+    debt = catalog._rotation_debt(last_green, nxt)
     budget = max(0, catalog._WINDOW_SIZE - debt)
     print(f"projected r{nxt} window (assuming r{rnd} greens its 50):")
     for i, n in enumerate(window_next):
-        lg = last_green.get(n, "-")
-        print(f"  {i:2d} {n:42s} last_green={lg}")
+        print(f"  {i:2d} {n:42s} last_green={last_green.get(n, '-')}")
     spill = [
         n
         for n in ordered[50:]
@@ -64,7 +50,9 @@ def main() -> None:
         and last_green.get(n, 99) <= nxt - 4
     ]
     print(f"\nprojected rotation debt at r{nxt}: {debt}  breadth budget: {budget}")
-    print(f"staleness>3 oracle-paired entries spilling past the r{nxt} window: {len(spill)}")
+    print(
+        f"staleness>3 oracle-paired entries spilling past the r{nxt} window: {len(spill)}"
+    )
     for n in spill:
         print(f"  spill {n} last_green={last_green.get(n)}")
 
