@@ -669,7 +669,24 @@ def main() -> None:
                 max_iter=30,
                 strict=True,
             ),
+            # LPA communities (r12): FIXED superstep count (3, the
+            # catalog config) over chain graphs growing linearly in
+            # nodes/edges — one shuffle per superstep, work ~ edges x
+            # supersteps, so the expected exponent is ~1 (contrast
+            # cc_chain_diameter, whose round count grows with the
+            # diameter BY DESIGN).
+            "lpa_chain_communities": lambda d, f: _lpa_chains(d.sparkSession, f),
         }
+
+        def _lpa_chains(spark_, f):
+            from lichess_db_spark.operators.clustering import label_propagation
+
+            return label_propagation(
+                _chain_edges(spark_, 5000 * f, 8),
+                steps=3,
+                src_col="a",
+                dst_col="b",
+            )
 
         def _kmv_cell(d):
             from lichess_db_spark.operators.aggregates import kmv_sketch
