@@ -33,8 +33,37 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # 5. Rows-only-by-design entries never rotate in by staleness (a slot
 #    spent there buys only a row count; their exact twins carry hash
 #    coverage) — they re-enter only via groups 0/1 (VERDICT r10 item 5).
-_ROUND = 12
+_ROUND = 13
 _TOUCHED_THIS_ROUND = (
+    # r13 window budget (VERDICT r12 items 1-3): 1 staged + 4
+    # verdict-mandated re-entries + 2 sentinels leaves 43 rotation-tail
+    # slots — the 12 r7-vintage spill entries lead the tail, then the
+    # oldest r8/r9 rows. Breadth freeze holds (debt 68, budget 0):
+    # anything authored this round goes to STAGED_NEXT.
+    #
+    # VERDICT r12 item 1: the one r12-staged entry (judge-sim PASS)
+    # leads the window.
+    "knn_mutual_pairs_lsh",
+    # VERDICT r12 item 2 (the weak row): video_fp_near_dup ships the
+    # measured 128-bit aHash++dHash signature (4 x 32-bit band keys;
+    # BENCH_SCALE_R12_VIDEO mitigation cell alpha 0.69 vs the 64-bit
+    # tier's saturation alpha 1.24) — builder + oracle change, so it
+    # re-enters; audio_fp_near_dup shares the kit with higher
+    # per-track window fan-out (n_bytes/512) and gets the same wide
+    # tier.
+    "video_fp_near_dup",
+    "audio_fp_near_dup",
+    # VERDICT r12 item 3 + ADVICE: the shared portable-LSH kit's
+    # validity filter (NULL/ragged + element-level NULL/NaN +
+    # zero-quantized-norm) moves into a shared helper consumed by
+    # embedding_lsh_dedup_pairs / lsh_topk_portable /
+    # lsh_self_topk_portable — the two non-staged dependents re-enter
+    # (knn_mutual_pairs_lsh already leads; both were r9-vintage tail
+    # rows anyway, so the net spill cost is ~2 slots).
+    "dedup_embedding_lsh",
+    "knn_lsh_cosine_portable",
+)
+_TOUCHED_R12 = (
     # r12 window budget (VERDICT r11 item 1 — drain the driver-row
     # backlog before adding breadth): the 25 r11-session-2 staged
     # entries (STAGED_NEXT now cleared; all 25 judge-sim PASS at

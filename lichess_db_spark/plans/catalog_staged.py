@@ -26,15 +26,10 @@ from .registry import register
 
 # names ranked at the catalog tail this round; plans/catalog.py clears
 # this at each round boundary (moving them into _TOUCHED_THIS_ROUND).
-# r12 boundary: the 25 r11-session-2 staged entries moved into the r12
-# window (VERDICT r11 item 1); entries registered AFTER the r12 window
-# freezes are staged here.
-STAGED_NEXT: tuple[str, ...] = (
-    # r12: ANN-built mutual-kNN (VERDICT r11 item 4); the breadth-
-    # budget rule (plans/catalog.py) leaves zero r12 window slots, so
-    # it leads the r13 window as a group-1 never-green.
-    "knn_mutual_pairs_lsh",
-)
+# r13 boundary: knn_mutual_pairs_lsh moved into the r13 window
+# (VERDICT r12 item 1); entries registered AFTER the r13 window
+# freezes are staged here (breadth freeze: debt 68, budget 0).
+STAGED_NEXT: tuple[str, ...] = ()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

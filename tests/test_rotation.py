@@ -167,6 +167,18 @@ def test_window_matches_committed_snapshot():
     with open(path) as f:
         snap = json.load(f)
     assert snap["round"] == catalog._ROUND, (
-        "window snapshot is from another round — refresh it at the boundary"
+        "window snapshot is from another round — refresh it at the boundary. "
+        "NOTE (ADVICE r12): _last_green_round() reads CORRECTNESS_r*.json "
+        "from the repo root at runtime, so a newly-dropped driver record "
+        "re-ranks the live window; the record must land in the SAME commit "
+        "as the boundary refresh (_ROUND bump + window_snapshot.json + "
+        "catalog_fingerprints.json) so the tree never sits mismatched."
     )
-    assert list(catalog.queries_map())[:50] == snap["window"]
+    assert list(catalog.queries_map())[:50] == snap["window"], (
+        "live first-50 window deviates from the committed pin — if a new "
+        "CORRECTNESS_r*.json just landed, run the round-boundary procedure "
+        "(bump _ROUND, refresh window_snapshot.json + "
+        "catalog_fingerprints.json) in the same commit; if a builder "
+        "changed mid-round, add it to _TOUCHED_THIS_ROUND and re-refresh "
+        "the snapshot + re-pre-verify the window"
+    )
