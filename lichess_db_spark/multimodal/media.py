@@ -442,9 +442,28 @@ def ahash_images(
     Scale: Arrow-batched mapInPandas, one pass, no shuffle; peak
     memory is one batch of blobs. O(bytes) per blob — the same order
     as the decode it rides along with."""
-    if method not in ("ahash", "dhash"):
+    if method not in ("ahash", "dhash", "ahash_dhash"):
         raise ValueError(f"unknown perceptual-hash method {method!r}")
-    bits_fn = _ahash_bits_from_gray if method == "ahash" else _dhash_bits_from_gray
+    if method == "ahash":
+        bits_fn = _ahash_bits_from_gray
+    elif method == "dhash":
+        bits_fn = _dhash_bits_from_gray
+    else:
+        # 128-bit WIDE signature: aHash ++ dHash over the same gray
+        # sequence, ONE pass per blob (the production shape; the
+        # join-of-two-passes variant in tools/bench_scale.py ran the
+        # decode+kernel twice and shuffled an extra join). Why width:
+        # the banded Hamming pairing tier's key space is
+        # 2^(n_bits/bands) per band — BENCH_SCALE_R12_VIDEO measured
+        # the 64-bit/4-band tier's 16-bit keys birthday-SATURATING
+        # under frame fan-out (259k of 262k keys occupied at 64x,
+        # candidate pairs super-linear at alpha 1.24, every extra
+        # pair rejected by the verify); 4 x 32-bit keys restore
+        # keys_per_band >> signatures/16 while keeping the pigeonhole
+        # guarantee (bands > max_hamming) AND both halves are real
+        # perceptual-hash rules, so near-dup locality is preserved.
+        def bits_fn(gray: "list[int]") -> str:
+            return _ahash_bits_from_gray(gray) + _dhash_bits_from_gray(gray)
     if use_real is None:
         use_real = HAVE_REAL_CODECS
     if use_real and not HAVE_REAL_CODECS:
@@ -466,8 +485,14 @@ def ahash_images(
                 if use_real:
                     try:
                         # ahash: 8x8 (64 blocks = 64 pixels);
-                        # dhash: 65 flat cells -> adjacent-cell gradient
-                        size = (8, 8) if method == "ahash" else (13, 5)
+                        # dhash: 65 flat cells -> adjacent-cell gradient;
+                        # ahash_dhash: 128 cells so both rules see >=1
+                        # cell per block
+                        size = {
+                            "ahash": (8, 8),
+                            "dhash": (13, 5),
+                            "ahash_dhash": (16, 8),
+                        }[method]
                         img = (
                             _PILImage.open(io.BytesIO(blob))
                             .convert("L")
@@ -501,6 +526,7 @@ def audio_fingerprints(
     window_bytes: int = 1024,
     hop_bytes: int = 512,
     use_real: bool | None = None,
+    wide: bool = False,
 ) -> DataFrame:
     """Chromaprint-SHAPED audio fingerprint: a SERIES of 64-bit
     sub-fingerprints over overlapping windows of the stream — one row
@@ -563,7 +589,20 @@ def audio_fingerprints(
                     gray = list(blob[w * hop_bytes : w * hop_bytes + window_bytes])
                     ids.append(doc_id)
                     widx.append(w)
-                    fps.append(_dhash_bits_from_gray(gray))
+                    # wide=True: 128-bit dHash ++ aHash per window (the
+                    # base gradient rule stays the signature PREFIX).
+                    # Why: the banded pairing tier's per-band key space
+                    # is 2^(n_bits/bands); the per-track window fan-out
+                    # here is n_bytes/hop — even larger than the video
+                    # tier whose 16-bit keys measurably saturated
+                    # (BENCH_SCALE_R12_VIDEO) — so production corpora
+                    # need 4 x 32-bit band keys: keys_per_band >>
+                    # windows/16, the bitstring analogue of
+                    # auto_n_planes.
+                    fp = _dhash_bits_from_gray(gray)
+                    if wide:
+                        fp += _ahash_bits_from_gray(gray)
+                    fps.append(fp)
             yield pd.DataFrame({"doc_id": ids, "window_idx": widx, "afp": fps})
 
     return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

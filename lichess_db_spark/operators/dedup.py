@@ -2018,6 +2018,24 @@ def bitstring_near_dup_pairs(
     4 / 4 / 19 at sf0.001/0.01/0.1), so the catalog oracles stay
     uncapped and exact.
 
+    BAND-KEY WIDTH SIZING RULE (the bitstring analogue of
+    ``auto_n_planes``, from the BENCH_SCALE_R12_VIDEO diagnosis):
+    the per-band key space is ``2^(n_bits/bands)``; candidate volume
+    stays linear only while ``2^(n_bits/bands) >> n_signatures / 16``
+    (expected bucket occupancy ~16). Below that the keys
+    birthday-saturate and within-band candidates degrade toward
+    quadratic — measured on the 64-bit/4-band tier under 4x frame
+    fan-out: 259k of 262k 16-bit keys occupied at 64x, under-cap
+    candidates growing 72x for an 8x corpus, alpha 1.24, every extra
+    pair rejected by the Hamming verify. Width is a property of the
+    SIGNATURE, so the knob lives with the generator: use 128-bit wide
+    signatures (``ahash_images(method="ahash_dhash")``,
+    ``audio_fingerprints(wide=True)``) for corpora past ~1M
+    signatures — 4 x 32-bit keys hold the linear regime to ~10^10
+    signatures (alpha 0.69 and 3x faster at the 64x factor) while
+    keeping the pigeonhole guarantee (bands > max_hamming) and
+    near-dup locality (both halves are real perceptual-hash rules).
+
     Returns (id_lo, id_hi, hamming) with id_lo < id_hi, one row per
     qualifying pair. Raises when the pigeonhole guarantee would not
     hold (max_hamming >= bands) or the signature does not split

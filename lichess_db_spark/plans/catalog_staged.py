@@ -1706,12 +1706,42 @@ _AFP_CTES = f"""{_PHASH_CORPUS_CTE},
                         AND y.b = g.i + 1
         GROUP BY w.doc_id, w.widx
     ),
+    -- aHash half of the 128-bit wide signature (VERDICT r12 item 2:
+    -- the audio tier's per-track window fan-out, n_bytes/hop, exceeds
+    -- even the video tier whose 16-bit band keys measurably
+    -- saturated — the wide tier keeps keys_per_band >> windows/16):
+    -- 64 equal-span blocks, bit b = 1 iff block mean > window mean by
+    -- exact integer cross-multiply (media._ahash_bits_from_gray).
+    w64 AS (
+        SELECT doc_id, widx, CAST((rp * 64) // wlen AS INT) AS b,
+               CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM wch GROUP BY doc_id, widx, (rp * 64) // wlen
+    ),
+    wtot AS (
+        SELECT doc_id, widx, CAST(SUM(v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM wch GROUP BY doc_id, widx
+    ),
+    wabits AS (
+        SELECT t.doc_id, t.widx,
+               string_agg(CASE WHEN COALESCE(a.s, 0) * t.n
+                                    > t.s * COALESCE(a.c, 0)
+                               THEN '1' ELSE '0' END, '' ORDER BY g.i) AS ahp
+        FROM wtot t
+        CROSS JOIN range(0, 64) AS g(i)
+        LEFT JOIN w64 a ON a.doc_id = t.doc_id AND a.widx = t.widx
+                       AND a.b = g.i
+        GROUP BY t.doc_id, t.widx
+    ),
     wsig AS (
-        SELECT doc_id * 100000 + widx AS wid, doc_id, widx, afp FROM afp
+        SELECT f.doc_id * 100000 + f.widx AS wid, f.doc_id, f.widx,
+               f.afp || a.ahp AS afp
+        FROM afp f
+        JOIN wabits a ON a.doc_id = f.doc_id AND a.widx = f.widx
     ),
     abands AS (
         SELECT wid, doc_id, afp, g.j AS b,
-               substr(afp, CAST(g.j * 16 + 1 AS INT), 16) AS key
+               substr(afp, CAST(g.j * 32 + 1 AS INT), 32) AS key
         FROM wsig, range(0, 4) AS g(j)
     ),
     acand AS (
@@ -1728,7 +1758,7 @@ _AFP_CTES = f"""{_PHASH_CORPUS_CTE},
         FROM acand c
         JOIN wsig pa ON pa.wid = c.wid_lo
         JOIN wsig pb ON pb.wid = c.wid_hi,
-        range(1, 65) AS g(i)
+        range(1, 129) AS g(i)
         GROUP BY c.wid_lo, c.wid_hi
     )"""
 
@@ -1749,11 +1779,17 @@ _AFP_CTES = f"""{_PHASH_CORPUS_CTE},
     "the FOURTH modality on the shared Hamming kit (text: minhash/"
     "exactsubstr; embeddings: lsh/semdedup; images: pHash; audio: "
     "THIS), VERDICT r9 item 7. multimodal.media.audio_fingerprints "
-    "emits a chromaprint-SHAPED series of 64-bit sub-fingerprints "
-    "over overlapping 1024-byte windows (hop 512): per window the "
-    "dHash adjacent-energy gradient rule (65 equal-span blocks, "
-    "exact integer cross-multiply), so trims/offsets still match on "
-    "shared windows — a whole-file hash would not. Pairing: the SAME "
+    "emits a chromaprint-SHAPED series of 128-bit WIDE "
+    "sub-fingerprints over overlapping 1024-byte windows (hop 512): "
+    "per window the dHash adjacent-energy gradient rule (65 "
+    "equal-span blocks, exact integer cross-multiply) ++ the aHash "
+    "block-vs-window-mean rule — the wide tier per VERDICT r12 item "
+    "2: this tier's per-track window fan-out (n_bytes/hop) exceeds "
+    "even the video tier whose 16-bit band keys measurably "
+    "birthday-saturated (BENCH_SCALE_R12_VIDEO), so production "
+    "corpora need 4 x 32-bit band keys (keys_per_band >> "
+    "windows/16). Trims/offsets still match on shared windows — a "
+    "whole-file hash would not. Pairing: the SAME "
     "dedup.bitstring_near_dup_pairs band LSH over composite "
     "(track*100000+window) ids, then track-level aggregation "
     "(n_window_matches, min_hamming) excluding same-track pairs. "
@@ -1776,6 +1812,7 @@ def audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.encode("text", "UTF-8").alias("data")),
         window_bytes=_AFP_WINDOW,
         hop_bytes=_AFP_HOP,
+        wide=True,
     )
     # slot-persist: the window-signature relation feeds the pre-cap
     # count pass, both band-join sides and the Hamming verify; the
@@ -1790,7 +1827,7 @@ def audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pairs = bitstring_near_dup_pairs(
-        wsig, sig_col="afp", id_col="wid", n_bits=64, max_hamming=3, bands=4
+        wsig, sig_col="afp", id_col="wid", n_bits=128, max_hamming=3, bands=4
     )
     return (
         pairs.select(
@@ -1852,19 +1889,44 @@ _VFP_CTES = f"""{_PHASH_CORPUS_CTE},
         SELECT t.doc_id, t.fidx,
                string_agg(CASE WHEN COALESCE(a.s, 0) * t.n
                                     > t.s * COALESCE(a.c, 0)
-                               THEN '1' ELSE '0' END, '' ORDER BY g.i) AS vfp
+                               THEN '1' ELSE '0' END, '' ORDER BY g.i) AS afp
         FROM ftot t
         CROSS JOIN range(0, 64) AS g(i)
         LEFT JOIN fagg a ON a.doc_id = t.doc_id AND a.fidx = t.fidx
                         AND a.b = g.i
         GROUP BY t.doc_id, t.fidx
     ),
+    -- dHash half of the 128-bit wide signature (VERDICT r12 item 2):
+    -- 65 equal-span blocks per frame, bit b = 1 iff block b's mean <
+    -- block b+1's mean by exact integer cross-multiply — the same
+    -- gradient rule as media._dhash_bits_from_gray / the audio tier.
+    dagg AS (
+        SELECT doc_id, fidx, CAST((rp * 65) // span AS INT) AS b,
+               CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM fch GROUP BY doc_id, fidx, (rp * 65) // span
+    ),
+    dbits AS (
+        SELECT t.doc_id, t.fidx,
+               string_agg(CASE WHEN COALESCE(x.s, 0) * COALESCE(y.c, 0)
+                                    < COALESCE(y.s, 0) * COALESCE(x.c, 0)
+                               THEN '1' ELSE '0' END, '' ORDER BY g.i) AS dfp
+        FROM ftot t
+        CROSS JOIN range(0, 64) AS g(i)
+        LEFT JOIN dagg x ON x.doc_id = t.doc_id AND x.fidx = t.fidx
+                        AND x.b = g.i
+        LEFT JOIN dagg y ON y.doc_id = t.doc_id AND y.fidx = t.fidx
+                        AND y.b = g.i + 1
+        GROUP BY t.doc_id, t.fidx
+    ),
     fsig AS (
-        SELECT doc_id * 100 + fidx AS fid, doc_id, fidx, vfp FROM fbits
+        SELECT a.doc_id * 100 + a.fidx AS fid, a.doc_id, a.fidx,
+               a.afp || d.dfp AS vfp
+        FROM fbits a
+        JOIN dbits d ON d.doc_id = a.doc_id AND d.fidx = a.fidx
     ),
     vbands AS (
         SELECT fid, doc_id, vfp, g.j AS b,
-               substr(vfp, CAST(g.j * 16 + 1 AS INT), 16) AS key
+               substr(vfp, CAST(g.j * 32 + 1 AS INT), 32) AS key
         FROM fsig, range(0, 4) AS g(j)
     ),
     vcand AS (
@@ -1881,7 +1943,7 @@ _VFP_CTES = f"""{_PHASH_CORPUS_CTE},
         FROM vcand c
         JOIN fsig pa ON pa.fid = c.fid_lo
         JOIN fsig pb ON pb.fid = c.fid_hi,
-        range(1, 65) AS g(i)
+        range(1, 129) AS g(i)
         GROUP BY c.fid_lo, c.fid_hi
     )"""
 
@@ -1904,11 +1966,18 @@ _VFP_CTES = f"""{_PHASH_CORPUS_CTE},
     "EXISTING operators end to end: multimodal.media.frame_sample "
     "(evenly-spaced frame offsets — min(4, 1+bytes/256) frames, the "
     "arithmetic a real container decoder would seek with), per-frame "
-    "aHash (the exact-integer block-mean rule over each frame's byte "
-    "span; a real decoder would hand decoded frame images to the "
-    "SAME kernel), and dedup.bitstring_near_dup_pairs over composite "
-    "(track*100+frame) ids with the count-first pre-cap, then "
-    "track-level aggregation (n_frame_matches, min_hamming). Two "
+    "128-bit aHash++dHash WIDE signatures (both exact-integer "
+    "perceptual-hash rules in ONE kernel pass; a real decoder would "
+    "hand decoded frame images to the SAME kernel), and "
+    "dedup.bitstring_near_dup_pairs over composite (track*100+frame) "
+    "ids with the count-first pre-cap, then track-level aggregation "
+    "(n_frame_matches, min_hamming). The wide tier is the VERDICT "
+    "r12 scale fix: the prior 64-bit/4-band tier's 16-bit band keys "
+    "birthday-SATURATE under frame fan-out (BENCH_SCALE_R12_VIDEO: "
+    "259k of 262k keys occupied at 64x, candidates alpha 1.24, every "
+    "extra pair verify-rejected); 4 x 32-bit keys restore "
+    "keys_per_band >> frames/16 (alpha 0.69, 3x faster at 64x) while "
+    "keeping the pigeonhole guarantee (4 bands > max_hamming 3). Two "
     "re-uploads match on every frame at hamming 0; a trimmed or "
     "re-encoded track would still match on surviving frames — the "
     "property a whole-file hash lacks. Corpus: the shared "
@@ -1948,12 +2017,12 @@ def video_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count pass, both band-join sides and the Hamming verify
     fsig = _slot_persist(
         "video_fp_near_dup.fsig",
-        ahash_images(frame_blobs, id_col="fid", use_real=False).select(
-            F.col("doc_id").alias("fid"), F.col("phash").alias("vfp")
-        ),
+        ahash_images(
+            frame_blobs, id_col="fid", use_real=False, method="ahash_dhash"
+        ).select(F.col("doc_id").alias("fid"), F.col("phash").alias("vfp")),
     )
     pairs = bitstring_near_dup_pairs(
-        fsig, sig_col="vfp", id_col="fid", n_bits=64, max_hamming=3, bands=4
+        fsig, sig_col="vfp", id_col="fid", n_bits=128, max_hamming=3, bands=4
     )
     return (
         pairs.select(

@@ -1854,6 +1854,70 @@ def test_dedup_split_leakfree_and_keep_best_properties(spark):
     assert agg.where(F.col("kept_chars") != F.col("mx")).count() == 0  # longest
 
 
+def test_wide_signature_128bit_twin_and_pairing(spark):
+    """128-bit WIDE perceptual signatures (VERDICT r12 item 2 — the
+    band-key saturation fix): the single-pass ahash_dhash method
+    equals aHash bits ++ dHash bits computed by the narrow methods;
+    audio wide=True keeps the narrow gradient signature as the exact
+    PREFIX and appends the window aHash; re-uploads still collide at
+    hamming 0 through the 4 x 32-bit banded pairing; locality holds
+    (a few flipped bytes move a few bits, never the wholesale flip an
+    md5 stand-in would show)."""
+    from lichess_db_spark.multimodal.media import (
+        ahash_images,
+        audio_fingerprints,
+    )
+    from lichess_db_spark.operators.dedup import bitstring_near_dup_pairs
+
+    base = bytes((i * 37 + (i // 11) * 101) % 256 for i in range(2300))
+    tweaked = bytearray(base)
+    tweaked[0:36] = b"\xff" * 36  # saturate ~one block: flips 3 bits
+    rows = [(1, base), (2, bytes(base)), (3, bytes(tweaked))]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+
+    wide = {r.doc_id: r.phash for r in
+            ahash_images(df, use_real=False, method="ahash_dhash").collect()}
+    nar_a = {r.doc_id: r.phash for r in
+             ahash_images(df, use_real=False, method="ahash").collect()}
+    nar_d = {r.doc_id: r.phash for r in
+             ahash_images(df, use_real=False, method="dhash").collect()}
+    for i in (1, 2, 3):
+        assert len(wide[i]) == 128
+        assert wide[i] == nar_a[i] + nar_d[i]
+    assert wide[1] == wide[2]
+    # locality: one flipped byte moves only a few of the 128 bits
+    diff = sum(a != b for a, b in zip(wide[1], wide[3]))
+    assert 0 < diff <= 6
+
+    # audio wide: narrow signature is the exact prefix, aHash appended
+    nar = {(r.doc_id, r.window_idx): r.afp for r in
+           audio_fingerprints(df, window_bytes=1024, hop_bytes=512).collect()}
+    wid = {(r.doc_id, r.window_idx): r.afp for r in
+           audio_fingerprints(
+               df, window_bytes=1024, hop_bytes=512, wide=True
+           ).collect()}
+    assert set(nar) == set(wid)
+    for k, fp in wid.items():
+        assert len(fp) == 128
+        assert fp.startswith(nar[k])
+
+    # 128-bit pairing: re-uploads collide at hamming 0 under the
+    # 4 x 32-bit banded kit; the pigeonhole contract still validates
+    sigs = ahash_images(df, use_real=False, method="ahash_dhash")
+    pairs = {
+        (r.id_lo, r.id_hi): r.hamming
+        for r in bitstring_near_dup_pairs(
+            sigs.select("doc_id", F.col("phash")),
+            sig_col="phash", n_bits=128, max_hamming=3, bands=4,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    with pytest.raises(ValueError, match="not divisible"):
+        bitstring_near_dup_pairs(sigs, n_bits=127, bands=4)
+    with pytest.raises(ValueError, match="unknown perceptual-hash"):
+        ahash_images(df, method="widehash")
+
+
 def test_audio_fingerprints_windows_and_twin(spark):
     """audio_fingerprints: windowing contract (overlapping hop
     windows; short blobs get one whole-blob window), python-twin

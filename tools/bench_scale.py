@@ -725,22 +725,16 @@ def main() -> None:
                     "UTF-8",
                 ).alias("data"),
             )
-            ah = ahash_images(frame_blobs, id_col="fid", use_real=False).select(
+            # wide=True is the PRODUCTION path since r13: single-pass
+            # 128-bit aHash++dHash kernel (method="ahash_dhash"), not
+            # the r12 mitigation cell's join-of-two-passes shape
+            method = "ahash_dhash" if wide else "ahash"
+            n_bits = 128 if wide else 64
+            fsig = ahash_images(
+                frame_blobs, id_col="fid", use_real=False, method=method
+            ).select(
                 F.col("doc_id").alias("fid"), F.col("phash").alias("vfp")
-            )
-            if wide:
-                dh = ahash_images(
-                    frame_blobs, id_col="fid", use_real=False, method="dhash"
-                ).select(F.col("doc_id").alias("fid"), F.col("phash").alias("dfp"))
-                fsig = (
-                    ah.join(dh, "fid")
-                    .select("fid", F.concat("vfp", "dfp").alias("vfp"))
-                    .persist()
-                )
-                n_bits = 128
-            else:
-                fsig = ah.persist()
-                n_bits = 64
+            ).persist()
             pairs = dd.bitstring_near_dup_pairs(
                 fsig,
                 sig_col="vfp",
