@@ -963,9 +963,14 @@ def embedding_bucket_postings(
 ) -> DataFrame:
     """(table, bucket, id) posting rows for a vector set under a FIXED
     plane config — the persistable unit of the embedding LSH index
-    (hyperplane twin of minhash_band_postings)."""
+    (hyperplane twin of minhash_band_postings). Runs the shared
+    validity gate (r13): dirty vectors never reach the kernel or the
+    archive, so the incremental/streaming tiers inherit the same
+    degrade-to-exclusion contract as the batch tiers."""
     _buckets = portable_bucket_udf(dim, n_tables, n_planes)
-    return spread(emb.select(id_col, vec_col)).select(
+    return spread(
+        filter_valid_vectors(emb, vec_col, dim).select(id_col, vec_col)
+    ).select(
         F.col(id_col),
         F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
     )
@@ -1034,7 +1039,13 @@ def incremental_embedding_near_dup(
         n_planes = cfg["n_planes"]
     else:
         if n_planes is None:
-            n = target_corpus if target_corpus is not None else new_vecs.count()
+            # size to the GATED population (r13): the same vectors the
+            # posting writer below will actually index
+            n = (
+                target_corpus
+                if target_corpus is not None
+                else filter_valid_vectors(new_vecs, vec_col, dim).count()
+            )
             n_planes = auto_n_planes(n, target_bucket=target_bucket)
         spark.createDataFrame(
             [(dim, n_tables, n_planes)], "dim int, n_tables int, n_planes int"

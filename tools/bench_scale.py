@@ -612,6 +612,25 @@ def main() -> None:
                 max_hamming=3,
                 bands=4,
             ),
+            # r13: the PRODUCTION audio config since the wide-signature
+            # fix — 128-bit dHash++aHash windows, 4 x 32-bit band keys
+            # (the audio tier's window fan-out n_bytes/hop exceeds the
+            # video tier whose 16-bit keys measurably saturated)
+            "audio_fp_viral_precap_wide": lambda d, f: dd.bitstring_near_dup_pairs(
+                audio_fingerprints(_viralize_audio(d), wide=True)
+                .select(
+                    (F.col("doc_id") * 100000 + F.col("window_idx")).alias(
+                        "wid"
+                    ),
+                    "afp",
+                )
+                .persist(),
+                sig_col="afp",
+                id_col="wid",
+                n_bits=128,
+                max_hamming=3,
+                bands=4,
+            ),
             # Video tier under VIRAL duplication (VERDICT r11 item 5):
             # the most expensive driver entry (frame explode x aHash x
             # shared Hamming kit) gets its duplication-stress exponent.
@@ -934,6 +953,25 @@ def main() -> None:
             # within-replica neighbor structure and near-zero
             # cross-replica cosines.
             "mutual_knn_lsh": lambda d, f: _mutual_lsh(d),
+            # r13 (VERDICT r12 item 6): the pre-cap's recall/runtime
+            # trade at the concentration the 100 TB story assumes.
+            # capped = max_bucket_size 256 engaged on the plain
+            # sign-salted corpus (cap verified non-binding there: max
+            # bucket 181 at 64x — safety must be free);
+            # viral_capped = every 5th vector replaced by ONE constant
+            # vector, a single signature owning 20% of the corpus in
+            # EVERY table (the mass near-dup flood the count-first
+            # pre-cap exists for) with the cap engaged;
+            # viral_uncapped = the same flood without the cap — run at
+            # LOW factors only (--factors 1,8): its candidate volume
+            # is (0.2n)^2 by construction.
+            "mutual_knn_lsh_capped": lambda d, f: _mutual_lsh(d, cap=256),
+            "mutual_knn_lsh_viral_capped": lambda d, f: _mutual_lsh(
+                _viral_emb(d), cap=256
+            ),
+            "mutual_knn_lsh_viral_uncapped": lambda d, f: _mutual_lsh(
+                _viral_emb(d)
+            ),
             # the mutual STEP alone (r11 s2): synthetic n*k edge list
             # (xor partner -> mutual, ring -> asymmetric) through the
             # reversed-key self-join — the design claim is that
@@ -946,14 +984,32 @@ def main() -> None:
 
             return mutual_knn_edges(d, k=4, use_arrow=True)
 
-        def _mutual_lsh(d):
+        def _mutual_lsh(d, cap=None):
             from lichess_db_spark.operators.similarity import (
                 lsh_self_topk_portable,
                 mutual_filter,
             )
 
-            edges = lsh_self_topk_portable(d, k=4).localCheckpoint(eager=True)
+            edges = lsh_self_topk_portable(
+                d, k=4, max_bucket_size=cap
+            ).localCheckpoint(eager=True)
             return mutual_filter(edges)
+
+        def _viral_emb(d):
+            """Every 5th vector becomes ONE constant vector — identical
+            signatures bucket together in EVERY table, the worst-case
+            concentration for a bucket self-join (exact dedup would
+            normally remove these first; the cell measures the cap
+            holding when it hasn't)."""
+            return d.select(
+                "vec_id",
+                F.when(
+                    F.pmod("vec_id", F.lit(5)) == 0,
+                    F.expr("transform(embedding, x -> CAST(0.125 AS FLOAT))"),
+                )
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
 
         def _mutual_step(d):
             ids = d.select(F.col("vec_id").alias("query_id"))

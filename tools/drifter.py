@@ -8,7 +8,15 @@ noop-sink discipline as bench.py. Run the tool twice (two processes)
 so a whole-process stall cannot own the verdict.
 
 Usage: python tools/drifter.py entry1 [entry2 ...] [--sf DIR] [--iters 5]
-Prints one JSON line: {entry: {"median": s, "samples": [...]}, ...}
+                                [--partitions N] [--aqe on|off]
+Prints one JSON line: {entry: {"median": s, "samples": [...]}, ...,
+"_conf": {...}}
+
+--partitions / --aqe (r13, VERDICT r12 item 5): when an entry drifts
+in the DRIVER's bench but is flat in isolation twice, the next step is
+not another local rerun — it is reproducing at driver-shaped CONFIG
+variations (shuffle-partition count, AQE on/off) to either name the
+config factor or pin host band with the config space excluded.
 """
 
 from __future__ import annotations
@@ -29,6 +37,8 @@ def main() -> None:
     ap.add_argument("entries", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--aqe", choices=("on", "off"), default="on")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CACHE_SCANS"] = "1"
@@ -36,7 +46,11 @@ def main() -> None:
     from lichess_db_spark.session import get_spark
     from lichess_db_spark.io import TABLES, load_table
 
-    spark = get_spark("lichess-db-spark-drifter")
+    spark = get_spark(
+        "lichess-db-spark-drifter", shuffle_partitions=args.partitions
+    )
+    if args.aqe == "off":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
     for t in TABLES:
         load_table(spark, args.sf, t).limit(1).collect()
@@ -63,6 +77,11 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     finally:
         gc.enable()
+    out["_conf"] = {
+        "partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "sf": args.sf,
+    }
     print(json.dumps(out))
     spark.stop()
 
