@@ -424,10 +424,12 @@ def ahash_images(
     use_real: bool | None = None,
     method: str = "ahash",
 ) -> DataFrame:
-    """Perceptual hash (aHash) per blob -> 64-char '0'/'1' string, the
-    image-dedup signature (near-identical images differ in a few
-    bits; pair them with :func:`~..operators.dedup.
-    bitstring_near_dup_pairs`).
+    """Perceptual hash per blob -> '0'/'1' bit string, the image-dedup
+    signature (near-identical images differ in a few bits; pair them
+    with :func:`~..operators.dedup.bitstring_near_dup_pairs`).
+    ``method="ahash"``/``"dhash"`` emit 64 chars; the production-scale
+    ``method="ahash_dhash"`` emits the 128-char wide concat (see the
+    band-key sizing rationale below).
 
     Real path (PIL importable or ``use_real=True``): decode ->
     grayscale ('L') -> 8x8 resize -> the classic average-hash bit
@@ -528,9 +530,11 @@ def audio_fingerprints(
     use_real: bool | None = None,
     wide: bool = False,
 ) -> DataFrame:
-    """Chromaprint-SHAPED audio fingerprint: a SERIES of 64-bit
-    sub-fingerprints over overlapping windows of the stream — one row
-    (id, window_idx, afp) per window — rather than one hash per file,
+    """Chromaprint-SHAPED audio fingerprint: a SERIES of
+    sub-fingerprints (64-bit; 128-bit dHash++aHash with ``wide=True``,
+    the production-scale config) over overlapping windows of the
+    stream — one row (id, window_idx, afp) per window — rather than
+    one hash per file,
     because audio near-dup must survive trims/offsets: two tracks
     match when ANY window pair is Hamming-close, so the pairing tier
     is :func:`~..operators.dedup.bitstring_near_dup_pairs` over the

@@ -765,6 +765,20 @@ def filter_valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
+# The DuckDB twin of filter_valid_vectors, ONE text interpolated into
+# every dependent oracle (knn_lsh_cosine_portable, dedup_embedding_lsh,
+# knn_mutual_pairs_lsh) so the gate's domain can never drift
+# per-consumer on the SQL side either — the same single-source rule as
+# the Python helper above. Conditions, in the helper's order: non-NULL
+# 64-dim, no NULL/NaN/|x|>=32 element, non-zero quantized norm
+# (1.0/1048576 = 2^-20 evaluates as exact double division in DuckDB).
+VECTOR_VALIDITY_WHERE_SQL = """WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
+          AND len(list_filter(embedding,
+                x -> x < 0 OR x >= 1.0/1048576)) > 0"""
+
+
 def portable_bucket_udf(dim: int, n_tables: int, n_planes: int):
     """Pandas UDF: vector -> array of per-table LSH buckets (packed
     sign bits of exact int64 plane dots). Engine-portable given

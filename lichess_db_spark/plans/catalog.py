@@ -62,6 +62,14 @@ _TOUCHED_THIS_ROUND = (
     # rows anyway, so the net spill cost is ~2 slots).
     "dedup_embedding_lsh",
     "knn_lsh_cosine_portable",
+    # r13 self-review finding (rotation contract): the ahash_images
+    # method dispatch was restructured for the wide tier (if/elif +
+    # size-dict lookup that now executes for method="ahash" callers
+    # too) — behavior-identical for the narrow method, but a changed
+    # builder-consumed helper earns driver rows for its OTHER two
+    # catalog consumers as well.
+    "mm_phash_dedup",
+    "dedup_cc_clusters",
 )
 _TOUCHED_R12 = (
     # r12 window budget (VERDICT r11 item 1 — drain the driver-row

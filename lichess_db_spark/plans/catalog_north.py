@@ -591,18 +591,15 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_lsh_cosine_portable",
-    """
+    f"""
     WITH vcorpus AS (
         -- shared kit validity gate (operators/dedup.
-        -- filter_valid_vectors, r13 hardening): non-NULL 64-dim, no
-        -- NULL/NaN/|x|>=32 element, non-zero quantized norm — dirty
-        -- vectors degrade to exclusion in BOTH engines
+        -- filter_valid_vectors + its single-source SQL twin
+        -- VECTOR_VALIDITY_WHERE_SQL, r13 hardening): non-NULL 64-dim,
+        -- no NULL/NaN/|x|>=32 element, non-zero quantized norm —
+        -- dirty vectors degrade to exclusion in BOTH engines
         SELECT vec_id, embedding FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) = 64
-          AND len(list_filter(embedding,
-                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
-          AND len(list_filter(embedding,
-                x -> x < 0 OR x >= 1.0/1048576)) > 0
+        {dd.VECTOR_VALIDITY_WHERE_SQL}
     ),
     planes AS (
         SELECT t.t AS t, p.p AS p, d.d AS d,
@@ -1943,20 +1940,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_lsh",
-    """
+    f"""
     WITH vcorpus AS (
         -- shared kit validity gate (operators/dedup.
-        -- filter_valid_vectors, r13 hardening): non-NULL 64-dim, no
-        -- NULL/NaN/|x|>=32 element, non-zero quantized norm — dirty
-        -- vectors degrade to exclusion in BOTH engines, and the
-        -- auto-plane count below sizes to the same filtered
-        -- population the builder counts
+        -- filter_valid_vectors + its single-source SQL twin
+        -- VECTOR_VALIDITY_WHERE_SQL, r13 hardening): dirty vectors
+        -- degrade to exclusion in BOTH engines, and the auto-plane
+        -- count below sizes to the same filtered population the
+        -- builder counts
         SELECT vec_id, embedding FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) = 64
-          AND len(list_filter(embedding,
-                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
-          AND len(list_filter(embedding,
-                x -> x < 0 OR x >= 1.0/1048576)) > 0
+        {dd.VECTOR_VALIDITY_WHERE_SQL}
     ),
     params AS (
         -- auto-scaled plane count: smallest p with 16 * 2^p >= n,

@@ -4237,10 +4237,13 @@ def neyman_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is fully consumed by the 25 r11-staged entries + the r7 tail).
 # --------------------------------------------------------------------------
 
-_MUTUAL_LSH_CTES = """
+from ..operators.dedup import VECTOR_VALIDITY_WHERE_SQL as _VALIDITY_WHERE  # noqa: E402
+
+_MUTUAL_LSH_CTES = f"""
     mcorpus AS (
         -- validity filter mirroring the builder's SHARED gate
-        -- (operators/dedup.filter_valid_vectors, r13 hardening): only
+        -- (operators/dedup.filter_valid_vectors + its single-source
+        -- SQL twin VECTOR_VALIDITY_WHERE_SQL, r13 hardening): only
         -- non-NULL exactly-64-dim vectors with no NULL/NaN/|x|>=32
         -- element and a non-zero QUANTIZED norm participate — BOTH
         -- the auto-plane count and the bucket/score pipeline see the
@@ -4248,11 +4251,7 @@ _MUTUAL_LSH_CTES = """
         -- exclusion in BOTH engines (never floor(NaN) garbage or a
         -- 0-denominator cosine)
         SELECT vec_id, embedding FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) = 64
-          AND len(list_filter(embedding,
-                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
-          AND len(list_filter(embedding,
-                x -> x < 0 OR x >= 1.0/1048576)) > 0
+        {_VALIDITY_WHERE}
     ),
     params AS (
         -- auto-scaled plane count: smallest p with 16 * 2^p >= n,

@@ -120,6 +120,27 @@ def scaled_embeddings(spark, base_dir: str, factor: int, path: str):
     out.write.mode("overwrite").parquet(path)
 
 
+def viral_embeddings(d):
+    """Every 5th vector becomes ONE constant vector — identical
+    signatures bucket together in EVERY table, the worst-case
+    concentration for a bucket self-join (exact dedup would normally
+    remove these first; the skew cells measure the cap holding when
+    it hasn't). Shared by the emb-family timing cells and
+    tools/mutual_lsh_recall.py so both diagnostics measure the SAME
+    corpus."""
+    from pyspark.sql import functions as F
+
+    return d.select(
+        "vec_id",
+        F.when(
+            F.pmod("vec_id", F.lit(5)) == 0,
+            F.expr("transform(embedding, x -> CAST(0.125 AS FLOAT))"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+
 def scaled_tpch(spark, base_dir: str, factor: int, path_dir: str):
     """An sf-dir LOOK-ALIKE with orders+lineitem replicated N-fold
     (order keys offset per replica, so every replica is a disjoint,
@@ -967,10 +988,10 @@ def main() -> None:
             # is (0.2n)^2 by construction.
             "mutual_knn_lsh_capped": lambda d, f: _mutual_lsh(d, cap=256),
             "mutual_knn_lsh_viral_capped": lambda d, f: _mutual_lsh(
-                _viral_emb(d), cap=256
+                viral_embeddings(d), cap=256
             ),
             "mutual_knn_lsh_viral_uncapped": lambda d, f: _mutual_lsh(
-                _viral_emb(d)
+                viral_embeddings(d)
             ),
             # the mutual STEP alone (r11 s2): synthetic n*k edge list
             # (xor partner -> mutual, ring -> asymmetric) through the
@@ -994,22 +1015,6 @@ def main() -> None:
                 d, k=4, max_bucket_size=cap
             ).localCheckpoint(eager=True)
             return mutual_filter(edges)
-
-        def _viral_emb(d):
-            """Every 5th vector becomes ONE constant vector — identical
-            signatures bucket together in EVERY table, the worst-case
-            concentration for a bucket self-join (exact dedup would
-            normally remove these first; the cell measures the cap
-            holding when it hasn't)."""
-            return d.select(
-                "vec_id",
-                F.when(
-                    F.pmod("vec_id", F.lit(5)) == 0,
-                    F.expr("transform(embedding, x -> CAST(0.125 AS FLOAT))"),
-                )
-                .otherwise(F.col("embedding"))
-                .alias("embedding"),
-            )
 
         def _mutual_step(d):
             ids = d.select(F.col("vec_id").alias("query_id"))

@@ -40,20 +40,17 @@ def main() -> None:
     spark = get_spark("mutual-lsh-recall")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from bench_scale import WORKDIR, scaled_embeddings  # noqa: E402
+    from bench_scale import (  # noqa: E402
+        WORKDIR,
+        scaled_embeddings,
+        viral_embeddings,
+    )
 
     path = f"{WORKDIR}/recall_x{args.factor}/embeddings.parquet"
     scaled_embeddings(spark, args.sf, args.factor, path)
-    d = spark.read.parquet(path)
-    viral = d.select(
-        "vec_id",
-        F.when(
-            F.pmod("vec_id", F.lit(5)) == 0,
-            F.expr("transform(embedding, x -> CAST(0.125 AS FLOAT))"),
-        )
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
+    # the SAME viral construction as the timing cells — shared helper
+    # so the recall diagnosis and the skew cells measure one corpus
+    viral = viral_embeddings(spark.read.parquet(path))
 
     from lichess_db_spark.operators.similarity import (
         lsh_self_topk_portable,
