@@ -1246,6 +1246,7 @@ def lsh_self_topk_portable(
     n_planes: int | None = None,
     target_bucket: int = 16,
     max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Corpus self-kNN via portable hyperplane LSH — the edge SOURCE
     that makes the mutual-kNN 100 TB story literal (VERDICT r11 item
@@ -1264,7 +1265,13 @@ def lsh_self_topk_portable(
     knob. ``max_bucket_size`` (default None: off, oracle-exact) drops
     over-cap (table, bucket) groups COUNT-FIRST before pairing — the
     same silent-recall-guarded pre-cap as the MinHash/pHash tiers for
-    corpora with mass near-dup floods.
+    corpora with mass near-dup floods; pass ``observation`` (a
+    ``pyspark.sql.Observation``, r13 — API symmetry with
+    ``embedding_lsh_dedup_pairs``) to get ``capped_buckets`` /
+    ``max_bucket_size_seen`` riding the bucket-size job, the guard
+    that keeps a binding cap from silently costing recall
+    (BENCH_SCALE_R13_MUTUAL_LSH pins what a binding cap trades: the
+    flood's own pairs dropped, ~99.9% of organic pairs kept).
 
     Returns ``(query_id, neighbor_id, score, rank)`` — the
     :func:`mutual_filter` input contract.
@@ -1302,15 +1309,33 @@ def lsh_self_topk_portable(
         )
         .localCheckpoint(eager=True)
     )
-    if max_bucket_size is not None:
+    if max_bucket_size is not None or observation is not None:
         sizes = bucketed.groupBy("table", "bucket").agg(
             F.count("*").alias("__bsz")
         )
-        bucketed = (
-            bucketed.join(sizes, ["table", "bucket"])
-            .where(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        if observation is not None:
+            over = (
+                F.col("__bsz") > max_bucket_size
+                if max_bucket_size is not None
+                else F.lit(False)
+            )
+            sizes = sizes.observe(
+                observation,
+                F.count(F.when(over, 1)).alias("capped_buckets"),
+                F.max("__bsz").alias("max_bucket_size_seen"),
+            )
+        if max_bucket_size is not None:
+            sizes = sizes.where(F.col("__bsz") <= max_bucket_size)
+        bucketed = bucketed.join(sizes.drop("__bsz"), ["table", "bucket"])
+        if observation is not None:
+            # CollectMetrics must execute exactly once per action, but
+            # the candidate stage reads this relation on BOTH sides of
+            # the self-join (two instances of the observed subtree ->
+            # Observation.get hard-errors on the duplicate metrics
+            # row). Materialize the capped relation so the observed
+            # subtree runs once — the metrics are then also available
+            # immediately, before any downstream action.
+            bucketed = bucketed.localCheckpoint(eager=True)
     cands = (
         bucketed.select(F.col("__id").alias("query_id"), "table", "bucket")
         .join(

@@ -835,6 +835,33 @@ def test_mutual_lsh_precap_drops_flooded_buckets(spark):
     # cap=1 leaves no bucket with two occupants -> zero candidates
     assert lsh_self_topk_portable(emb, k=3, max_bucket_size=1).count() == 0
 
+    # r13: the Observation silent-recall guard (API symmetry with
+    # embedding_lsh_dedup_pairs) — metrics ride the bucket-size job
+    # and results are unchanged by observing
+    from pyspark.sql import Observation
+
+    obs = Observation("lsh_self_cap")
+    observed = {
+        tuple(r)
+        for r in lsh_self_topk_portable(
+            emb, k=3, max_bucket_size=1, observation=obs
+        ).collect()
+    }
+    assert observed == set()
+    got = obs.get
+    assert got["capped_buckets"] > 0
+    assert got["max_bucket_size_seen"] >= 2
+
+    obs2 = Observation("lsh_self_nocap")
+    unchanged = {
+        tuple(r)
+        for r in lsh_self_topk_portable(
+            emb, k=3, max_bucket_size=None, observation=obs2
+        ).collect()
+    }
+    assert unchanged == base
+    assert obs2.get["capped_buckets"] == 0
+
 
 def test_mutual_lsh_edges_share_a_bucket_and_ranks_dense(spark):
     """Structural invariants of lsh_self_topk_portable: every returned
@@ -910,6 +937,67 @@ def test_auto_n_planes_matches_sql_derivation():
             """
         ).fetchone()[0]
         assert got == want, f"n={n}: sql {got} != python {want}"
+
+
+def test_validity_gate_sql_twin_equivalence(spark):
+    """The single-source SQL twin (dedup.VECTOR_VALIDITY_WHERE_SQL,
+    interpolated into all three dependent oracles) must keep exactly
+    the same vectors as the Spark gate (filter_valid_vectors) on a
+    DIRTY corpus — committed fixtures carry no invalid vectors, so
+    driver rows never exercise the gates' disagreement surface; this
+    test does, predicate for predicate: NULL vector, ragged, NULL
+    element, NaN element, +/-inf, |x| at and around the 32.0 domain
+    boundary, -0.0, and the all-sub-2^-20 zero-quantized-norm edge."""
+    import duckdb
+    import pandas as pd
+
+    from lichess_db_spark.operators.dedup import (
+        VECTOR_VALIDITY_WHERE_SQL,
+        filter_valid_vectors,
+    )
+
+    eps = 1.0 / 1048576  # 2^-20, the quantization step
+    rows = [
+        (0, [0.5] * 64),                             # clean
+        (1, None),                                   # NULL vector
+        (2, [0.5] * 32),                             # ragged
+        (3, [None] + [0.5] * 63),                    # NULL element
+        (4, [float("nan")] + [0.5] * 63),            # NaN element
+        (5, [float("inf")] + [0.5] * 63),            # +inf
+        (6, [float("-inf")] + [0.5] * 63),           # -inf
+        (7, [32.0] + [0.5] * 63),                    # at the domain bound
+        (8, [31.999999] + [0.5] * 63),               # just inside
+        (9, [-32.0] + [0.5] * 63),                   # negative bound
+        (10, [-0.0] * 64),                           # -0.0: quantizes to 0
+        (11, [eps / 2] * 64),                        # all sub-step -> zero norm
+        (12, [eps] + [0.0] * 63),                    # exactly one step -> valid
+        (13, [-eps / 2] + [0.0] * 63),               # negative floors to -1 -> valid
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    spark_kept = {
+        r.vec_id for r in filter_valid_vectors(sdf, "embedding", 64).collect()
+    }
+
+    pdf = pd.DataFrame(
+        {"vec_id": [i for i, _ in rows], "embedding": [v for _, v in rows]}
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    sql_kept = {
+        r[0]
+        for r in con.execute(
+            f"SELECT vec_id FROM embeddings {VECTOR_VALIDITY_WHERE_SQL}"
+        ).fetchall()
+    }
+    assert spark_kept == sql_kept == {0, 8, 12, 13}, (
+        f"spark={sorted(spark_kept)} sql={sorted(sql_kept)}"
+    )
+    # the boundary semantics worth naming: |x| >= 32 excludes BOTH
+    # signs at exactly 32.0 (rows 7, 9); -0.0 does NOT count as
+    # quantized-nonzero (IEEE -0.0 < 0 is false and floor(-0.0 * 2^20)
+    # is 0 in numpy and both engines — row 10 is a zero-norm vector);
+    # one element at exactly 2^-20 quantizes to 1 (row 12 valid); one
+    # negative sub-step element floors to -1 (row 13 valid).
 
 
 def test_mutual_lsh_excludes_null_and_ragged_vectors(spark):
