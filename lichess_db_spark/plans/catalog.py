@@ -36,10 +36,11 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 _ROUND = 13
 _TOUCHED_THIS_ROUND = (
     # r13 window budget (VERDICT r12 items 1-3): 1 staged + 4
-    # verdict-mandated re-entries + 2 sentinels leaves 43 rotation-tail
-    # slots — the 12 r7-vintage spill entries lead the tail, then the
-    # oldest r8/r9 rows. Breadth freeze holds (debt 68, budget 0):
-    # anything authored this round goes to STAGED_NEXT.
+    # verdict-mandated re-entries + 2 self-review helper re-entries
+    # (below) + 2 sentinels leaves 41 rotation-tail slots — the 12
+    # r7-vintage spill entries lead the tail, then the oldest r8 rows.
+    # Breadth freeze holds (debt 68, budget 0): anything authored this
+    # round goes to STAGED_NEXT (r13 authored ZERO new entries).
     #
     # VERDICT r12 item 1: the one r12-staged entry (judge-sim PASS)
     # leads the window.
