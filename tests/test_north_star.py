@@ -642,6 +642,46 @@ def test_incremental_near_dup_postings_cap(spark, tmp_path):
     )
 
 
+def test_incremental_embedding_gate_excludes_dirty_batch_rows(spark, emb, tmp_path):
+    """r13: the shared validity gate covers the INCREMENTAL tier too —
+    a dirty arriving batch (NULL vector, ragged, NaN element,
+    zero-quantized-norm) degrades to exclusion: candidate pairs and
+    the persisted posting archive equal the clean-batch run, and no
+    dirty id is ever written to the postings."""
+    from lichess_db_spark.operators.dedup import incremental_embedding_near_dup
+
+    dirty_rows = [
+        (900001, None),
+        (900002, [0.5] * 32),
+        (900003, [float("nan")] + [0.5] * 63),
+        (900004, [1.0e-9] * 64),
+    ]
+    dirty = emb.select("vec_id", "embedding").unionAll(
+        spark.createDataFrame(dirty_rows, "vec_id long, embedding array<float>")
+    )
+
+    clean_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in incremental_embedding_near_dup(
+            emb, str(tmp_path / "clean"), max_bucket_size=None, batch_id=0
+        ).collect()
+    }
+    dirty_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in incremental_embedding_near_dup(
+            dirty, str(tmp_path / "dirty"), max_bucket_size=None, batch_id=0
+        ).collect()
+    }
+    assert dirty_pairs == clean_pairs
+
+    posted = {
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "dirty")).collect()
+    }
+    assert not (posted & {i for i, _ in dirty_rows})
+    assert posted  # the clean ids did get archived
+
+
 def test_incremental_embedding_near_dup(spark, emb, tmp_path):
     """Embedding twin of the incremental LSH index: (1) two-batch
     incremental candidates union to the full-batch set under the
