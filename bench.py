@@ -217,6 +217,8 @@ HEADLINE = [
     "neyman_allocation_docs",
     # r12 staged (r13 window): ANN-built mutual-kNN
     "knn_mutual_pairs_lsh",
+    # r13 staged (r14 window): k-core density tier
+    "kcore_copurchase",
     # wordpiece_prefix_segment is excluded like triangle_copurchase:
     # its ~8s cost is per-iteration recursive-CTE scheduling overhead
     # (40+ engine iterations), a fixed showcase cost unrelated to data

@@ -425,6 +425,96 @@ def gramian_exact_arrow(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous k-core peeling (Seidman 1983), ``rounds`` rounds
+    unrolled: each round simultaneously drops every node whose degree
+    in the CURRENT subgraph is below ``k``, then drops edges touching
+    a dropped node — removal cascades, which is the whole point (a
+    node can clear ``k`` in the raw graph yet die once its loose
+    neighbors go). The density tier of the graph family: CC says
+    which nodes TOUCH, LPA says which cluster, k-core says which
+    survive inside a dense backbone — the curation rule that keeps a
+    near-dup community's core and strips its loose periphery before
+    electing representatives. Deterministic by construction (a pure
+    function of the graph, ``k`` and ``rounds``), so a SQL oracle
+    unrolls the identical rounds.
+
+    ``edges`` is an undirected edge list, one row per edge in either
+    orientation; both directions are derived internally. Returns one
+    row per node of the INPUT graph: ``(node, core_degree BIGINT,
+    in_core BOOLEAN)`` — ``in_core`` = survived all ``rounds``,
+    ``core_degree`` = the node's degree among surviving edges after
+    the final round (0 when dropped). Fixed ``rounds`` is the
+    LPA/oracle contract; full convergence needs at most
+    max-degeneracy rounds.
+
+    Scale shape: per round, ONE map-side-combinable degree aggregate
+    + two semi-joins of the edge relation against the (node)-survivor
+    set — Pregel as a driver loop whose state is the shrinking edge
+    relation itself; no driver-side graph, survivor sets are id-only
+    rows. The state is read TWICE per round (degree aggregate + the
+    semi-join base), so unlike LPA's linear frontier lineage the
+    uncut plan re-executes the edge derivation ~2^rounds times — the
+    CC exponential-lineage class. The edge relation is therefore
+    eagerly localCheckpointed EVERY round (id-pair rows, cheap to
+    pin; measured on the sf0.1 co-purchase graph: 19.3 s uncut ->
+    ~3 s with the per-round cut at rounds=3).
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1: {k}")
+    if rounds < 1:
+        raise ValueError(f"need rounds >= 1: {rounds}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    all_nodes = sym.select(F.col("src").alias("node")).distinct()
+    cur = sym
+    survivors = all_nodes
+    for i in range(rounds):
+        survivors = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        cur = (
+            cur.join(
+                survivors.select(F.col("node").alias("src")), "src", "semi"
+            )
+            .join(survivors.select(F.col("node").alias("dst")), "dst", "semi")
+            # per-round lineage cut: the next round reads this relation
+            # TWICE (degree agg + semi-join base), so the uncut plan
+            # re-executes every prior round's joins exponentially (the
+            # CC lesson); the state is id-pair rows, cheap to pin
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        cur.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )
+    return (
+        all_nodes.join(
+            survivors.select("node", F.lit(True).alias("in_core")), "node", "left"
+        )
+        .join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("core_degree", F.lit(0).cast("bigint")).alias(
+                "core_degree"
+            ),
+            F.coalesce("in_core", F.lit(False)).alias("in_core"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     steps: int = 3,

@@ -29,7 +29,13 @@ from .registry import register
 # r13 boundary: knn_mutual_pairs_lsh moved into the r13 window
 # (VERDICT r12 item 1); entries registered AFTER the r13 window
 # freezes are staged here (breadth freeze: debt 68, budget 0).
-STAGED_NEXT: tuple[str, ...] = ()
+STAGED_NEXT: tuple[str, ...] = (
+    # r13: k-core peeling — the graph family's density tier; full
+    # oracle (3 unrolled rounds, the LPA contract), pre-verified at
+    # 3 SF tiers x partitions 3/8/17 before commit. Leads the r14
+    # window as a group-1 never-green.
+    "kcore_copurchase",
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4358,4 +4364,79 @@ def knn_mutual_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("rank_ab"),
             F.col("rank_back").alias("rank_ba"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# r13: k-core peeling — the graph family's DENSITY tier (staged for
+# r14 per the standing breadth freeze; debt 89, budget 0).
+# --------------------------------------------------------------------------
+
+_KCORE_K = 90
+_KCORE_ROUNDS = 3
+
+
+def _kcore_step_sql(i: int, k: int) -> str:
+    return f"""
+    s{i} AS (
+        SELECT src AS node FROM d{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    d{i} AS (
+        SELECT d.src, d.dst FROM d{i - 1} d
+        JOIN s{i} a ON a.node = d.src
+        JOIN s{i} b ON b.node = d.dst
+    )"""
+
+
+@register(
+    "kcore_copurchase",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    d0 AS (SELECT src, dst FROM sym),
+    {",".join(_kcore_step_sql(i, _KCORE_K) for i in range(1, _KCORE_ROUNDS + 1))},
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM d{_KCORE_ROUNDS} GROUP BY src
+    )
+    SELECT n.node AS partkey,
+           COALESCE(g.core_degree, 0) AS core_degree,
+           s.node IS NOT NULL AS in_core
+    FROM nodes n
+    LEFT JOIN s{_KCORE_ROUNDS} s ON s.node = n.node
+    LEFT JOIN deg g ON g.node = n.node
+    """,
+    "k-core peeling (Seidman 1983) over the co-purchase graph — the "
+    "DENSITY tier completing the graph family: CC (which nodes "
+    "touch), LPA (which cluster), PageRank (centrality), BFS "
+    "(distance), triangles (cohesion), k-core (which survive inside "
+    "a dense backbone). Three synchronous peel rounds unrolled in "
+    "both engines (the LPA contract): each round simultaneously "
+    "drops every node whose CURRENT degree < 90 and the edges "
+    "touching it, so removal cascades — the curation rule that keeps "
+    "a near-dup community's core and strips its loose periphery "
+    "before electing representatives. k=90 splits every fixture "
+    "tier non-vacuously (sf0.01: 1221 of 2000 parts in-core; "
+    "sf0.001: the whole graph collapses below the 90-core — the "
+    "cascade-to-empty result, itself a density statement). Scale "
+    "shape: per round ONE map-side-combinable degree aggregate + two "
+    "id-only semi-joins of the shrinking edge relation; Pregel as a "
+    "driver loop, state is the edge relation itself, "
+    "localCheckpoint every 5 rounds for deep runs. Full oracle.",
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import k_core
+    from .catalog_scale import _copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cores = k_core(_copurchase_edges(li), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return cores.select(
+        F.col("node").alias("partkey"), "core_degree", "in_core"
     )

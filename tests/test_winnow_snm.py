@@ -270,6 +270,63 @@ def test_knn_isolation_degree_matches_edge_list(spark):
         assert d == deg.get(v, 0)
 
 
+def test_kcore_cascade_peels_chain_one_node_per_round(spark):
+    """The hand-traced cascade that distinguishes k-core from a plain
+    degree filter: a 4-clique with a 3-node chain hanging off it
+    (4-5-6-7, using clique node 3 as the anchor via edge 3-5). At
+    k=2 the chain END (7, degree 1) dies in round 1, which drops 6
+    to degree 1 (dies round 2), which drops 5 (dies round 3) — one
+    node per round, exactly ``rounds=3`` to reach the true 2-core
+    (the clique, every member at core_degree 3). rounds=1 must stop
+    after the first peel (5 and 6 still in)."""
+    from lichess_db_spark.operators.clustering import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    full = {r.node: (r.core_degree, r.in_core)
+            for r in k_core(edges, k=2, rounds=3).collect()}
+    assert set(full) == {0, 1, 2, 3, 4, 5, 6, 7} - {4}
+    for n in (0, 1, 2, 3):
+        assert full[n] == (3, True)
+    for n in (5, 6, 7):
+        assert full[n] == (0, False)
+
+    one = {r.node: r.in_core for r in k_core(edges, k=2, rounds=1).collect()}
+    assert one[7] is False
+    assert one[5] is True and one[6] is True
+
+    # every input node is reported exactly once; dropped nodes carry 0
+    assert len(full) == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        k_core(edges, k=0)
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        k_core(edges, rounds=0)
+
+
+def test_kcore_converged_equals_true_core(spark):
+    """On a graph whose peel converges within the round budget, the
+    fixed-round output IS the true k-core: survivors all have
+    core_degree >= k and one more round changes nothing."""
+    from lichess_db_spark.operators.clustering import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    spokes = [(0, 100), (1, 101), (2, 102)]
+    edges = spark.createDataFrame(clique + spokes, "src long, dst long")
+    r2 = {(r.node, r.core_degree, r.in_core)
+          for r in k_core(edges, k=3, rounds=2).collect()}
+    r3 = {(r.node, r.core_degree, r.in_core)
+          for r in k_core(edges, k=3, rounds=3).collect()}
+    assert r2 == r3
+    for node, deg, in_core in r2:
+        if in_core:
+            assert deg >= 3 and node < 5
+
+
 def test_label_propagation_two_cliques(spark):
     """Two 4-cliques joined by one bridge edge: after 3 synchronous
     min-tie sweeps every clique member carries its clique's minimum

@@ -872,6 +872,12 @@ def main() -> None:
                 # measures the edge-derivation dedup under fact growth,
                 # with the 3 LPA supersteps a constant term on top
                 "label_prop_communities",
+                # r13: k-core shares LPA's derivation (constant edge
+                # set under fact growth); the 3 peel rounds on top are
+                # per-round-checkpointed id-pair relations, so the
+                # fitted exponent should track the wedge dedup like
+                # LPA's (alpha 0.25 at 64x)
+                "kcore_copurchase",
                 # r11 s2: (cust, part) pair set constant, qty sums grow
                 # — pure map-side-combine scaling on the fact join
                 "als_user_factors",
