@@ -474,7 +474,13 @@ def k_core(
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    all_nodes = sym.select(F.col("src").alias("node")).distinct()
+    # pinned eagerly (id-only rows) so sym can be RELEASED after round
+    # 1 — sym's only remaining reader once cur is checkpointed
+    all_nodes = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     cur = sym
     survivors = all_nodes
     for i in range(rounds):
@@ -495,6 +501,13 @@ def k_core(
             # CC lesson); the state is id-pair rows, cheap to pin
             .localCheckpoint(eager=True)
         )
+        if i == 0:
+            # ADVICE r13: both sym readers (all_nodes above, the
+            # round-1 agg/semi-joins just checkpointed) are now
+            # materialized — unpersist so repeated invocations in one
+            # session (bench loops, drifter's 5 iterations) don't pin
+            # one copy each for session lifetime
+            sym.unpersist()
     deg = (
         cur.groupBy("src")
         .agg(F.count("*").cast("bigint").alias("core_degree"))

