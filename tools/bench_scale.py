@@ -286,6 +286,13 @@ def main() -> None:
         def _docs(spark_, sf, f_, path_):
             scaled_docs(spark_, sf, f_, path_, salt_mode=args.salt_mode)
 
+        def _suffix_readout(d):
+            from lichess_db_spark.plans.catalog_staged import (
+                _suffix_tier_readout,
+            )
+
+            return _suffix_tier_readout(d)
+
         build, table = _docs, "documents"
         ops = {
             "exact_dedup_groups": lambda d, f: dd.exact_dedup_groups(d),
@@ -294,6 +301,15 @@ def main() -> None:
             ),
             "exact_substring_dedup": lambda d, f: dd.exact_substring_dedup(d, k=10),
             "exact_substring_clean": lambda d, f: dd.exact_substring_clean(d, k=10),
+            # r14: the suffix-array repeat-tier entry (pruned prefix
+            # doubling, 7 pow2 levels 8..512). Cost model: the seed +
+            # low tiers are corpus-sized window aggregates (linear);
+            # levels 32+ hold only currently-duplicated positions, so
+            # with the salted corpus's constant dup fraction the level
+            # relations scale linearly too — expected alpha ~1 with
+            # the per-level constants amortizing (alpha < 1) as volume
+            # grows past scheduling overhead
+            "suffix_repeat_tiers": lambda d, f: _suffix_readout(d),
             # CDC chunk dedup (r11): O(len) md5 boundary predicates per
             # doc inside ONE codegen array expression (no per-position
             # explode), then the digest-keyed dedup aggregate. The
@@ -908,6 +924,45 @@ def main() -> None:
                 "recursive_cte_reachability",
             )
         }
+
+        def _ce(d, mode):
+            from lichess_db_spark.io import load_table
+            from lichess_db_spark.plans.catalog_scale import _copurchase_edges
+
+            li = load_table(spark, d, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            )
+            if mode == "join":
+                return _copurchase_edges(li)
+            # grouped: ONE exchange of the base fact (groupBy orderkey,
+            # bounded collect_set — TPC-H orders cap at 7 items) then
+            # map-side pair expansion; the wedge-volume DISTINCT term
+            # is unchanged, so any alpha gap vs the join shape is pure
+            # exchange count, not asymptotics
+            items = li.groupBy("l_orderkey").agg(
+                F.sort_array(F.collect_set("l_partkey")).alias("its")
+            )
+            return (
+                items.select(F.posexplode("its").alias("i", "src"), "its")
+                .select(
+                    "src",
+                    F.explode(
+                        F.expr("slice(its, i + 2, size(its))")
+                    ).alias("dst"),
+                )
+                .distinct()
+            )
+
+        # r14 (VERDICT r13 item 5): the edge-DERIVATION term every
+        # co-purchase graph entry (CC/LPA/PageRank/BFS/triangles/
+        # k-core) pays before its own supersteps, isolated: _join is
+        # the shipped _copurchase_edges (self-join on orderkey, two
+        # base exchanges, wedge-volume DISTINCT with map-side partial
+        # dedup), _grouped swaps the self-join for a per-order
+        # collect_set + slice/explode pair expansion (one base
+        # exchange, same DISTINCT term)
+        ops["copurchase_edges_join"] = lambda d, f: _ce(d, "join")
+        ops["copurchase_edges_grouped"] = lambda d, f: _ce(d, "grouped")
     else:
         from pyspark.sql import functions as F
 
