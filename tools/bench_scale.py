@@ -926,6 +926,8 @@ def main() -> None:
         }
 
         def _ce(d, mode):
+            from pyspark.sql import functions as F
+
             from lichess_db_spark.io import load_table
             from lichess_db_spark.plans.catalog_scale import _copurchase_edges
 
