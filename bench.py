@@ -220,10 +220,12 @@ HEADLINE = [
     # r13 staged (r14 window): k-core density tier
     "kcore_copurchase",
     # r14 staged (r15 window): suffix-array repeat tiers — the
-    # character-level exact-repeat modality; ~15 s at sf0.1/local[32]
-    # is a real iterative-doubling cost (7 window levels over a
-    # 98%-saturated corpus; the faster-shaped alternatives measured
-    # slower, see operators/suffix.py), benched to keep it honest
+    # character-level exact-repeat modality; ~20 s at sf0.1 is a real
+    # iterative-doubling cost (7 disk-backed window levels over a
+    # 98%-saturated corpus — the worst case for the pruning, alpha
+    # 0.95 pinned in BENCH_SCALE_R14_SUFFIX; the faster-shaped
+    # alternatives measured slower, see operators/suffix.py), benched
+    # to keep it honest
     "suffix_repeat_tiers",
     # wordpiece_prefix_segment is excluded like triangle_copurchase:
     # its ~8s cost is per-iteration recursive-CTE scheduling overhead

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .rank import global_rank
 
@@ -174,18 +175,28 @@ def suffix_repeat_tiers(
             # uncut plan re-executes every prior level ~2^levels times —
             # the k_core/CC exponential-lineage class (this exact OOM
             # was hit at sf0.001 before the cut: 10 uncut levels blew
-            # the optimizer heap). LAZY here, unlike k_core's eager
-            # cut: the whole level chain is consumed by ONE final
-            # action (the readout union), the level relation is
-            # deterministic (no sampled range exchange to disagree
-            # across branches — the global_rank hazard), and
-            # localCheckpoint persists MEMORY_AND_DISK on first
-            # materialization so the within-action double-read hits
-            # the cache; eager would add one blocking job per level
-            # (measured ~1s/level of pure scheduling at local[8]).
-            # The state is (doc, pos, group-id) int rows shrinking
-            # toward the duplicated mass — cheap to pin.
-            .localCheckpoint(eager=False)
+            # the optimizer heap). EAGER on purpose: a lazy cut was
+            # tried (saves ~1 s of per-level job scheduling at
+            # local[8]) and CRASHED at the 64x scale cell with "Block
+            # rdd_N does not exist" — the two reader stages of the
+            # self-join launch concurrently, race to be the lazily-
+            # checkpointed RDD's first materializer, and one of them
+            # sees the truncated lineage before the blocks land (the
+            # benign small-scale signature is the "Block already
+            # exists; not re-adding" BlockManager warning). Eager
+            # serializes materialization before any reader exists.
+            # DISK_ONLY (Spark 4 storageLevel arg) because
+            # localCheckpoint blocks live OUTSIDE the CacheManager —
+            # clearCache() can't free them and they pin heap until
+            # driver GC collects the Dataset, so heap-resident levels
+            # ACCUMULATE across invocations (bench loops OOM'd the
+            # 24g heap at the 64x scale cell: 7 levels x 3 samples
+            # pinned); disk blocks cost a local write+read of compact
+            # UnsafeRows and are durable against eviction, which a
+            # truncated-lineage relation cannot recover from anyway.
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
         )
         outs.append(
             cur.select("doc", "pos", F.lit(h).cast("int").alias("h"))
@@ -339,8 +350,11 @@ def suffix_array_ranks(
     while h < max_h:
         # per-round lineage cut: the round reads cur TWICE (left side +
         # its own shifted self) — uncut, the plan doubles every round
-        # (the k_core/CC exponential-lineage class)
-        cur = cur.localCheckpoint(eager=True)
+        # (the k_core/CC exponential-lineage class); DISK_ONLY for the
+        # same heap-accumulation reason as suffix_repeat_tiers
+        cur = cur.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
         shifted = cur.select(
             "doc",
             (F.col("pos") - h).alias("pos"),
