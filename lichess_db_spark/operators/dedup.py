@@ -625,6 +625,19 @@ def connected_components(
         .withColumn("cluster_id", F.col("node"))
     )
     converged = False
+    # r14 optimization (guide §2.4): the fixpoint test used to be a
+    # per-round equi-join of new vs old labels plus a count() — one
+    # extra shuffle join per round whose only output is a boolean.
+    # Min-label propagation is MONOTONE: new = min(old ∪ neighbor
+    # labels) per node over a FIXED node set, so every label is
+    # non-increasing and the exact decimal sum of labels strictly
+    # decreases until (and only until) the fixpoint. Comparing the
+    # sum across rounds is therefore equivalent to the join-based
+    # per-node comparison, with one aggregate scan of the new labels
+    # (which doubles as the cache materializer) instead of a join.
+    # decimal(38,0) keeps the sum exact far beyond any realistic
+    # (rows x max id) product; None handles the empty-graph case.
+    prev_sum = None
     for _i in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -636,17 +649,15 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
         if (_i + 1) % 5 == 0:
             labels = labels.localCheckpoint(eager=True)
     if strict and not converged:
@@ -1891,7 +1902,12 @@ def _exact_substring_runs(
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    grams = docs.select(
+    # r14 optimization (guide §2.5 input skew): the shingle build +
+    # per-gram md5 ran on the scan's few skewed splits of a small
+    # single-file corpus; spread() the doc rows first so the gram
+    # stage runs at full parallelism. The gram-keyed window downstream
+    # re-shuffles by digest either way, so results are unchanged.
+    grams = spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
         F.posexplode(word_shingles(F.col(text_col), k)).alias("__p0", "__gram"),
     ).select(
@@ -2411,7 +2427,15 @@ def cdc_chunk_report(
         raise ValueError(
             f"need window >= 2, mod > 0, min_len > 0: {window}, {mod}, {min_len}"
         )
-    d = df.where(F.length(text_col) >= window)
+    # r14 optimization (guide §2.5 input skew): the boundary predicate
+    # is an md5 per character position — by far the entry's cost — and
+    # it inherited the scan's partitioning (a small single-file corpus
+    # scans as a handful of skewed splits, so one task hashed most of
+    # the corpus). spread() round-robins the pre-explode doc rows to
+    # the session's default parallelism; measured 6.17 s -> 0.81 s
+    # isolated at sf0.1/local[32]. The digest aggregate downstream is
+    # partition-order-free, so results are unchanged.
+    d = spread(df.where(F.length(text_col) >= window))
     n = F.length(text_col)
     bnds = F.filter(
         F.sequence(F.lit(window), n),
@@ -2530,18 +2554,30 @@ def _winnow_selected_keys(docs: DataFrame, k: int, w: int, id_col: str, text_col
     n_k = F.length(text_col) - (k - 1)
     d = docs.where(F.col(text_col).isNotNull() & (n_k >= w))
     keys = F.transform(
-        F.sequence(F.lit(1), n_k),
+        F.sequence(F.lit(1), F.length("__tx") - (k - 1)),
         lambda i: F.conv(
-            F.substring(F.md5(F.col(text_col).substr(i, F.lit(k))), 1, 8), 16, 10
+            F.substring(F.md5(F.col("__tx").substr(i, F.lit(k))), 1, 8), 16, 10
         ).cast("bigint")
         * 4096
         + (F.lit(4096) - i),
     )
+    # r14 optimization (guide §2.5 input skew): the keys projection —
+    # one md5 per gram, the dominant cost — used to sit BELOW the
+    # round-robin exchange, so it ran on the scan's few skewed splits
+    # (a small single-file corpus is a handful of tasks) and the
+    # exchange only spread the already-computed arrays. Spread the raw
+    # (id, text) rows FIRST so the hashing runs at full parallelism,
+    # then hold the materialized arrays behind the Arrow identity
+    # barrier (spread(barrier_only=True)) — without it CollapseProject
+    # re-inlines the keys projection into every window's slice lambda
+    # (the O(grams x windows) md5 re-evaluation this helper's
+    # docstring documents). Measured isolated at sf0.1/local[32]:
+    # winnow_fingerprint_density 3.9 s -> see OPTIMIZATION_r14.md.
     withk = spread(
-        d.select(
-            F.col(id_col).alias("__id"),
-            keys.alias("__keys"),
-        )
+        spread(
+            d.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__tx"))
+        ).select("__id", keys.alias("__keys")),
+        barrier_only=True,
     )
     sel = F.when(
         F.size("__keys") >= w,
@@ -2720,7 +2756,11 @@ def containment_pairs(
         raise ValueError(f"need 0 < threshold <= 1: {threshold}")
     scale = 1000
     thr_i = int(round(threshold * scale))
-    sh = df.select(
+    # r14 optimization (guide §2.5 input skew): the shingle build is
+    # an interpreted HOF transform per token — spread() the doc rows
+    # first so it runs at full parallelism instead of the scan's few
+    # skewed splits; the exploded shingles feed a shuffle either way.
+    sh = spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
             "shingle"

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ._util import spread
 from .rank import global_rank
 
 # Power-of-two tiers, seeded at 8: tiers 1/2/4 are curation noise on
@@ -84,8 +85,10 @@ def _positions(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sequence is guarded against empty text because Spark's
     ``sequence(1, 0)`` counts DOWN ([1, 0]), not empty."""
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # spread before the explode for the same input-skew reason as the
+    # repeat-tier seed (r14, guide §2.5)
     return (
-        docs.select(F.col(id_col).alias("doc"), t.alias("__t"))
+        spread(docs.select(F.col(id_col).alias("doc"), t.alias("__t")))
         .select(
             "doc",
             "__t",
@@ -134,9 +137,15 @@ def suffix_repeat_tiers(
     h0 = tiers[0]
     t = F.coalesce(F.col(text_col), F.lit(""))
     # seed: every FULL h0-gram, keyed by the literal gram — the one
-    # level that shuffles string keys (h0 chars wide, once)
+    # level that shuffles string keys (h0 chars wide, once).
+    # r14 optimization (guide §2.5 input skew): the seed explode +
+    # substring runs BELOW the level-8 window exchange, so it
+    # inherited the scan's few skewed splits on a small single-file
+    # corpus — spread() the doc rows first so gram extraction runs at
+    # the session's full parallelism (the seed phase alone measured
+    # 2.1 s of the entry's 8.5 s isolated at sf0.1).
     cur = (
-        docs.select(F.col(id_col).alias("doc"), t.alias("__t"))
+        spread(docs.select(F.col(id_col).alias("doc"), t.alias("__t")))
         .select(
             "doc",
             "__t",
@@ -169,7 +178,13 @@ def suffix_repeat_tiers(
             )
             .where(F.col("__c") >= 2)
             .select("doc", "pos", F.col("__gid").alias("__g"))
-            # per-level lineage cut: the next level reads this relation
+        )
+        if h != tiers[-1]:
+            # per-level lineage cut (INTERMEDIATE levels only — the
+            # final tier is read exactly once by the readout union, so
+            # its checkpoint bought nothing but one extra disk
+            # write+read job; r14 optimization, guide §5): the next
+            # level reads this relation
             # TWICE (the self-join below joins cur with its own shifted
             # self) and the readout union reads it a third time, so the
             # uncut plan re-executes every prior level ~2^levels times —
@@ -194,10 +209,9 @@ def suffix_repeat_tiers(
             # pinned); disk blocks cost a local write+read of compact
             # UnsafeRows and are durable against eviction, which a
             # truncated-lineage relation cannot recover from anyway.
-            .localCheckpoint(
+            cur = cur.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.DISK_ONLY
             )
-        )
         outs.append(
             cur.select("doc", "pos", F.lit(h).cast("int").alias("h"))
         )
@@ -205,7 +219,15 @@ def suffix_repeat_tiers(
             # doubling step on the PRUNED relation: a duplicated
             # 2h-gram needs both halves duplicated, and pos+2h-1 <=
             # len holds iff pos+h is itself a full h-gram start — the
-            # inner join enforces both at once
+            # inner join enforces both at once.
+            # r14 optimization note (guide §1.2 — measured, then
+            # kept): a per-doc RANGE window (frame [pos+h, pos+h]
+            # replacing the self-join's shifted lookup) was A/B'd to
+            # remove the join; it MEASURED 1.15x slower isolated at
+            # sf0.1 (drifter 9.76 s vs 8.48 s) because the
+            # checkpointed relation broadcast-hash-joins here with no
+            # exchange at local sizes while the window forces a
+            # by-doc exchange + sort every level. The join stays.
             cur = cur.join(
                 cur.select(
                     "doc",

@@ -49,6 +49,40 @@ _TOUCHED_THIS_ROUND = (
     # ADVICE r13 unpersist fix (k_core's symmetrized edge relation was
     # pinned for session lifetime), so the re-entry is doubly earned.
     "kcore_copurchase",
+    # --- r14 OPTIMIZATION round re-entries (every builder or
+    # builder-consumed helper changed by an optimization earns a
+    # fresh driver row; before/after evidence in OPTIMIZATION_r14.md,
+    # plans in plans/r14/). Grouped by the helper that changed:
+    #
+    # operators/dedup.connected_components — monotone decimal-sum
+    # convergence check replaces the per-round join+count (same
+    # labels, one fewer shuffle join per round):
+    "dedup_cc_clusters",
+    "dedup_cluster_assignment",
+    "dedup_keep_representatives",
+    "dedup_split_leakfree",
+    "dedup_keep_best",
+    # plans/catalog_staged._top_pc_vec — per-iteration eager
+    # localCheckpoint of the _PC_DIM-row matvec (bounded by the fixed
+    # dim) cuts the 2^iters plan doubling:
+    "embedding_top_pc",
+    "embedding_remove_top_pc",
+    # guide §2.5 input-skew fixes — spread() the compute-bound map
+    # stage off the small single-file scan's skewed splits
+    # (aggregations downstream are partition-order-free; measured
+    # per-entry in OPTIMIZATION_r14.md):
+    "cdc_chunk_dedup",
+    "winnow_fingerprint_density",
+    "winnow_match_pairs",
+    "blocking_recall_eval",
+    "dedup_containment_pairs",
+    "dsir_importance_weights",
+    "dsir_resample_docs",
+    "knn_matryoshka_rerank",
+    "exact_substring_dedup",
+    "exact_substring_clean",
+    "passage_dup_curve",
+    "logreg_text_quality_gate",
 )
 _TOUCHED_R13 = (
     # r13 window budget (VERDICT r12 items 1-3): 1 staged + 4

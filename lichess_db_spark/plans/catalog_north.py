@@ -4717,10 +4717,26 @@ def logreg_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_stop / n_words),
         (n_digit / F.col("n_chars")),
     )
-    base = d.where(n_words >= 1).select(
-        "doc_id",
-        feats.cast("array<double>").alias("features"),
-        (F.col("lang") == "en").cast("int").alias("y"),
+    from ..operators._util import spread
+
+    # r14 optimization (guide §2.5 + §5): the feature block is
+    # interpreted HOF work (stopword filter = array_contains per
+    # word) recomputed by EVERY training action — dim probe + 3
+    # gradient scans + predict = 5 evaluations, all on the scan's few
+    # skewed splits. spread() the doc rows so one parallel pass
+    # computes features, then cut with an eager localCheckpoint so
+    # the training actions re-read narrow (id, 5 doubles, y) rows
+    # instead of re-deriving them. Feature VALUES are unchanged, so
+    # weights and predictions are bit-identical.
+    base = (
+        spread(d.select("doc_id", "text", "n_chars", "lang"))
+        .where(n_words >= 1)
+        .select(
+            "doc_id",
+            feats.cast("array<double>").alias("features"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
     w, _trace = logreg_train(
         base, n_iter=3, lr=0.5, vec_col="features", label_col="y", l2=0.01

@@ -1601,7 +1601,17 @@ def passage_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(ts, i, 8), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", F.explode(gram_arr).alias("gk"))
+    # r14 optimization (guide §2.5 input skew): the md5-per-8-gram
+    # transform ran on the scan's few skewed splits of the small
+    # single-file corpus; spread() the doc rows first so the gram
+    # build runs at full parallelism (gram stage measured 2.82 s ->
+    # 0.62 s isolated at sf0.1). The gram-keyed aggregate downstream
+    # is partition-order-free.
+    from ..operators._util import spread
+
+    grams = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(gram_arr).alias("gk")
+    )
     # corpus max off the UNEXPLODED scan (same >=8-token population as
     # the oracle's MAX over grams: a doc contributes grams iff it has
     # >=8 tokens); the heavy gram explode then runs ONCE, feeding a
@@ -2767,6 +2777,16 @@ def _top_pc_vec(
             g1.join(v, g1["j"] == v["pos"])
             .groupBy("i")
             .agg(F.sum(F.col("g1") * F.col("v")).cast("bigint").alias("w"))
+            # r14 optimization (guide §5 lineage / §2.4): w is read TWICE
+            # per iteration (the norm aggregate and the renormalized v)
+            # and Spark fires zero ReusedExchange across the AQE-replanned
+            # subtrees, so the uncut plan re-executes iteration i's matvec
+            # 2^(ITERS-i) times — 99 Exchange nodes in the before plan
+            # (plans/r14/embedding_top_pc_before.txt). w is exactly
+            # _PC_DIM rows (bounded by the fixed embedding dim, never by
+            # corpus size), so the eager cut is a trivially small job and
+            # the plan collapses to one matvec per iteration.
+            .localCheckpoint(eager=True)
         )
         nrm = w.agg(
             F.sqrt(

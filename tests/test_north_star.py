@@ -1535,6 +1535,24 @@ def test_connected_components_strict_nonconvergence_raises(spark):
     assert lenient.count() == 5  # partial labels, no raise
 
 
+def test_connected_components_degenerate_graphs_converge(spark):
+    """r14: the fixpoint test is the exact decimal label-sum (min-label
+    propagation is monotone non-increasing over a fixed node set, so
+    the sum is stationary iff every label is). The degenerate corners
+    that rewrite touches: an empty edge set converges immediately
+    (None == None sum) and a self-loop-only graph — the one non-empty
+    graph already AT its fixpoint — still converges under strict."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dd.connected_components(empty, strict=True).count() == 0
+
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(loops, strict=True).collect()
+    }
+    assert got == {7: 7, 9: 9}
+
+
 def test_bitstring_pairs_hot_bucket_cap(spark):
     """A flood of identical signatures makes every one of its band
     buckets hot; the cap drops those buckets (bounding the D^2 pair

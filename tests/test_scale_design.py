@@ -727,12 +727,17 @@ _PLAN_FINGERPRINTS = {
     # windows (c2, shared by the prev-max and running-sum windows and
     # BOTH groupBys — islands/runs agg must NOT add an exchange); the
     # per-doc removal table joins broadcast at fixture stats
-    "exact_substring_dedup": dict(exchanges=2, bhj=1, smj=0, windows=3, topk=0),
+    # (+1 exchange r14: spread() round-robin before the gram build —
+    # the guide §2.5 input-skew fix, see OPTIMIZATION_r14.md)
+    "exact_substring_dedup": dict(exchanges=3, bhj=1, smj=0, windows=3, topk=0),
     # clean twin: same shared runs core; the runs-array join
     # broadcasts and the per-token keep test adds NO exchange
-    "exact_substring_clean": dict(exchanges=2, bhj=1, smj=0, windows=3, topk=0),
+    "exact_substring_clean": dict(exchanges=3, bhj=1, smj=0, windows=3, topk=0),
     "gopher_quality_rules": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
-    "dsir_importance_weights": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
+    # (+2 exchanges r14: the spread() input-skew fix appears once per
+    # DSIR pass — round-robin exchanges are nondeterministic so
+    # ReuseExchange never merges them; each carries only raw doc rows)
+    "dsir_importance_weights": dict(exchanges=4, bhj=1, smj=0, windows=0, topk=0),
     # bloom: the probe itself is map-only (bitmap literal); the one
     # exchange is the ref-digest distinct and the BHJ is the
     # FPR-measurement exact_dup join the entry keeps deliberately —
