@@ -490,17 +490,19 @@ def k_core(
             .where(F.col("__deg") >= k)
             .select(F.col("src").alias("node"))
         )
-        cur = (
-            cur.join(
-                survivors.select(F.col("node").alias("src")), "src", "semi"
-            )
-            .join(survivors.select(F.col("node").alias("dst")), "dst", "semi")
-            # per-round lineage cut: the next round reads this relation
-            # TWICE (degree agg + semi-join base), so the uncut plan
-            # re-executes every prior round's joins exponentially (the
-            # CC lesson); the state is id-pair rows, cheap to pin
-            .localCheckpoint(eager=True)
-        )
+        cur = cur.join(
+            survivors.select(F.col("node").alias("src")), "src", "semi"
+        ).join(survivors.select(F.col("node").alias("dst")), "dst", "semi")
+        if i < rounds - 1:
+            # per-round lineage cut (INTERMEDIATE rounds only): the
+            # next round reads this relation TWICE (degree agg +
+            # semi-join base), so the uncut plan re-executes every
+            # prior round's joins exponentially (the CC lesson); the
+            # state is id-pair rows, cheap to pin. The FINAL round's
+            # relation is read exactly once (the core_degree
+            # aggregate), so its checkpoint bought nothing but one
+            # extra materialization job (r14 optimization, guide §5).
+            cur = cur.localCheckpoint(eager=True)
         if i == 0:
             # ADVICE r13: both sym readers (all_nodes above, the
             # round-1 agg/semi-joins just checkpointed) are now

@@ -83,6 +83,10 @@ _TOUCHED_THIS_ROUND = (
     "exact_substring_clean",
     "passage_dup_curve",
     "logreg_text_quality_gate",
+    # guide §4.1: per-group applyInPandas (one tiny Arrow batch per
+    # user) -> hash-repartition + mapInPandas with the same per-group
+    # arithmetic looped in pandas; outputs verified frame-equal:
+    "znorm_user_values",
 )
 _TOUCHED_R13 = (
     # r13 window budget (VERDICT r12 items 1-3): 1 staged + 4

@@ -2118,7 +2118,31 @@ def znorm_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(znorm, schema=schema)
+    # r14 optimization (guide §4.1): groupBy().applyInPandas ships one
+    # Arrow batch PER GROUP — ~1 user's rows per batch, thousands of
+    # tiny batches through the worker pipe. Same shuffle key, same
+    # per-group arithmetic (znorm above is called unchanged per user),
+    # but mapInPandas over the hash-repartitioned rows moves whole
+    # partitions as large Arrow batches and loops groups in pandas —
+    # measured 4.28 s -> 2.99 s isolated at sf0.1 with toPandas()
+    # outputs verified frame-equal. Memory bound: one shuffle
+    # partition's rows in pandas at a time (the standard
+    # ~128MB-per-shuffle-partition sizing keeps that modest at any
+    # scale); the escape-hatch exactness contract (integer-cents
+    # moments) is unchanged.
+    def znorm_partition(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        whole = (
+            pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        )
+        for _, g in whole.groupby("user_id", sort=False):
+            out = znorm(g)
+            if len(out):
+                yield out
+
+    return ev.repartition("user_id").mapInPandas(znorm_partition, schema=schema)
 
 
 @register(

@@ -593,7 +593,9 @@ _PLAN_FINGERPRINTS = {
     # bhj=2 and the remaining exchanges belong to the BM25 leg;
     # windows=5 counts the two legs' rank windows plus the group-limit
     # partial/final pre-prune pair the rank<=k filters enable
-    "hybrid_search_rrf": dict(exchanges=9, bhj=2, smj=1, windows=5, topk=1),
+    # (smj 1->0 r14: preferSortMergeJoin=false lets the planner take a
+    # shuffled-hash join where the build side fits — guide §9/§3.1)
+    "hybrid_search_rrf": dict(exchanges=9, bhj=2, smj=0, windows=5, topk=1),
     "mv_hll_maintenance_orders": dict(exchanges=2, bhj=0, smj=0, windows=0, topk=0),
     "text_metrics_arrow": dict(exchanges=0, bhj=0, smj=0, windows=0, topk=0),
     "q3_shipping_priority": dict(exchanges=1, bhj=2, smj=0, windows=0, topk=1),
@@ -718,11 +720,13 @@ _PLAN_FINGERPRINTS = {
     # 2 exchanges + SMJ are the final keep/dup_of left join's sides.
     # dsir: bucket-count agg (1) + per-doc sum (1); the B-sized ratio
     # table joins broadcast BY CONSTRUCTION at any scale.
-    "semdedup_embeddings": dict(exchanges=2, bhj=1, smj=1, windows=0, topk=0),
+    # (smj 1->0 r14: the within-cluster pair join now plans as a
+    # shuffled-hash join under preferSortMergeJoin=false)
+    "semdedup_embeddings": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
     # centroid_far twin: the __d2s kill column rides the same
     # assignment projection — plan shape must stay IDENTICAL to
     # semdedup_embeddings (the keep rule is a select-level swap)
-    "semdedup_centroid_far": dict(exchanges=2, bhj=1, smj=1, windows=0, topk=0),
+    "semdedup_centroid_far": dict(exchanges=2, bhj=1, smj=0, windows=0, topk=0),
     # exactsubstr: gram-digest keeper window (c1) + doc-key island
     # windows (c2, shared by the prev-max and running-sum windows and
     # BOTH groupBys — islands/runs agg must NOT add an exchange); the
@@ -748,7 +752,10 @@ _PLAN_FINGERPRINTS = {
     # add NO exchange (they fuse into the doc scan), and the final
     # count collapses to a 1-row aggregate (no SinglePartition
     # exchange — partial/final fold)
-    "curation_funnel_report": dict(exchanges=5, bhj=2, smj=2, windows=1, topk=0),
+    # (smj 2->1 r14: one of the funnel's two sort-merge joins plans as
+    # shuffled-hash under preferSortMergeJoin=false; the other keeps
+    # sort-merge — its build side fails the SHJ size condition)
+    "curation_funnel_report": dict(exchanges=5, bhj=2, smj=1, windows=1, topk=0),
     # unimax: the corpus is scanned ONCE at build time (G-row counts
     # collect to the driver, centroid-style); the returned waterfall
     # plan runs entirely on the G-row literal — its 4 exchanges move
