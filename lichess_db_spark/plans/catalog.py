@@ -33,8 +33,19 @@ from .registry import QUERIES, QueryDef  # noqa: F401
 # 5. Rows-only-by-design entries never rotate in by staleness (a slot
 #    spent there buys only a row count; their exact twins carry hash
 #    coverage) — they re-enter only via groups 0/1 (VERDICT r10 item 5).
-_ROUND = 14
+_ROUND = 15
 _TOUCHED_THIS_ROUND = (
+    # r15 window budget (optimization round 2): the one r14-staged
+    # entry (suffix_repeat_tiers, full oracle, pre-verified at 3 SFs x
+    # partitions 3/8/17 in r14) leads as group-0 head; 2 sentinels +
+    # 47 rotation-tail slots drain the r10/r11-vintage cohort per
+    # tools/window_plan.py on the settled tree (debt 73, budget 0 —
+    # breadth freeze holds; r15 authors zero new entries). Builders or
+    # builder-consumed helpers changed by r15 optimizations are
+    # appended below as the work lands, per the standing rule.
+    "suffix_repeat_tiers",
+)
+_TOUCHED_R14 = (
     # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2
     # sentinels leaves 47 rotation-tail slots — the r9-vintage cohort
     # (incremental-MV family, SemDeDup/ExactSubstr, Gopher/DSIR/UniMax,

@@ -30,11 +30,10 @@ from .registry import register
 # (VERDICT r12 item 1); entries registered AFTER the r13 window
 # freezes are staged here (breadth freeze: debt 68, budget 0).
 STAGED_NEXT: tuple[str, ...] = (
-    # r14 (VERDICT r13 item 3): the suffix-array repeat tier — the
-    # character-level exact-repeat modality; full oracle, pre-verified
-    # at 3 SF tiers x partitions 3/8/17 before commit. Leads the r15
-    # window as a group-1 never-green.
-    "suffix_repeat_tiers",
+    # r15 boundary: suffix_repeat_tiers (r14-staged) moved into the
+    # r15 window as the group-0 head (plans/catalog.py
+    # _TOUCHED_THIS_ROUND). r15 is an optimization round and authors
+    # ZERO new entries (breadth freeze: debt 73, budget 0).
 )
 
 
