@@ -503,12 +503,18 @@ def k_core(
             # aggregate), so its checkpoint bought nothing but one
             # extra materialization job (r14 optimization, guide §5).
             cur = cur.localCheckpoint(eager=True)
-        if i == 0:
+        if i == 0 and rounds > 1:
             # ADVICE r13: both sym readers (all_nodes above, the
             # round-1 agg/semi-joins just checkpointed) are now
             # materialized — unpersist so repeated invocations in one
             # session (bench loops, drifter's 5 iterations) don't pin
-            # one copy each for session lifetime
+            # one copy each for session lifetime. ADVICE r14 guard:
+            # when rounds == 1 the final (uncheckpointed) cur still
+            # reads sym, so the early unpersist would force the
+            # closing degree/survivor actions to recompute the
+            # symmetrized union+distinct — keep it pinned instead
+            # (no catalog caller uses rounds=1; one lazily-dropped
+            # cached copy is the accepted cost of that path).
             sym.unpersist()
     deg = (
         cur.groupBy("src")

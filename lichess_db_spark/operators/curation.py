@@ -624,10 +624,12 @@ def dsir_importance(
     # r14 optimization (guide §2.5 input skew): the unigram+bigram
     # explode and md5 bucketing are interpreted per-token work that
     # inherited the scan's few skewed splits on a small single-file
-    # corpus; spread() the doc rows first so BOTH DSIR passes (the
-    # exchange below is shared via ReusedExchange) run at the
-    # session's full parallelism. Aggregations downstream are
-    # partition-order-free.
+    # corpus; spread() the doc rows first so BOTH DSIR passes run at
+    # the session's full parallelism. Each pass carries its OWN
+    # round-robin exchange of the raw doc rows — ReuseExchange never
+    # merges nondeterministic round-robin exchanges (see the +2
+    # exchange fingerprint note in tests/test_scale_design.py).
+    # Aggregations downstream are partition-order-free.
     from ._util import spread
 
     exploded = spread(

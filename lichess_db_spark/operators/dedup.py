@@ -637,6 +637,21 @@ def connected_components(
     # (which doubles as the cache materializer) instead of a join.
     # decimal(38,0) keeps the sum exact far beyond any realistic
     # (rows x max id) product; None handles the empty-graph case.
+    #
+    # ADVICE r14 guard: the sum probe is equivalent ONLY for integral
+    # ids. Non-numeric string ids crash the decimal cast under ANSI,
+    # numeric-STRING ids propagate in lexicographic order ('10' < '9')
+    # so per-node numeric deltas can cancel and false-converge the
+    # sum, and float ids lose sub-unit label changes to decimal(38,0)
+    # rounding. Every catalog caller passes int64 doc ids (sum probe);
+    # any other id type takes the r13 join-based changed-count, which
+    # only needs equality on an orderable type.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _sum_probe = isinstance(
+        labels.schema["cluster_id"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
     prev_sum = None
     for _i in range(max_iter):
         prop = (
@@ -649,15 +664,29 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .cache()
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        if _sum_probe:
+            new_sum = new_labels.agg(
+                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            stable = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            # one row per node whose label changed this round; the
+            # count is bounded by the node count and only the
+            # emptiness is read
+            stable = (
+                new_labels.withColumnRenamed("cluster_id", "__new")
+                .join(labels, "node")
+                .where(F.col("__new") != F.col("cluster_id"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if stable:
             converged = True
             break
-        prev_sum = new_sum
         if (_i + 1) % 5 == 0:
             labels = labels.localCheckpoint(eager=True)
     if strict and not converged:

@@ -44,6 +44,27 @@ _TOUCHED_THIS_ROUND = (
     # builder-consumed helpers changed by r15 optimizations are
     # appended below as the work lands, per the standing rule.
     "suffix_repeat_tiers",
+    # --- r15 batch 1 ---
+    # VERDICT r14 item 1: the text gate becomes hash-verified — ONE
+    # closed-form gradient step (sigmoid(0) = 1/2 exactly, vanishing
+    # L2 at w = 0) with the logreg_margin_gate oracle ported to the
+    # five text features; builder + new oracle, pre-verified at
+    # sf0.001/0.01/0.1 x partitions 3/8/17:
+    "logreg_text_quality_gate",
+    # ADVICE r14 (medium): operators/dedup.connected_components —
+    # integral-dtype guard on the sum convergence probe, join-based
+    # changed-count fallback for any other id type (all catalog
+    # callers pass int64, so these five take the IDENTICAL code path;
+    # re-entry per the changed-helper rule):
+    "dedup_cc_clusters",
+    "dedup_cluster_assignment",
+    "dedup_keep_representatives",
+    "dedup_split_leakfree",
+    "dedup_keep_best",
+    # ADVICE r14 (low): operators/clustering.k_core — rounds==1
+    # unpersist guard (rounds=3 caller unchanged) + r15 restructures
+    # below:
+    "kcore_copurchase",
 )
 _TOUCHED_R14 = (
     # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2

@@ -4699,13 +4699,86 @@ def logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_predict(df, w).select("vec_id", "y", "margin", "pred")
 
 
+def _text_gate_oracle() -> str:
+    """Closed-form oracle for the 1-iteration text gate (VERDICT r14
+    item 1 — the logreg_margin_gate trick ported to the five text
+    features): ONE gradient step from w = 0 has sigmoid(0) = 1/2
+    EXACTLY and a vanishing L2 term (l2 * w0 = 0), so the learned
+    weights are a closed form with no exp() anywhere — per-row
+    gradient x_j * (0.5 - y) rounded half-away to the 1e9 grid (the
+    trainer's exact int64 kernel), order-free bigint sums, one IEEE
+    division chain and a *0.5 per weight, every op reproduced
+    verbatim in DuckDB. Inference is the dot_exact 1e12 grid + one
+    IEEE bias add."""
+    from ..functions.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+    WITH t0 AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               n_chars, text,
+               list_filter(string_split(text, ' '),
+                           w -> length(w) >= 1) AS words
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars > 0
+    ),
+    base AS (
+        SELECT doc_id, y,
+               [CAST(n_chars AS DOUBLE) / 1000.0,
+                CAST(len(words) AS DOUBLE) / 100.0,
+                CAST(list_sum(list_transform(words, w -> length(w)))
+                     AS DOUBLE) / CAST(len(words) AS DOUBLE),
+                CAST(len(list_filter(words,
+                         w -> list_contains([{sw}], w)))
+                     AS DOUBLE) / CAST(len(words) AS DOUBLE),
+                CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     AS DOUBLE) / CAST(n_chars AS DOUBLE)
+               ] AS features
+        FROM t0 WHERE len(words) >= 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+    gsum AS (
+        SELECT g.i - 1 AS d,
+               CAST(SUM(CAST(ROUND(
+                   features[g.i] * (0.5 - y) * 1e9
+               ) AS BIGINT)) AS BIGINT) AS gs
+        FROM base, range(1, 6) AS g(i)
+        GROUP BY g.i - 1
+    ),
+    gbias AS (
+        SELECT CAST(SUM(CAST(ROUND((0.5 - y) * 1e9) AS BIGINT))
+                    AS BIGINT) AS gs
+        FROM base
+    ),
+    w AS (
+        SELECT d, 0.0 - 0.5 * ((CAST(gs AS DOUBLE) / 1e9) / nn.n) AS wv
+        FROM gsum, nn
+    ),
+    b AS (
+        SELECT 0.0 - 0.5 * ((CAST(gs AS DOUBLE) / 1e9) / nn.n) AS bv
+        FROM gbias, nn
+    ),
+    margins AS (
+        SELECT v.doc_id, v.y,
+               CAST(SUM(CAST(ROUND(
+                   v.features[g.i] * w.wv * 1e12
+               ) AS BIGINT)) AS BIGINT) AS s
+        FROM base v, range(1, 6) AS g(i)
+        JOIN w ON w.d = g.i - 1
+        GROUP BY v.doc_id, v.y
+    )
+    SELECT m.doc_id, m.y,
+           CAST(m.s AS DOUBLE) / 1e12 + b.bv AS margin,
+           CAST(CASE WHEN CAST(m.s AS DOUBLE) / 1e12 + b.bv > 0
+                THEN 1 ELSE 0 END AS INT) AS pred
+    FROM margins m CROSS JOIN b
+    """
+
+
 @register(
     "logreg_text_quality_gate",
-    None,  # trained weights pass through sigmoid — rows-only like
-    # logreg_quality_filter; the feature expressions are exact IEEE
-    # ratios of integers (partition-invariant) and the trainer's
-    # bit-reproducibility is reference/invariance-tested in
-    # tests/test_classifier.py (including this text-feature shape).
+    _text_gate_oracle(),
     "The literal CCNet-style quality gate: a logistic classifier "
     "trained ON TEXT-DERIVED features (not embeddings) — char count, "
     "word count, mean word length, English-stopword ratio, digit "
@@ -4715,7 +4788,13 @@ def logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline as the production systems actually run it: cheap "
     "codegen feature extraction (no tokenizer model), distributed "
     "training via the scaled-int gradient kernel (L2 0.01), "
-    "broadcast-literal inference. Features are exact-integer ratios, "
+    "broadcast-literal inference. ONE closed-form gradient step "
+    "(VERDICT r14 item 1): sigmoid(0) = 1/2 exactly and the L2 "
+    "gradient vanishes at w = 0, so the whole train-then-gate "
+    "pipeline is hash-verified against the DuckDB oracle — the "
+    "logreg_margin_gate trick on text features; deeper training "
+    "stays covered by the reference/invariance tests of "
+    "tests/test_classifier.py. Features are exact-integer ratios, "
     "so the whole pipeline is deterministic under any partitioning; "
     "at 100 TB the feature pass fuses into the training scan and "
     "per-iteration cost is one Arrow map pass + a (dim)-keyed "
@@ -4762,8 +4841,12 @@ def logreg_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # n_iter=1 (VERDICT r14 item 1): one gradient step from w = 0 is
+    # the closed form the oracle replays exactly — see
+    # _text_gate_oracle above. l2 stays declared (its gradient
+    # vanishes at w = 0, so the oracle needs no ridge term).
     w, _trace = logreg_train(
-        base, n_iter=3, lr=0.5, vec_col="features", label_col="y", l2=0.01
+        base, n_iter=1, lr=0.5, vec_col="features", label_col="y", l2=0.01
     )
     return logreg_predict(base, w, vec_col="features").select(
         "doc_id", "y", "margin", "pred"

@@ -146,9 +146,10 @@ def test_text_quality_gate_separates_and_deterministic(spark):
     agree = sum(1 for r in rows if r["pred"] == r["y"])
     n_pos = sum(1 for r in rows if r["y"] == 1)
     assert agree >= max(n_pos, n - n_pos)  # never below predict-majority
-    # 3 GD steps already move the MARGINS in the right direction even
-    # where the 0-threshold decision still ties the majority baseline:
-    # the mean margin of en docs must exceed the mean margin of rest
+    # the ONE closed-form GD step (r15: n_iter=1 so the DuckDB oracle
+    # replays training exactly) already moves the MARGINS in the right
+    # direction even where the 0-threshold decision still ties the
+    # majority baseline: mean en margin must exceed mean rest margin
     m_pos = sum(r["margin"] for r in rows if r["y"] == 1) / n_pos
     m_neg = sum(r["margin"] for r in rows if r["y"] == 0) / (n - n_pos)
     assert m_pos > m_neg

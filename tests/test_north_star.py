@@ -1553,6 +1553,27 @@ def test_connected_components_degenerate_graphs_converge(spark):
     assert got == {7: 7, 9: 9}
 
 
+def test_connected_components_non_integral_ids(spark):
+    """ADVICE r14 guard: the decimal label-sum probe is only
+    equivalent for integral id types — string ids would crash the
+    ANSI decimal cast (non-numeric) or can false-converge (numeric
+    strings propagate in LEXICOGRAPHIC order, '10' < '9', so per-node
+    deltas may cancel in a numeric sum). Non-integral ids must take
+    the join-based changed-count fallback and still label correctly.
+    The '10' <-> '9' chain is the adversarial case: min-label under
+    string ordering picks '10' (not '9'), and the correct fixpoint
+    needs a second propagation round."""
+    pairs = spark.createDataFrame(
+        [("9", "10"), ("10", "7x"), ("b", "a")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(pairs, strict=True).collect()
+    }
+    assert got == {"9": "10", "10": "10", "7x": "10", "a": "a", "b": "a"}
+
+
 def test_bitstring_pairs_hot_bucket_cap(spark):
     """A flood of identical signatures makes every one of its band
     buckets hot; the cap drops those buckets (bounding the D^2 pair
