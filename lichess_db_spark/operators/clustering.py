@@ -471,24 +471,55 @@ def k_core(
     if rounds < 1:
         raise ValueError(f"need rounds >= 1: {rounds}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    # pinned eagerly (id-only rows) so sym can be RELEASED after round
-    # 1 — sym's only remaining reader once cur is checkpointed
-    all_nodes = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
+    # r15 optimization (guide §2.4): derive BOTH orientations with one
+    # explode instead of union(e, swap(e)) — the union's two branches
+    # each embedded the full upstream edge derivation (no ReusedExchange
+    # across the differing final projections: the co-purchase wedge
+    # join + DISTINCT appeared twice, 8 parquet scans in the static
+    # plan), so materializing sym paid the derivation twice. The
+    # explode preserves the input multiset exactly (each input row ->
+    # its two orientations, same as the union).
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.src", "__p.dst")
+        .persist()
+    )
+    # r15 optimization (guide §2.4): the round-1 degree aggregate IS
+    # the node census — checkpoint it once (id-sized rows) and read
+    # all_nodes (its keys) and the round-1 survivors (its >= k filter)
+    # from the same relation, instead of the old separate
+    # sym.distinct() checkpoint that paid one more full shuffle of the
+    # symmetrized relation plus its own blocking job. Checkpointing
+    # also materializes sym's cache in the same job. Interleaved
+    # min-of-3 at sf0.1 for the combined restructure: 6.41 -> 4.79 s,
+    # outputs frame-equal (SHUFFLE_HASH hints on the semi-joins and a
+    # sparser checkpoint cadence both MEASURED slower and were not
+    # taken — see OPTIMIZATION_r15.md).
+    deg0 = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("__deg"))
         .localCheckpoint(eager=True)
     )
+    all_nodes = deg0.select(F.col("src").alias("node"))
     cur = sym
     survivors = all_nodes
     for i in range(rounds):
-        survivors = (
-            cur.groupBy("src")
-            .agg(F.count("*").alias("__deg"))
-            .where(F.col("__deg") >= k)
-            .select(F.col("src").alias("node"))
+        d_i = (
+            deg0
+            if i == 0
+            else cur.groupBy("src").agg(F.count("*").alias("__deg"))
+        )
+        survivors = d_i.where(F.col("__deg") >= k).select(
+            F.col("src").alias("node")
         )
         cur = cur.join(
             survivors.select(F.col("node").alias("src")), "src", "semi"
@@ -504,17 +535,17 @@ def k_core(
             # extra materialization job (r14 optimization, guide §5).
             cur = cur.localCheckpoint(eager=True)
         if i == 0 and rounds > 1:
-            # ADVICE r13: both sym readers (all_nodes above, the
-            # round-1 agg/semi-joins just checkpointed) are now
+            # ADVICE r13: both sym readers (the deg0 census above, the
+            # round-1 semi-joins just checkpointed) are now
             # materialized — unpersist so repeated invocations in one
             # session (bench loops, drifter's 5 iterations) don't pin
             # one copy each for session lifetime. ADVICE r14 guard:
             # when rounds == 1 the final (uncheckpointed) cur still
             # reads sym, so the early unpersist would force the
             # closing degree/survivor actions to recompute the
-            # symmetrized union+distinct — keep it pinned instead
-            # (no catalog caller uses rounds=1; one lazily-dropped
-            # cached copy is the accepted cost of that path).
+            # symmetrized relation — keep it pinned instead (no
+            # catalog caller uses rounds=1; one lazily-dropped cached
+            # copy is the accepted cost of that path).
             sym.unpersist()
     deg = (
         cur.groupBy("src")
@@ -572,9 +603,24 @@ def label_propagation(
     if steps < 1:
         raise ValueError(f"need steps >= 1: {steps}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # r15: explode-derived symmetrization (same fix as k_core above) —
+    # union(e, swap(e)) embedded the upstream edge derivation in both
+    # branches, so materializing the persisted sym paid it twice; the
+    # explode preserves the input multiset exactly.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.src", "__p.dst")
+        .persist()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

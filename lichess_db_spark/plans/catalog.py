@@ -65,6 +65,17 @@ _TOUCHED_THIS_ROUND = (
     # unpersist guard (rounds=3 caller unchanged) + r15 restructures
     # below:
     "kcore_copurchase",
+    # --- r15 batch 2: graph family (VERDICT r14 item 3) ---
+    # plans/catalog_scale._copurchase_edges — spread() the wedge
+    # join's probe side (§2.5); clustering.k_core — explode-derived
+    # symmetrization + the deg0 census checkpoint replacing the
+    # all_nodes distinct; clustering.label_propagation + the bfs
+    # builder — explode-derived symmetrization. kcore drifter 5.50 ->
+    # 3.09 s, LPA -> 2.80 s; outputs frame-equal / oracle-green at
+    # sf0.001+sf0.01 x p3/8/17:
+    "label_prop_communities",
+    "triangle_copurchase_topk",
+    "bfs_copurchase_hops",
 )
 _TOUCHED_R14 = (
     # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2

@@ -366,8 +366,19 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct co-purchase edges oriented src < dst (each undirected
     edge appears exactly once). Orientation by id bounds the triangle
     join: every triangle {a<b<c} is produced exactly once as
-    (a,b)x(b,c) closed by (a,c)."""
-    a, b = li.alias("a"), li.alias("b")
+    (a,b)x(b,c) closed by (a,c).
+
+    r15 optimization (guide §2.5 input skew): the wedge join plans as
+    a broadcast hash join, so its probe stage — the wedge fan-out plus
+    the DISTINCT's map-side partial dedup, the derivation's whole
+    compute — inherits the scan's skewed small-file splits; spread()
+    the probe side so it runs at full parallelism (interleaved
+    min-of-4 at sf0.1: 1.86 -> 1.18 s, edge set identical; the same
+    fix measured on the broadcast side was worse, 1.54 s). Downstream
+    consumers aggregate or DISTINCT, so partition order is free."""
+    from ..operators._util import spread
+
+    a, b = spread(li).alias("a"), li.alias("b")
     return (
         a.join(
             b,
@@ -502,7 +513,22 @@ def _bfs_step_sql(i: int) -> str:
 def bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = _copurchase_edges(li)
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    # r15: explode-derived symmetrization (the k_core/LPA fix) —
+    # union(e, swap(e)) embedded the wedge-join derivation in both
+    # branches, so materializing the persisted sym paid it twice;
+    # explode preserves the multiset exactly.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.src", "__p.dst")
+        .persist()
+    )
     d = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_partkey") % _BFS_SEED_MOD == 0)

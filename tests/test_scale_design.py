@@ -660,8 +660,16 @@ _PLAN_FINGERPRINTS = {
     # short-string fallback branch (union + distinct + its pairing) —
     # all on the dictionary, never the corpus
     "fuzzy_name_match": dict(exchanges=7, bhj=3, smj=0, windows=2, topk=0),
-    "triangle_copurchase_topk": dict(exchanges=7, bhj=3, smj=2, windows=1, topk=1),
-    "bfs_copurchase_hops": dict(exchanges=24, bhj=18, smj=3, windows=0, topk=0),
+    # r15: _copurchase_edges spreads the wedge join's probe side
+    # (guide §2.5 — the BHJ probe stage inherited the scan's skewed
+    # small-file splits). triangle: +3 round-robin exchanges, one per
+    # e1/e2/e3 alias (nondeterministic exchanges are never merged by
+    # ReuseExchange) — measured FASTER regardless (5.8 -> 5.3 s warm
+    # at sf0.1). bfs: explode-derived symmetrization replaces
+    # union(e, swap(e)), so the duplicated wedge-join subtree leaves
+    # every superstep's unrolled branch: bhj 18 -> 11 at SF_SMALL.
+    "triangle_copurchase_topk": dict(exchanges=10, bhj=3, smj=2, windows=1, topk=1),
+    "bfs_copurchase_hops": dict(exchanges=24, bhj=11, smj=3, windows=0, topk=0),
     "window_ntile_deciles": dict(exchanges=1, bhj=0, smj=0, windows=1, topk=0),
     "grouping_sets_revenue": dict(exchanges=1, bhj=0, smj=0, windows=0, topk=0),
     "skyline_pareto_parts": dict(exchanges=2, bhj=1, smj=0, windows=1, topk=0),
