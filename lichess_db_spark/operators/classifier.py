@@ -144,6 +144,7 @@ def logreg_train(
     l2: float = 0.0,
     batch_frac: float | None = None,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> tuple[list[float], list[float]]:
     """Gradient descent on logistic loss; returns (weights [d floats]
     + bias as last element, per-iteration mean |gradient| trace).
@@ -170,10 +171,17 @@ def logreg_train(
         raise ValueError(f"l2 must be non-negative, got {l2}")
     if batch_frac is not None and not (0.0 < batch_frac <= 1.0):
         raise ValueError(f"batch_frac must be in (0, 1], got {batch_frac}")
-    head = df.select(F.size(vec_col).alias("d")).first()
-    if head is None:
-        raise ValueError("empty training frame")
-    d = head["d"]
+    if dim is not None:
+        # r15 (guide §5, VERDICT r14 item 6 — fewer driver actions):
+        # a caller that knows its feature width skips the 1-row dim
+        # probe job; a wrong value fails loud in the kernel (numpy
+        # broadcast shape mismatch), never silently.
+        d = dim
+    else:
+        head = df.select(F.size(vec_col).alias("d")).first()
+        if head is None:
+            raise ValueError("empty training frame")
+        d = head["d"]
     frac_bp = None if batch_frac is None else round(batch_frac * 10000)
     # n rides the gradient pass as the dim = -1 partial (no separate
     # corpus-scan count job: training is exactly n_iter scans)

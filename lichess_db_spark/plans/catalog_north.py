@@ -4846,7 +4846,13 @@ def logreg_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _text_gate_oracle above. l2 stays declared (its gradient
     # vanishes at w = 0, so the oracle needs no ridge term).
     w, _trace = logreg_train(
-        base, n_iter=1, lr=0.5, vec_col="features", label_col="y", l2=0.01
+        base,
+        n_iter=1,
+        lr=0.5,
+        vec_col="features",
+        label_col="y",
+        l2=0.01,
+        dim=5,  # the five text features — skips the dim-probe job
     )
     return logreg_predict(base, w, vec_col="features").select(
         "doc_id", "y", "margin", "pred"
@@ -4924,7 +4930,10 @@ def logreg_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = emb.select(
         "vec_id", "embedding", (F.col("label") == 0).cast("int").alias("y")
     )
-    w, _trace = logreg_train(df, n_iter=1, lr=0.5)
+    # dim=64 (r15, guide §5): the embeddings fixture width is pinned
+    # corpus-wide (the oracle's range(1, 65)); skipping the 1-row dim
+    # probe saves one driver action per build
+    w, _trace = logreg_train(df, n_iter=1, lr=0.5, dim=64)
     return logreg_predict(df, w).select("vec_id", "y", "margin", "pred")
 
 
