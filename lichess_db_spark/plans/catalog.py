@@ -90,6 +90,12 @@ _TOUCHED_THIS_ROUND = (
     # rows-only twin does not burn a graded slot when the changed
     # helper path is verified by its hash-checked in-window twins:
     "logreg_margin_gate",
+    # --- r15 batch 4 (VERDICT r14 item 8): znorm hot-key bound ---
+    # user_id-sorted partitions + a streaming kernel that buffers only
+    # the trailing user: peak pandas state = hottest user + one Arrow
+    # batch, not the whole shuffle partition; flat within band locally
+    # (two stash-paired drifter pairs), z values bit-identical:
+    "znorm_user_values",
 )
 _TOUCHED_R14 = (
     # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2

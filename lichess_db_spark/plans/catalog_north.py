@@ -2088,8 +2088,6 @@ def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group key; batch shape = one user timeline.",
 )
 def znorm_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
@@ -2100,49 +2098,82 @@ def znorm_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("z", DoubleType()),
         ]
     )
-
-    def znorm(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        if n < 2:
-            return pdf.iloc[0:0][["event_id", "user_id"]].assign(z=[])
-        cents = (pdf["value"] * 100).round().astype("int64")
-        s1 = float(cents.sum()) / 100.0
-        s2 = float((cents * cents).sum()) / 10000.0
-        mean = s1 / n
-        std = ((n * s2 - s1 * s1) / (n * (n - 1))) ** 0.5
-        return pd.DataFrame(
-            {
-                "event_id": pdf["event_id"],
-                "user_id": pdf["user_id"],
-                "z": (pdf["value"] - mean) / std,
-            }
-        )
-
     # r14 optimization (guide §4.1): groupBy().applyInPandas ships one
     # Arrow batch PER GROUP — ~1 user's rows per batch, thousands of
     # tiny batches through the worker pipe. Same shuffle key, same
-    # per-group arithmetic (znorm above is called unchanged per user),
-    # but mapInPandas over the hash-repartitioned rows moves whole
-    # partitions as large Arrow batches and loops groups in pandas —
-    # measured 4.28 s -> 2.99 s isolated at sf0.1 with toPandas()
-    # outputs verified frame-equal. Memory bound: one shuffle
-    # partition's rows in pandas at a time (the standard
-    # ~128MB-per-shuffle-partition sizing keeps that modest at any
-    # scale); the escape-hatch exactness contract (integer-cents
-    # moments) is unchanged.
-    def znorm_partition(batches):
-        frames = list(batches)
-        if not frames:
-            return
-        whole = (
-            pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        )
-        for _, g in whole.groupby("user_id", sort=False):
-            out = znorm(g)
+    # per-group arithmetic, but mapInPandas over the hash-repartitioned
+    # rows moves whole partitions as large Arrow batches and loops
+    # groups in pandas — measured 4.28 s -> 2.99 s isolated at sf0.1
+    # with toPandas() outputs verified frame-equal.
+    # r15 (VERDICT r14 item 8 — bound the hot key): rows are
+    # additionally SORTED by user_id within each partition, so the
+    # Python side streams Arrow batches and buffers only the one user
+    # whose timeline spans the current batch boundary. Peak pandas
+    # memory per task is now max(hottest user's rows, one Arrow batch)
+    # x ~24 B/row — NOT the whole shuffle partition — and a skewed key
+    # degrades to one large (but single-user) buffer instead of an
+    # unsplittable whole-partition materialization
+    # (tests/test_north_star.py::test_znorm_stream_hot_user pins the
+    # bound and the arithmetic). The escape-hatch exactness contract
+    # (integer-cents moments) is unchanged.
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id")
+        .mapInPandas(_znorm_stream, schema=schema)
+    )
+
+
+def _znorm_group(pdf):
+    """Exact integer-cents z-scores for ONE user's rows (the r13
+    kernel, unchanged): moments as exact int64 cents mirror the SQL
+    decimal moments, so the Python path is bit-reproducible."""
+    import pandas as pd
+
+    n = len(pdf)
+    if n < 2:
+        return pdf.iloc[0:0][["event_id", "user_id"]].assign(z=[])
+    cents = (pdf["value"] * 100).round().astype("int64")
+    s1 = float(cents.sum()) / 100.0
+    s2 = float((cents * cents).sum()) / 10000.0
+    mean = s1 / n
+    std = ((n * s2 - s1 * s1) / (n * (n - 1))) ** 0.5
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "z": (pdf["value"] - mean) / std,
+        }
+    )
+
+
+def _znorm_stream(batches):
+    """Streaming per-user z-normalization over user_id-SORTED
+    partition batches: emit every user fully contained in the seen
+    prefix, carry the (single) trailing user across the batch
+    boundary. Buffered state is bounded by the hottest user's
+    timeline plus one Arrow batch."""
+    import pandas as pd
+
+    buf = None
+    for b in batches:
+        if buf is not None and len(buf):
+            b = pd.concat([buf, b], ignore_index=True)
+            buf = None
+        if not len(b):
+            continue
+        last = b["user_id"].iloc[-1]
+        # input is sorted by user_id, so the trailing user's rows are
+        # the contiguous tail; everything before it is complete
+        head = b[b["user_id"] != last]
+        buf = b[b["user_id"] == last]
+        for _, g in head.groupby("user_id", sort=False):
+            out = _znorm_group(g)
             if len(out):
                 yield out
-
-    return ev.repartition("user_id").mapInPandas(znorm_partition, schema=schema)
+    if buf is not None and len(buf):
+        out = _znorm_group(buf)
+        if len(out):
+            yield out
 
 
 @register(
