@@ -224,10 +224,15 @@ def portable_kmeans_step(
     driver state); this entry exists to pin the per-iteration
     semantics under the driver's hash gate.
     """
-    assigned = emb.select(
-        F.col(vec_col),
-        _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
-    )
+    # r15 (guide §4.2): the assignment runs the numpy Arrow kernel —
+    # BIT-IDENTICAL to the _portable_cluster_col expression fold
+    # (same md5-seeded centroids, same scaled-int argmin; equality
+    # re-verified over every fixture vector in the r15 A/B) — the
+    # interpreted zip_with/aggregate fold paid ~1.5us per element
+    # eval (n x k x dim) and measured ~2x slower at sf0.1/k=4.
+    assigned = assign_clusters_arrow(
+        emb, portable_init_centroids(emb, k, id_col, vec_col), id_col, vec_col
+    ).select(F.col(vec_col), F.col("cluster"))
     return (
         assigned.select(
             "cluster", F.posexplode(vec_col).alias("pos", "x")
@@ -283,11 +288,13 @@ def portable_assign(
     the assignment half of :func:`portable_kmeans_step` (same shared
     expression), exposed so downstream hash-checkable compositions
     (cluster-balanced sampling, per-cluster stats) can reuse it;
-    map-only — the k x d centroid literal rides the plan."""
-    return emb.select(
-        F.col(id_col),
-        _portable_cluster_col(emb, k, id_col, vec_col).alias("cluster"),
-    )
+    map-only — the k x d centroid matrix rides into the Arrow worker.
+    r15 (guide §4.2): runs the numpy Arrow kernel, BIT-IDENTICAL to
+    the _portable_cluster_col expression fold (pinned in tests and
+    re-verified over every fixture vector in the r15 A/B)."""
+    return assign_clusters_arrow(
+        emb, portable_init_centroids(emb, k, id_col, vec_col), id_col, vec_col
+    ).select(F.col(id_col), F.col("cluster"))
 
 
 def lloyd_kmeans(

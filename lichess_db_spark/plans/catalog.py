@@ -96,6 +96,14 @@ _TOUCHED_THIS_ROUND = (
     # batch, not the whole shuffle partition; flat within band locally
     # (two stash-paired drifter pairs), z values bit-identical:
     "znorm_user_values",
+    # --- r15 batch 5 (guide §4.2): portable_assign /
+    # portable_kmeans_step run the numpy Arrow kernel instead of the
+    # interpreted zip_with/aggregate distance fold — BIT-IDENTICAL
+    # (assignments and step outputs frame-equal over every fixture
+    # vector); stash-paired drifter 1.69 -> 0.96 / 1.24 -> 0.61 s;
+    # verified at 3 SFs x p3/8/17 + arrow-batch 16:
+    "kmeans_cluster_sample",
+    "kmeans_portable_embeddings",
 )
 _TOUCHED_R14 = (
     # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2
