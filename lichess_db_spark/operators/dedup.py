@@ -536,7 +536,15 @@ def ngram_jaccard_pairs(
     universe (a documented approximation; |A|,|B| use the same capped
     sets so the estimate stays consistent).
     """
-    sh = df.select(
+    # r15 (guide §2.5, the r14 spread class): the shingle fold +
+    # array_distinct + explode is per-token compute that inherited the
+    # small single-file scan's skewed splits; spread() the doc rows
+    # first. Aggregations/joins downstream are partition-order-free.
+    # Stash-paired drifter pairs (two each direction): capped entry
+    # 1.32->1.06 / 1.53->1.23, uncapped 2.06->1.04, and the consumers
+    # that embed this operator as their truth side follow
+    # (lsh_candidate_recall 2.81->2.43, blocking_recall 4.00->3.76).
+    sh = spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
     )

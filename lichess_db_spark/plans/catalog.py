@@ -104,6 +104,19 @@ _TOUCHED_THIS_ROUND = (
     # verified at 3 SFs x p3/8/17 + arrow-batch 16:
     "kmeans_cluster_sample",
     "kmeans_portable_embeddings",
+    # --- r15 batch 6 (guide §2.5): spread() before the shingle
+    # fold+explode in dedup.ngram_jaccard_pairs and
+    # curation.contamination_pairs (the r14 spread class, found
+    # unapplied on these two helpers). Stash-paired drifter pairs:
+    # dedup_ngram_jaccard 2.06->1.04, capped 1.32->1.06 / 1.53->1.23,
+    # contamination 1.42->0.89 / 1.74->0.97, lsh_candidate_recall
+    # 2.81->2.43, blocking_recall 4.00->3.76. The CC-family consumers
+    # of ngram_jaccard_pairs are already re-entered above:
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "contamination_eval_overlap",
+    "lsh_candidate_recall",
+    "blocking_recall_eval",
 )
 _TOUCHED_R14 = (
     # r14 window budget (VERDICT r13 item 1): 1 staged entry + 2
